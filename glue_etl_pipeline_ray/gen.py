@@ -1,0 +1,153 @@
+"""Deterministic synthetic fixtures: source-repo table + change-event stream.
+
+Implements FIXTURES.md F1-F4 (seeded, in-repo, no external data):
+
+- F1 key space: ``repo = org{i}/repo{j}`` Zipf-skewed (hot-repo skew
+  fixture), ``path = src/dir{a}/file{b}.{ext}``.
+- F2 change events: ``(seq, batch_id, op, repo, path, commit, lang,
+  content, event_id, ts)`` in global ``seq`` order, split into per-batch
+  Parquet files ``events/batch=NNNNN.parquet`` (batch = checkpoint
+  granularity, analog of the reference's per-run ``event_files`` list,
+  ``update_workflow_properties.py:160``).
+- F3 dirty events: null keys / bad commit hex / unknown op / out-of-enum
+  lang / null content on upsert (analog of the e2e inputs' malformed +
+  unknown-service events, ``data_profiling.py:102-110,190-202``).
+- F4 schema evolution: batches >= ``evolve_from_batch`` carry an extra
+  ``size_bytes:int64`` column (analog of null-backfilled new fields,
+  ``flat_jsons.py:85-110``).
+
+Content strings come from a seeded pool (``content_pool``) so generating
+1e7+ events stays vectorized; a few pool entries are very wide
+(wide-record fixture).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_WORDS = (
+    "def class return import for while if else try except lambda yield "
+    "async await self none true false print range len dict list set map "
+    "filter sum min max open read write close json parse encode decode"
+).split()
+
+_EXTS = {"py": "py", "js": "js", "java": "java", "go": "go", "rs": "rs", "md": "md"}
+_LANGS = list(_EXTS)
+
+
+def make_content_pool(rng: np.random.Generator, size: int, avg_tokens: int = 40) -> np.ndarray:
+    """Seeded pool of pseudo-code strings; log-normal lengths, a few huge."""
+    lens = np.maximum(3, rng.lognormal(np.log(avg_tokens), 0.8, size).astype(int))
+    lens[:: max(1, size // 50)] *= 20  # wide-record rows
+    words = np.array(_WORDS)
+    out = np.empty(size, dtype=object)
+    for i, n in enumerate(lens):
+        out[i] = " ".join(words[rng.integers(0, len(words), n)])
+    return out
+
+
+def _hex40(rng: np.random.Generator, n: int) -> np.ndarray:
+    """n deterministic 40-hex commit ids (vectorized)."""
+    raw = rng.integers(0, 1 << 60, size=(n, 3), dtype=np.int64)
+    return np.array(
+        ["%015x%015x%010x" % (a, b, c & 0xFFFFFFFFFF) for a, b, c in raw],
+        dtype=object,
+    )
+
+
+def generate_change_events(
+    out_dir: str,
+    n_events: int = 10_000,
+    n_repos: int = 20,
+    n_paths: int = 50,
+    n_batches: int = 4,
+    dirty_frac: float = 0.02,
+    delete_frac: float = 0.08,
+    evolve_from_batch: int | None = None,
+    zipf_a: float = 1.3,
+    content_pool_size: int = 2_000,
+    seed: int = 42,
+) -> dict:
+    """Write per-batch Parquet change-event files; return metadata."""
+    rng = np.random.default_rng(seed)
+    pool = make_content_pool(rng, content_pool_size)
+
+    # F1 key space: Zipf over repos => hot-repo skew
+    repo_idx = np.minimum(rng.zipf(zipf_a, n_events) - 1, n_repos - 1)
+    path_idx = rng.integers(0, n_paths, n_events)
+    ext_idx = path_idx % len(_LANGS)
+    repos = np.array([f"org{i % 7}/repo{i}" for i in range(n_repos)], dtype=object)[repo_idx]
+    paths = np.array(
+        [f"src/dir{j % 10}/file{j}.{_LANGS[j % len(_LANGS)]}" for j in range(n_paths)],
+        dtype=object,
+    )[path_idx]
+    langs = np.array(_LANGS, dtype=object)[ext_idx]
+
+    seq = np.arange(n_events, dtype=np.int64)
+    batch_size = -(-n_events // n_batches)
+    batch_id = seq // batch_size
+    op = np.where(rng.random(n_events) < delete_frac, "DELETE", "UPSERT").astype(object)
+    first = rng.random(n_events) < 0.3
+    op[(op == "UPSERT") & first] = "INSERT"
+    op[op == "UPSERT"] = "UPDATE"
+    commit = _hex40(rng, n_events)
+    content = pool[rng.integers(0, content_pool_size, n_events)].copy()
+    content[op == "DELETE"] = None
+    lang = langs.copy()
+    lang[op == "DELETE"] = None
+    event_id = np.array([f"ev-{s:012d}-{rng.integers(0, 1 << 30):08x}" for s in seq], dtype=object)
+    ts = (1_700_000_000_000 + seq * 137).astype(np.int64)
+
+    # F3 dirty injection (never on DELETE rows so the op mix stays visible)
+    n_dirty = int(n_events * dirty_frac)
+    dirty_pos = rng.choice(n_events, size=n_dirty, replace=False) if n_dirty else np.array([], int)
+    repos_d, commit_d, lang_d, content_d, op_d = (repos, commit, lang, content, op)
+    for k, pos in enumerate(dirty_pos):
+        mode = k % 5
+        if mode == 0:
+            repos_d[pos] = None  # missing required key
+        elif mode == 1:
+            commit_d[pos] = "not-a-sha"  # bad hex
+        elif mode == 2:
+            op_d[pos] = "TAG_IMAGE"  # unknown op (reference bug B2 analog)
+        elif mode == 3:
+            lang_d[pos] = "klingon"  # out-of-enum
+        else:
+            op_d[pos] = "UPDATE"
+            content_d[pos] = None  # null payload on upsert
+
+    ev_dir = os.path.join(out_dir, "events")
+    os.makedirs(ev_dir, exist_ok=True)
+    files = []
+    for b in range(n_batches):
+        m = batch_id == b
+        cols = {
+            "seq": pa.array(seq[m]),
+            "batch_id": pa.array(batch_id[m]),
+            "op": pa.array(op[m], pa.string()),
+            "repo": pa.array(repos[m], pa.string()),
+            "path": pa.array(paths[m], pa.string()),
+            "commit": pa.array(commit[m], pa.string()),
+            "lang": pa.array(lang[m], pa.string()),
+            "content": pa.array(content[m], pa.string()),
+            "event_id": pa.array(event_id[m], pa.string()),
+            "ts": pa.array(ts[m]),
+        }
+        if evolve_from_batch is not None and b >= evolve_from_batch:
+            sb = np.array([len(c) if c is not None else 0 for c in content[m]], np.int64)
+            cols["size_bytes"] = pa.array(sb)
+        f = os.path.join(ev_dir, f"batch={b:05d}.parquet")
+        pq.write_table(pa.table(cols), f)
+        files.append(f)
+
+    return {
+        "events_dir": ev_dir,
+        "files": files,
+        "n_events": n_events,
+        "n_batches": n_batches,
+        "batch_ids": list(range(n_batches)),
+    }

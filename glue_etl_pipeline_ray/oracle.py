@@ -1,0 +1,117 @@
+"""Single-threaded reference replayer: ground truth for the engine.
+
+A plain-dict replay of the change-event stream in global ``seq`` order —
+the analog of the reference's deterministic sequential file loop
+(``data_profiling.py:145``, ``flat_jsons.py:277``) — defining the final
+table state the parallel Ray pipeline must reproduce bit-for-bit
+(sha256 of the canonically-sorted live table, FIXTURES.md F5).
+
+Validation here is deliberately written row-at-a-time and independently
+of the engine's vectorized validators, so the two implementations
+cross-check each other.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from glue_etl_pipeline_ray.hashing import table_sha256
+from glue_etl_pipeline_ray.spec import TableSpec, type_from_name
+
+
+def _row_errors(spec: TableSpec, row: dict) -> list[str]:
+    errs = []
+    op = row.get(spec.op_col)
+    for r in spec.rules:
+        v = row.get(r.col)
+        if r.kind == "not_null":
+            if v is None and op not in r.nullable_for_ops:
+                errs.append(r.error)
+        elif v is None:
+            continue  # remaining kinds are null-tolerant (open world)
+        elif r.kind == "enum":
+            if v not in r.allowed:
+                errs.append(r.error)
+        elif r.kind == "regex":
+            if not re.fullmatch(r.pattern, str(v)):
+                errs.append(r.error)
+        elif r.kind == "range":
+            if not (r.lo <= v <= r.hi):
+                errs.append(r.error)
+    return errs
+
+
+def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
+    """Replay every ``batch=*.parquet`` in order; return final state.
+
+    Returns dict with: ``table`` (live rows, canonical layout), ``sha256``,
+    ``evolved`` (first-seen extra columns), ``dlq`` rows, counters.
+    """
+    files = sorted(glob.glob(os.path.join(events_dir, "batch=*.parquet")))
+    known = {
+        *spec.key_cols,
+        *spec.base_col_names,
+        spec.seq_col,
+        spec.op_col,
+        spec.batch_col,
+        *spec.extra_meta_cols,
+    }
+    evolved: list[tuple[str, str]] = []
+    state: dict[tuple, dict] = {}  # key -> {"seq": int, "deleted": bool, "row": dict}
+    dlq: list[dict] = []
+    n_applied = n_deleted = 0
+
+    for f in files:
+        t = pq.read_table(f)
+        for fld in t.schema:
+            if fld.name not in known and fld.name not in {n for n, _ in evolved}:
+                evolved.append((fld.name, str(fld.type)))
+        rows = t.to_pylist()
+        rows.sort(key=lambda r: r[spec.seq_col])
+        for row in rows:
+            errs = _row_errors(spec, row)
+            if errs:
+                dlq.append({**row, "error": ";".join(errs)})
+                continue
+            key = tuple(row[k] for k in spec.key_cols)
+            cur = state.get(key)
+            seq = row[spec.seq_col]
+            if cur is not None and cur["seq"] >= seq:
+                continue  # LWW: stale writer loses
+            if row[spec.op_col] == "DELETE":
+                state[key] = {"seq": seq, "deleted": True, "row": None}
+                n_deleted += 1
+            else:
+                payload = {c: row.get(c) for c in spec.base_col_names}
+                payload.update({n: row.get(n) for n, _ in evolved if n in row})
+                state[key] = {"seq": seq, "deleted": False, "row": payload}
+                n_applied += 1
+
+    evolved_t = tuple(evolved)
+    cols = spec.canonical_cols(evolved_t)
+    schema = spec.canonical_schema(evolved_t)
+    live = sorted((k, v["row"]) for k, v in state.items() if not v["deleted"])
+    arrays = []
+    for i, c in enumerate(cols):
+        if c in spec.key_cols:
+            ki = spec.key_cols.index(c)
+            vals = [k[ki] for k, _ in live]
+        else:
+            vals = [r.get(c) for _, r in live]
+        arrays.append(pa.array(vals, schema.field(i).type))
+    table = pa.table(dict(zip(cols, arrays)))
+    return {
+        "table": table,
+        "sha256": table_sha256(table, spec.key_cols),
+        "evolved": evolved_t,
+        "dlq": dlq,
+        "n_applied": n_applied,
+        "n_deleted": n_deleted,
+        "n_dead_lettered": len(dlq),
+        "n_live": table.num_rows,
+    }

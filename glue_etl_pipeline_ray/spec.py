@@ -1,0 +1,156 @@
+"""Table specification: keys, schema, validation rules, partitioning.
+
+The reference pipeline hard-codes its per-(service, type) contract in three
+places (Cerberus schemas in ``dependencies/*.json``, fix-up functions in
+``flat_jsons.py``, SQL projections in ``convert_to_parquet.py:58-159``).
+Here the whole contract lives in one declarative ``TableSpec``; pipeline
+stages are generic over it (SURVEY.md 2.10 "engine equivalent").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+# Arrow types the spec/schema-evolution registry may carry. Kept to a small,
+# JSON-serializable set so the checkpoint manifest can round-trip them.
+_TYPE_BY_NAME: dict[str, pa.DataType] = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "int64": pa.int64(),
+    "int32": pa.int32(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "bool": pa.bool_(),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ms]": pa.timestamp("ms"),
+}
+
+
+def type_from_name(name: str) -> pa.DataType:
+    try:
+        return _TYPE_BY_NAME[name]
+    except KeyError:
+        raise ValueError(f"unsupported evolved-column type: {name}") from None
+
+
+def type_name(dtype: pa.DataType) -> str:
+    s = str(dtype)
+    if s not in _TYPE_BY_NAME:
+        raise ValueError(f"unsupported evolved-column type: {s}")
+    return s
+
+
+OPS = ("INSERT", "UPDATE", "DELETE")
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One vectorized validation rule over a change-event column.
+
+    Declarative analog of a Cerberus schema entry
+    (reference ``data_profiling.py:46-58`` + ``dependencies/*.json``):
+
+    - ``kind="not_null"``     -> column must be non-null
+    - ``kind="enum"``         -> non-null values must be in ``allowed``
+    - ``kind="regex"``        -> non-null values must fully match ``pattern``
+    - ``kind="range"``        -> non-null numeric values in [lo, hi]
+
+    ``nullable_for_ops``: ops for which a null is accepted even under
+    ``not_null`` (reference analog: DELETE events carry no payload,
+    ``flat_jsons.py:77-78``).
+    """
+
+    col: str
+    kind: str
+    allowed: tuple = ()
+    pattern: str = ""
+    lo: float = float("-inf")
+    hi: float = float("inf")
+    nullable_for_ops: tuple[str, ...] = ()
+
+    @property
+    def error(self) -> str:
+        return f"{self.kind}:{self.col}"
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """Contract for one upserted lake table.
+
+    key_cols  : primary key (reference analog: ``(repo, path)`` per
+                BASELINE.json input_hint).
+    seq_col   : total commit order; LWW tiebreaker (analog of the sorted
+                file work-list, ``update_workflow_properties.py:146-150``).
+    op_col    : INSERT/UPDATE/DELETE discriminator (analog of
+                ``detail.type`` routing, ``flat_jsons.py:186-201``).
+    batch_col : micro-batch id = checkpoint granularity (analog of the
+                per-run ``event_files`` list).
+    base_cols : non-key payload columns, name -> Arrow type name, in
+                canonical output order.
+    rules     : validation rules; a row failing any rule dead-letters.
+    num_buckets: hash buckets for the keyed shuffle + sink files. One
+                output file per bucket -> size this so ~100 MB-1 GB per
+                bucket file at target scale (e.g. 2**16 buckets at 100 TB).
+    """
+
+    name: str
+    key_cols: tuple[str, ...]
+    base_cols: tuple[tuple[str, str], ...]
+    seq_col: str = "seq"
+    op_col: str = "op"
+    batch_col: str = "batch_id"
+    rules: tuple[Rule, ...] = ()
+    num_buckets: int = 64
+    extra_meta_cols: tuple[str, ...] = field(default=())  # carried to DLQ only
+
+    @property
+    def base_col_names(self) -> tuple[str, ...]:
+        return tuple(n for n, _ in self.base_cols)
+
+    def base_type(self, name: str) -> pa.DataType:
+        for n, t in self.base_cols:
+            if n == name:
+                return type_from_name(t)
+        raise KeyError(name)
+
+    def canonical_cols(self, evolved: tuple[tuple[str, str], ...] = ()) -> list[str]:
+        """Key cols first, then base payload, then evolved in first-seen
+        order (FIXTURES.md F5 canonical layout)."""
+        return [*self.key_cols, *self.base_col_names, *(n for n, _ in evolved)]
+
+    def canonical_schema(
+        self, evolved: tuple[tuple[str, str], ...] = ()
+    ) -> pa.Schema:
+        fields = [pa.field(k, pa.string()) for k in self.key_cols]
+        fields += [pa.field(n, type_from_name(t)) for n, t in self.base_cols]
+        fields += [pa.field(n, type_from_name(t)) for n, t in evolved]
+        return pa.schema(fields)
+
+
+def repo_file_spec(num_buckets: int = 64) -> TableSpec:
+    """The flagship table per BASELINE.json input_hint: a lake of
+    source-code files keyed on (repo, path)."""
+    return TableSpec(
+        name="repo_files",
+        key_cols=("repo", "path"),
+        base_cols=(("commit", "string"), ("lang", "string"), ("content", "string")),
+        rules=(
+            Rule("repo", "not_null"),
+            Rule("path", "not_null"),
+            Rule("seq", "not_null"),
+            Rule("op", "not_null"),
+            Rule("op", "enum", allowed=OPS),
+            Rule("commit", "not_null", nullable_for_ops=("DELETE",)),
+            Rule("commit", "regex", pattern=r"[0-9a-f]{40}"),
+            Rule(
+                "lang",
+                "enum",
+                allowed=("py", "js", "java", "go", "rs", "md"),
+            ),
+            Rule("content", "not_null", nullable_for_ops=("DELETE",)),
+        ),
+        num_buckets=num_buckets,
+        extra_meta_cols=("event_id", "ts"),
+    )

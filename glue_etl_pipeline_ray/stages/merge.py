@@ -1,0 +1,143 @@
+"""Bucketed LWW merge + idempotent Parquet upsert sink.
+
+The single shuffle of the pipeline (SURVEY.md 7.3): clean, partially
+reduced events are hash-partitioned on the key via ``groupby(__bucket)``
+and each bucket group is merged against its prior lake state file by
+last-writer-wins on ``seq`` — the grouped-reduce generalization of the
+reference's ordered append (``convert_to_parquet.py:236-238`` +
+sorted work-list ``update_workflow_properties.py:146-150``).
+
+Exactly-once mechanics (fixes the reference's at-least-once hazard,
+SURVEY.md 2.9):
+
+- **Deterministic file names**: bucket ``b`` always writes
+  ``part-{b:05d}.parquet``; a retried task overwrites, never duplicates.
+- **Tombstones**: DELETE keeps the key in the state file with
+  ``__deleted=true`` and its ``seq``, so re-applying any prefix of the
+  event stream is a no-op (an old UPDATE can never resurrect a deleted
+  key). The live table view filters tombstones out.
+- **Staging + atomic promote**: new bucket files land in
+  ``_staging/batch=NNNNN/`` (written tmp + rename); the driver promotes
+  them into the lake with ``os.replace`` and only then commits the
+  checkpoint watermark. A crash anywhere in between re-runs the batch,
+  which is idempotent by the two properties above.
+
+State-file schema: canonical payload + ``__seq:int64`` + ``__deleted:bool``.
+Per-bucket lineage (events in, upserts, deletes, live rows, live-state
+sha256) is returned as the group result — the engine's analog of the
+per-event PROFILER audit stream (``data_profiling.py:180-189``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from glue_etl_pipeline_ray.hashing import table_sha256
+from glue_etl_pipeline_ray.spec import TableSpec
+from glue_etl_pipeline_ray.stages.evolve import conform
+from glue_etl_pipeline_ray.stages.partial import BUCKET_COL
+
+SEQ_COL = "__seq"
+DELETED_COL = "__deleted"
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("batch_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("n_upserts", pa.int64()),
+        ("n_deletes", pa.int64()),
+        ("n_live", pa.int64()),
+        ("n_tombstones", pa.int64()),
+        ("sha256", pa.string()),
+    ]
+)
+
+
+def state_schema(spec: TableSpec, evolved: tuple[tuple[str, str], ...]) -> pa.Schema:
+    base = spec.canonical_schema(evolved)
+    return base.append(pa.field(SEQ_COL, pa.int64())).append(
+        pa.field(DELETED_COL, pa.bool_())
+    )
+
+
+def part_name(bucket: int) -> str:
+    return f"part-{bucket:05d}.parquet"
+
+
+def make_merge_fn(
+    spec: TableSpec,
+    evolved: tuple[tuple[str, str], ...],
+    lake_dir: str,
+    staging_dir: str,
+    batch_id: int,
+    compute_hash: bool = True,
+):
+    st_schema = state_schema(spec, evolved)
+    canonical_cols = spec.canonical_cols(evolved)
+    key_cols = list(spec.key_cols)
+
+    def merge(group: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.parquet as pq
+
+        group = group.combine_chunks()
+        bucket = group[BUCKET_COL][0].as_py()
+        deleted = pc.equal(group[spec.op_col], "DELETE")
+        n_deletes = pc.sum(deleted).as_py() or 0
+        # events -> state rows; tombstone payloads nulled for determinism
+        cols = {}
+        for name in canonical_cols:
+            c = group[name]
+            if name not in key_cols:
+                # null ARRAY, not scalar: pyarrow 16 if_else(mask, null_scalar,
+                # sliced_array) emits arrays with out-of-bounds offsets
+                c = pc.if_else(deleted, pa.nulls(group.num_rows, c.type), c)
+            cols[name] = c
+        cols[SEQ_COL] = group[spec.seq_col]
+        cols[DELETED_COL] = deleted
+        incoming = pa.table(cols).cast(st_schema)
+
+        prior_path = os.path.join(lake_dir, part_name(bucket))
+        if os.path.exists(prior_path):
+            prior = conform(pq.read_table(prior_path), st_schema)
+            combined = pa.concat_tables([prior, incoming])
+        else:
+            combined = incoming
+
+        df = (
+            pl.from_arrow(combined)
+            .sort(SEQ_COL)
+            .unique(subset=key_cols, keep="last", maintain_order=True)
+            .sort(key_cols)
+        )
+        new_state = df.to_arrow().cast(st_schema)
+
+        os.makedirs(staging_dir, exist_ok=True)
+        out = os.path.join(staging_dir, part_name(bucket))
+        tmp = f"{out}.tmp.{os.getpid()}"
+        pq.write_table(new_state, tmp)
+        os.replace(tmp, out)
+
+        live = new_state.filter(pc.invert(new_state[DELETED_COL])).select(
+            canonical_cols
+        )
+        digest = table_sha256(live, key_cols) if compute_hash else ""
+        return pa.table(
+            {
+                "bucket": [bucket],
+                "batch_id": [batch_id],
+                "n_events": [group.num_rows],
+                "n_upserts": [group.num_rows - n_deletes],
+                "n_deletes": [n_deletes],
+                "n_live": [live.num_rows],
+                "n_tombstones": [new_state.num_rows - live.num_rows],
+                "sha256": [digest],
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+
+    return merge

@@ -1,0 +1,69 @@
+"""Atomic checkpoint manifest: watermark + committed batches + schema log.
+
+Engine analog of the Glue workflow run-property store
+(``update_workflow_properties.py:123-165`` — ``run_state`` +
+``event_files`` across runs = the processed set): a single JSON manifest
+under ``<lake>/_checkpoint/manifest.json``, written tmp-file + atomic
+``os.replace``. A batch counts as processed ONLY once it appears in
+``committed`` (the exactly-once gate, A3 analog, SURVEY.md 2.5); a crash
+after the sink but before commit simply re-runs the batch, which the
+idempotent merge makes a no-op.
+
+The manifest also logs the schema-evolution registry (``evolved``:
+first-seen extra columns + types) so a resumed run conforms batches to
+the same canonical layout, and per-batch lineage summaries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class CheckpointManager:
+    def __init__(self, lake_dir: str):
+        self.dir = os.path.join(lake_dir, "_checkpoint")
+        self.path = os.path.join(self.dir, "manifest.json")
+        self._m = self._load()
+
+    def _load(self) -> dict:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {"watermark": -1, "committed": [], "evolved": [], "batches": {}}
+
+    @property
+    def watermark(self) -> int:
+        return self._m["watermark"]
+
+    @property
+    def committed(self) -> set[int]:
+        return set(self._m["committed"])
+
+    @property
+    def evolved(self) -> tuple[tuple[str, str], ...]:
+        return tuple((n, t) for n, t in self._m["evolved"])
+
+    def is_committed(self, batch_id: int) -> bool:
+        return batch_id in self.committed
+
+    def commit_batch(
+        self,
+        batch_id: int,
+        evolved: tuple[tuple[str, str], ...],
+        summary: dict,
+    ) -> None:
+        m = self._m
+        if batch_id not in m["committed"]:
+            m["committed"].append(batch_id)
+        m["watermark"] = max(m["watermark"], batch_id)
+        m["evolved"] = [list(e) for e in evolved]
+        m["batches"][str(batch_id)] = summary
+        self._write(m)
+
+    def _write(self, m: dict) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = f"{self.path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
