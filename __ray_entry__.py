@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship CDC replay at sf0.001 (events table -> change
+  stream -> exactly-once upserted user-state lake) returning the live
+  table as a Dataset.
+- ``queries()``: one entry per operator family from SURVEY.md section 2
+  plus the training-data operators (dedup / similarity / text /
+  multimodal).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query. Aggregates use
+  scaled-integer measures (cents / e4 / e6) so engine and oracle match
+  bit-for-bit; fuzzy operators (minhash/simhash LSH, IVF-ANN, lang-id,
+  media stubs) are genuinely non-SQL and get the rows-only check.
 """
 
 from __future__ import annotations
@@ -18,27 +20,225 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from glue_etl_pipeline_ray.pipelines import queries as Q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    import os
+    import tempfile
+
+    from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
+
+    sf_dir = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="gepr_entry_")
+    ev_dir = Q._events_as_cdc(sf_dir, work)
+    eng = ReplayEngine(Q.user_state_spec(), os.path.join(work, "lake"))
+    eng.replay(ev_dir)
+    return eng.final_dataset()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC / engine core
+        "cdc_lww_upsert": Q.q_cdc_lww_upsert,
+        "cdc_dead_letter": Q.q_cdc_dead_letter,
+        # flatten / project / normalize / evolve
+        "flatten_project_json": Q.q_flatten_project_json,
+        "partition_derive": Q.q_partition_derive,
+        "type_normalize": Q.q_type_normalize,
+        "schema_union_backfill": Q.q_schema_union_backfill,
+        # joins
+        "broadcast_lookup_join": Q.q_broadcast_lookup_join,
+        "anti_join_inactive": Q.q_anti_join_inactive,
+        # aggregations / sort / limit
+        "classify_counts": Q.q_classify_counts,
+        "pricing_summary": Q.q_pricing_summary,
+        "topk_users": Q.q_topk_users,
+        # documents: dedup + text analysis
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
+        "dedup_minhash": Q.q_dedup_minhash,
+        "dedup_simhash": Q.q_dedup_simhash,
+        "doc_fingerprint": Q.q_doc_fingerprint,
+        "rolling_fingerprint": Q.q_rolling_fingerprint,
+        "token_stats": Q.q_token_stats,
+        "quality_score": Q.q_quality,
+        "lang_id": Q.q_lang_id,
+        # embeddings: similarity search
+        "ann_cosine_topk": Q.q_ann_cosine_topk,
+        "ann_ivf_topk": Q.q_ann_ivf_topk,
+        # multimodal plumbing (stub codecs)
+        "media_decode": Q.q_media_decode,
+        "frame_sample": Q.q_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = "('the', 'a', 'data', 'value', 'row')"
+    enum = "('click', 'view', 'purchase', 'signup')"
+    return {
+        "cdc_lww_upsert": f"""
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_dead_letter": f"""
+            SELECT event_id,
+                   concat_ws(';',
+                       CASE WHEN event_type NOT IN {enum}
+                            THEN 'enum:event_type' END,
+                       CASE WHEN value < 0 OR value > 90
+                            THEN 'range:value' END) AS error
+            FROM events
+            WHERE event_type NOT IN {enum} OR value < 0 OR value > 90
+        """,
+        "flatten_project_json": """
+            SELECT event_id, user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "partition_derive": """
+            SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+                   hour(ts) AS hour, count(*) AS n_events
+            FROM events GROUP BY 1, 2, 3, 4
+        """,
+        "type_normalize": """
+            SELECT event_id, upper(event_type) AS event_type_uc,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM events
+        """,
+        "schema_union_backfill": """
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   CAST(NULL AS VARCHAR) AS extra
+            FROM events WHERE ts < TIMESTAMP '2024-02-01'
+            UNION ALL
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   event_type AS extra
+            FROM events WHERE ts >= TIMESTAMP '2024-02-01'
+        """,
+        "broadcast_lookup_join": """
+            SELECT r.r_name AS region_name, count(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "anti_join_inactive": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+        """,
+        "classify_counts": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty_x100,
+                   CAST(sum(price) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(price * (100 - disc)) AS BIGINT) AS sum_disc_e4,
+                   CAST(sum(price * (100 - disc) * (100 + tax)) AS BIGINT)
+                       AS sum_charge_e6,
+                   count(*) AS count_order
+            FROM (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+                       CAST(round(l_discount * 100) AS BIGINT) AS disc,
+                       CAST(round(l_tax * 100) AS BIGINT) AS tax
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            )
+            GROUP BY 1, 2
+        """,
+        "topk_users": """
+            SELECT user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM events GROUP BY 1
+            ORDER BY total_cents DESC, user_id LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                             ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3
+                UNION
+                SELECT doc_id, array_to_string(t, ' ') AS shingle
+                FROM toks WHERE len(t) < 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                   AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.doc_id_a, p.doc_id_b, sa.size AS size_a,
+                   sb.size AS size_b, CAST(p.inter AS BIGINT) AS inter
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.doc_id_a
+            JOIN sizes sb ON sb.doc_id = p.doc_id_b
+            WHERE 5 * p.inter >= 4 * (sa.size + sb.size - p.inter)
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS n_uniq_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id, n_tokens, n_stopwords,
+                   (n_tokens >= 5 AND n_tokens <= 100000
+                    AND n_stopwords * 2 <= n_tokens) AS is_quality
+            FROM (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x IN {stop})) AS BIGINT)
+                           AS n_stopwords
+                FROM documents
+            )
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5
+            ), sims AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rn
+                FROM sims
+            ) WHERE rn <= 10
+        """,
+        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
+        # rolling_fingerprint, lang_id, ann_ivf_topk, media_decode,
+        # frame_sample
+    }

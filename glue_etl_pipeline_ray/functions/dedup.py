@@ -1,0 +1,383 @@
+"""Deduplication operators over a documents table.
+
+Five families, each expressed Ray-Data-first:
+
+- **exact**: content-hash -> hash-partitioned groupby -> keep first
+  (min id). The key-level generalization of the reference's file-level
+  exact dedup look-up (``update_workflow_properties.py:141-151``, D1).
+- **MinHash + LSH**: shingle -> minhash signature -> banded bucket
+  groupby -> candidate pairs -> signature-agreement verify.
+- **SimHash**: 64-bit simhash -> 16-bit band buckets -> hamming verify.
+- **n-gram Jaccard (exact)**: inverted-index self-join on shingles;
+  integer-only Jaccard threshold so the DuckDB oracle matches exactly.
+- **embedding cosine near-dup**: see ``functions/similarity.py``.
+
+Scale notes are inline; the common trick is that every candidate
+generator is a groupby on a *content-derived* key (hash, band, shingle),
+i.e. one all-to-all shuffle bounded by distinct keys, never an O(n^2)
+cross join. Hot buckets are capped with ``max_df``-style guards
+(logged, off by default at test scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from glue_etl_pipeline_ray.functions.text import hash_token
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Keep the min-id row per exact content (md5). One shuffle on the
+    content hash; groups are tiny (true duplicates only)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column("__fp", pa.array(fps, pa.string()))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        return group.sort_by(id_col).slice(0, 1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
+        .groupby("__fp")
+        .map_groups(keep_first, batch_format="pyarrow")
+        .drop_columns(["__fp"])
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = (text or "").split(" ")
+    if len(toks) < n:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return np.unique(np.array([hash_token(g) for g in grams], dtype=np.uint64))
+
+
+# ------------------------------------------------------------- MinHash+LSH
+
+
+class MinHashFn:
+    """Actor-pool stage: permutation parameters built once per actor
+    (``__init__``), signatures per batch. Emits one row per (doc, band):
+    ``(doc_id, band_id, band_hash)`` ready for the LSH bucket groupby."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_perm: int = 128,
+        n_bands: int = 16,
+        shingle_n: int = 3,
+        seed: int = 42,
+    ):
+        assert n_perm % n_bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = (rng.integers(1, 1 << 62, n_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 62, n_perm, dtype=np.uint64)
+        self.text_col, self.id_col = text_col, id_col
+        self.n_perm, self.n_bands, self.shingle_n = n_perm, n_bands, shingle_n
+        self.rows_per_band = n_perm // n_bands
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.shingle_n)
+        # multiply-shift family mod 2^64 (uint64 wraparound is the mod)
+        return (self.a[:, None] * h[None, :] + self.b[:, None]).min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bands, bhashes, sigs = [], [], [], []
+        for doc_id, text in zip(
+            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            sig = self.signature(text)
+            for band in range(self.n_bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                ids.append(doc_id)
+                bands.append(band)
+                bhashes.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+                sigs.append(sig.tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band_id": pa.array(bands, pa.int64()),
+                "band_hash": pa.array(bhashes, pa.string()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    min_agree_num: int = 1,
+    min_agree_den: int = 2,
+    max_bucket: int = 1000,
+    concurrency: int = 4,
+) -> Dataset:
+    """Near-dup candidate pairs with signature-agreement verification.
+
+    Returns ``(doc_id_a, doc_id_b, n_agree, n_perm)`` for pairs sharing
+    >= 1 LSH band whose signatures agree on >= min_agree_num/min_agree_den
+    of the permutations (integer threshold — deterministic).
+
+    Scale: the only shuffle is groupby(band_id, band_hash); buckets
+    larger than ``max_bucket`` are skipped (hot-bucket guard — a bucket
+    that big means a boilerplate shingle, not real duplication).
+    Signatures ride along as binary so verification happens inside the
+    bucket group — no second join.
+    """
+    sig_ds = ds.map_batches(
+        MinHashFn,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, n_perm=n_perm,
+            n_bands=n_bands, shingle_n=shingle_n,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return _EMPTY_PAIRS
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["sig"].to_pylist()]
+        order = np.argsort(ids)
+        a_out, b_out, agree = [], [], []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                ii, jj = order[i], order[j]
+                if ids[ii] == ids[jj]:
+                    continue
+                n_ag = int((sigs[ii] == sigs[jj]).sum())
+                if n_ag * min_agree_den >= min_agree_num * n_perm:
+                    a_out.append(ids[ii])
+                    b_out.append(ids[jj])
+                    agree.append(n_ag)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a_out, pa.int64()),
+                "doc_id_b": pa.array(b_out, pa.int64()),
+                "n_agree": pa.array(agree, pa.int64()),
+            }
+        )
+
+    pairs = sig_ds.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # a pair can collide in several bands -> distinct
+    dedup = pairs.groupby(["doc_id_a", "doc_id_b", "n_agree"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    return dedup
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "doc_id_a": pa.array([], pa.int64()),
+        "doc_id_b": pa.array([], pa.int64()),
+        "n_agree": pa.array([], pa.int64()),
+    }
+)
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash64(text: str, n: int = 2) -> int:
+    h = _shingle_hashes(text, n)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = bits.sum(axis=0) * 2 - len(h)
+    out = 0
+    for k in range(64):
+        if votes[k] > 0:
+            out |= 1 << k
+    return out
+
+
+def simhash_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> Dataset:
+    """Near-dup pairs by SimHash: 4x16-bit band buckets (any pair within
+    hamming distance 3 of a 64-bit simhash shares at least one exact
+    16-bit quarter — pigeonhole), verified exactly inside the bucket."""
+
+    def add_sim(batch: pa.Table) -> pa.Table:
+        rows_id, band, key, sims = [], [], [], []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            s = simhash64(text, shingle_n)
+            for q in range(4):
+                rows_id.append(doc_id)
+                band.append(q)
+                key.append((s >> (16 * q)) & 0xFFFF)
+                sims.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows_id, pa.int64()),
+                "band_id": pa.array(band, pa.int64()),
+                "band_key": pa.array(key, pa.int64()),
+                "simhash": pa.array(sims, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        sims = group["simhash"].to_pylist()
+        uniq = sorted(set(zip(ids, sims)))
+        a_out, b_out, ham = [], [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                d = bin(uniq[i][1] ^ uniq[j][1]).count("1")
+                if d <= max_hamming:
+                    a_out.append(uniq[i][0])
+                    b_out.append(uniq[j][0])
+                    ham.append(d)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a_out, pa.int64()),
+                "doc_id_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(ham, pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(add_sim, batch_format="pyarrow", batch_size=None)
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["doc_id_a", "doc_id_b", "hamming"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    max_df: int | None = None,
+) -> Dataset:
+    """EXACT Jaccard >= tau_num/tau_den pairs via an inverted-index
+    self-join: explode distinct shingles, groupby(shingle) emits co-occur
+    pairs, groupby(pair) counts the intersection, and the integer
+    threshold ``tau_den*inter >= tau_num*(size_a+size_b-inter)`` decides.
+    All-integer -> the DuckDB oracle reproduces it bit-for-bit.
+
+    ``max_df`` drops shingles occurring in more than max_df docs (the
+    classic posting-list cap; REQUIRED at scale — a stopword shingle
+    otherwise emits O(df^2) pairs). Default None = exact, for oracle
+    parity at test scale.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams, sizes = [], [], []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = (text or "").split(" ")
+            if len(toks) < shingle_n:
+                sh = {" ".join(toks)}
+            else:
+                sh = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            for g in sorted(sh):
+                ids.append(doc_id)
+                grams.append(g)
+                sizes.append(len(sh))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(grams, pa.string()),
+                "size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    def co_pairs(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2 or (max_df is not None and m > max_df):
+            return pa.table(
+                {
+                    "doc_id_a": pa.array([], pa.int64()),
+                    "doc_id_b": pa.array([], pa.int64()),
+                    "size_a": pa.array([], pa.int64()),
+                    "size_b": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.array(group["doc_id"].to_pylist())
+        sizes = np.array(group["size"].to_pylist())
+        order = np.argsort(ids)
+        ids, sizes = ids[order], sizes[order]
+        iu, ju = np.triu_indices(m, k=1)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ids[iu], pa.int64()),
+                "doc_id_b": pa.array(ids[ju], pa.int64()),
+                "size_a": pa.array(sizes[iu], pa.int64()),
+                "size_b": pa.array(sizes[ju], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .groupby("shingle")
+        .map_groups(co_pairs, batch_format="pyarrow")
+    )
+    inter = pairs.groupby(["doc_id_a", "doc_id_b", "size_a", "size_b"]).aggregate(
+        Count(alias_name="inter")
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = pc.cast(batch["inter"], pa.int64())
+        union = pc.subtract(
+            pc.add(batch["size_a"], batch["size_b"]), i
+        )
+        keep = pc.greater_equal(
+            pc.multiply(pa.scalar(tau_den, pa.int64()), i),
+            pc.multiply(pa.scalar(tau_num, pa.int64()), union),
+        )
+        out = batch.set_column(
+            batch.column_names.index("inter"), "inter", i
+        )
+        return out.filter(keep)
+
+    return inter.map_batches(threshold, batch_format="pyarrow", batch_size=None)

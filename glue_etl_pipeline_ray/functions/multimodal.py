@@ -1,0 +1,111 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as Arrow ``binary`` columns with metadata
+columns alongside (``media_type``, ``n_bytes``). Decode / feature
+extraction are actor-pool ``map_batches`` stages — the stage plumbing
+(schema, batch size, actor signature, output layout) is real and tested;
+the actual codec is STUBBED because no image/audio library ships in this
+container:
+
+- ``FakeMediaDecoder`` (default) derives deterministic pseudo-features
+  from the bytes (so tests are stable), clearly marked fake.
+- ``decode_real`` raises ``NotImplementedError`` — swap in a PIL/ffmpeg
+  body on a cluster that has the libs.
+
+Batch-size note: binary payloads dominate block size; cap ``batch_size``
+small (e.g. 64-256) and keep ``batch_format="pyarrow"`` (binary columns
+don't round-trip pandas cleanly).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def decode_real(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "real media decoding requires PIL/ffmpeg (not in this container); "
+        "use FakeMediaDecoder for plumbing tests"
+    )
+
+
+class FakeMediaDecoder:
+    """Actor-pool decode stage. __init__ = per-actor setup (the place a
+    real decoder loads its codec/model); __call__ = per-batch decode.
+
+    Output adds: width:int64, height:int64, mean_luma:double,
+    content_digest:string — deterministic functions of the payload bytes.
+    """
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col  # real impl: open codec handles here
+
+    def _decode_one(self, payload: bytes) -> tuple[int, int, float, str]:
+        digest = hashlib.sha1(payload).digest()
+        w = 64 + digest[0] % 192
+        h = 64 + digest[1] % 192
+        luma = round(int.from_bytes(digest[2:4], "big") / 65535.0, 6)
+        return w, h, luma, digest.hex()[:16]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, lu, dg = [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            w, h, l_, d = self._decode_one(payload or b"")
+            ws.append(w)
+            hs.append(h)
+            lu.append(l_)
+            dg.append(d)
+        return (
+            batch.append_column("width", pa.array(ws, pa.int64()))
+            .append_column("height", pa.array(hs, pa.int64()))
+            .append_column("mean_luma", pa.array(lu, pa.float64()))
+            .append_column("content_digest", pa.array(dg, pa.string()))
+        )
+
+
+class FrameSampler:
+    """'Video' frame sampling stub: slice the payload into ``n_frames``
+    equal byte windows and emit one row per sampled frame (flat_map-style
+    explode inside map_batches). Real impl: ffmpeg keyframe extraction."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id", n_frames: int = 4):
+        self.payload_col, self.id_col, self.n_frames = payload_col, id_col, n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for doc_id, payload in zip(
+            batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            payload = payload or b""
+            step = max(1, len(payload) // self.n_frames)
+            for i in range(self.n_frames):
+                ids.append(doc_id)
+                fidx.append(i)
+                frames.append(payload[i * step : (i + 1) * step])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame_bytes": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def embed_bytes(payload_col: str = "frame_bytes", dim: int = 16):
+    """Deterministic fake feature extractor: bytes -> float vector (stub
+    for batched model inference; at scale this is the GPU actor stage)."""
+
+    def embed(batch: pa.Table) -> pa.Table:
+        vecs = []
+        for payload in batch[payload_col].to_pylist():
+            digest = hashlib.sha256(payload or b"").digest()
+            v = np.frombuffer(digest[: dim * 2], dtype=np.uint16).astype(np.float32)
+            vecs.append((v / 65535.0).tolist())
+        return batch.append_column(
+            "feature", pa.array(vecs, pa.list_(pa.float32()))
+        )
+
+    return embed

@@ -1,0 +1,128 @@
+"""Text analysis over a documents table: tokenization stats, quality
+scoring, language ID, fingerprints.
+
+All batch functions are vectorized (polars / pyarrow.compute); the
+whitespace tokenizer is defined as *split on a single space* so the
+DuckDB oracle (``string_split(text, ' ')``) computes the identical
+tokenization. Stats are integers/booleans only — no float hashing risk
+in the correctness gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# a deterministic stopword set drawn from the synthetic corpus vocabulary
+STOPWORDS = ("the", "a", "data", "value", "row")
+
+# stopword profiles for the n-gram language-ID heuristic (public-knowledge
+# function word lists; scores are deterministic token-membership counts)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu"),
+    "zh": ("de", "shi", "le", "zai", "he", "you", "wo", "ta"),
+}
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    import polars as pl
+
+    df = pl.from_arrow(batch)
+    toks = pl.col(text_col).str.split(" ")
+    out = df.with_columns(
+        toks.list.len().cast(pl.Int64).alias("n_tokens"),
+        toks.list.n_unique().cast(pl.Int64).alias("n_uniq_tokens"),
+    )
+    return out.to_arrow()
+
+
+def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / stopword-count quality signals + a boolean keep-gate."""
+    import polars as pl
+
+    df = pl.from_arrow(batch)
+    toks = pl.col(text_col).str.split(" ")
+    df = df.with_columns(
+        toks.list.len().cast(pl.Int64).alias("n_tokens"),
+        toks.list.eval(pl.element().is_in(list(STOPWORDS)))
+        .list.sum()
+        .cast(pl.Int64)
+        .alias("n_stopwords"),
+    )
+    df = df.with_columns(
+        (
+            (pl.col("n_tokens") >= 5)
+            & (pl.col("n_tokens") <= 100_000)
+            & (pl.col("n_stopwords") * 2 <= pl.col("n_tokens"))
+        ).alias("is_quality")
+    )
+    return df.to_arrow()
+
+
+class LangId:
+    """Actor-pool language-ID stage: profiles prepared once per actor
+    (``__init__``), scored per batch (ST1-style stateful stage)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {lang: frozenset(ws) for lang, ws in LANG_PROFILES.items()}
+        self.order = sorted(self.profiles)  # deterministic tie-break
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        preds = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            best, best_score = "en", -1
+            for lang in self.order:
+                s = sum(1 for w in toks if w in self.profiles[lang])
+                if s > best_score:
+                    best, best_score = lang, s
+            preds.append(best)
+        return batch.append_column("pred_lang", pa.array(preds, pa.string()))
+
+
+def md5_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint = md5 hex (matches DuckDB ``md5(text)``).
+    Hashing is inherently per-row; hashlib runs at C speed."""
+    fps = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column("fp", pa.array(fps, pa.string()))
+
+
+def rolling_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
+    """Rabin-Karp-style rolling hash over tokens -> int64 document
+    fingerprint (min of window hashes; winnowing-lite). Deterministic."""
+    B = 1_000_003
+    MASK = 0xFFFFFFFFFFFFFFFF
+    fps = []
+    for t in batch[text_col].to_pylist():
+        toks = (t or "").split(" ")
+        hs = [hash_token(w) for w in toks]
+        if len(hs) < window:
+            fp = 0
+            for h in hs:
+                fp = (fp * B + h) & MASK
+        else:
+            arr = np.array(hs, dtype=np.uint64)
+            roll = np.zeros(len(hs) - window + 1, dtype=np.uint64)
+            for i in range(window):  # window is a small constant
+                roll = roll * np.uint64(B) + arr[i : len(hs) - window + 1 + i]
+            fp = int(roll.min())
+        fps.append(fp >> 1)
+    return batch.append_column("rolling_fp", pa.array(fps, pa.int64()))
+
+
+def hash_token(w: str) -> int:
+    """FNV-1a 64-bit: stable across processes (no salted hash())."""
+    h = 0xCBF29CE484222325
+    for b in w.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h

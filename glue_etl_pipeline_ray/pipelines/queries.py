@@ -1,0 +1,496 @@
+"""Operator-coverage query pipelines over the driver testdata tables.
+
+One function per operator family from SURVEY.md section 2 plus the
+training-data operators (dedup / similarity / text / multimodal). Each
+takes ``sf_dir`` and returns a Dataset / pyarrow Table whose column
+NAMES and integer-exact values match the DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` (aggregates are computed on integer cents
+ / scaled ints so no float summation-order hashing risk).
+
+Ray is initialised by the caller (driver/bench/tests) — nothing here
+calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from glue_etl_pipeline_ray.functions.agg import partial_groupby_sum
+from glue_etl_pipeline_ray.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from glue_etl_pipeline_ray.functions.multimodal import FakeMediaDecoder, FrameSampler
+from glue_etl_pipeline_ray.functions.similarity import cosine_topk, ivf_topk
+from glue_etl_pipeline_ray.functions.text import (
+    LangId,
+    md5_fingerprint,
+    quality_stats,
+    rolling_fingerprint,
+    token_stats,
+)
+from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
+from glue_etl_pipeline_ray.spec import Rule, TableSpec
+from glue_etl_pipeline_ray.stages.evolve import conform
+from glue_etl_pipeline_ray.stages.validate import make_flag_fn
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _cents(col, scale: int = 100) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(col, scale)), pa.int64())
+
+
+# ======================================================== CDC core (events)
+
+EVENT_ENUM = ("click", "view", "purchase", "signup")
+
+
+def user_state_spec() -> TableSpec:
+    """CDC view of the ``events`` stream: key=user_id, seq=event_id,
+    op derived from event_type (signup->INSERT, error->DELETE,
+    else UPDATE) — the M2/M5 service+type extraction analog."""
+    return TableSpec(
+        name="user_state",
+        key_cols=("user_id",),
+        base_cols=(("event_type", "string"), ("value_cents", "int64")),
+        rules=(
+            Rule("user_id", "not_null"),
+            Rule("seq", "not_null"),
+            Rule("op", "not_null"),
+            Rule("op", "enum", allowed=("INSERT", "UPDATE", "DELETE")),
+        ),
+        num_buckets=16,
+    )
+
+
+def _events_as_cdc(sf_dir: str, out_dir: str, n_batches: int = 2) -> str:
+    """Derive a change-event stream from the events table (Ray-side) and
+    lay it out as per-batch parquet for the replayer."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def to_cdc(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        op = pc.if_else(
+            pc.equal(et, "error"),
+            pa.nulls(t.num_rows, pa.string()).fill_null("DELETE"),
+            pc.if_else(
+                pc.equal(et, "signup"),
+                pa.nulls(t.num_rows, pa.string()).fill_null("INSERT"),
+                pa.nulls(t.num_rows, pa.string()).fill_null("UPDATE"),
+            ),
+        )
+        eid = t["event_id"].to_numpy()
+        return pa.table(
+            {
+                "seq": t["event_id"],
+                "batch_id": pa.array(eid % n_batches, pa.int64()),
+                "op": op,
+                "user_id": pc.cast(t["user_id"], pa.string()),
+                "event_type": et,
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    staged = os.path.join(out_dir, "staged")
+    ds.map_batches(to_cdc, batch_format="pyarrow", batch_size=None).write_parquet(
+        staged, partition_cols=["batch_id"]
+    )
+    ev_dir = os.path.join(out_dir, "events")
+    os.makedirs(ev_dir, exist_ok=True)
+    for d in os.listdir(staged):  # hive dirs batch_id=N -> batch=NNNNN
+        if d.startswith("batch_id="):
+            b = int(d.split("=")[1])
+            os.rename(
+                os.path.join(staged, d), os.path.join(ev_dir, f"batch={b:05d}")
+            )
+    return ev_dir
+
+
+def q_cdc_lww_upsert(sf_dir: str) -> pa.Table:
+    """Flagship: full replay of the derived change stream -> live table."""
+    work = tempfile.mkdtemp(prefix="gepr_cdc_")
+    ev_dir = _events_as_cdc(sf_dir, work)
+    eng = ReplayEngine(user_state_spec(), os.path.join(work, "lake"))
+    eng.replay(ev_dir)
+    return eng.final_table()
+
+
+def q_cdc_dead_letter(sf_dir: str):
+    """Dead-letter routing as a query: rows failing the event rules, with
+    the engine's error strings (M3/M4 analog, fixing B2: nothing drops)."""
+    spec = TableSpec(
+        name="events_quality",
+        key_cols=("event_id",),
+        base_cols=(),
+        rules=(
+            Rule("event_type", "enum", allowed=EVENT_ENUM),
+            Rule("value", "range", lo=0.0, hi=90.0),
+        ),
+    )
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    flagged = ds.map_batches(
+        make_flag_fn(spec), batch_format="pyarrow", batch_size=None
+    )
+    return flagged.select_columns(["event_id", "error"])
+
+
+# ============================================= flatten / project / normalize
+
+
+def q_flatten_project_json(sf_dir: str):
+    """M12 analog: project a nested (JSON) field to a flat typed column,
+    vectorized regex extraction — no Python JSON loop."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "props"])
+
+    def flatten(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "k": k}
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow", batch_size=None)
+
+
+def q_partition_derive(sf_dir: str):
+    """M13 analog: year/month/day/hour partition columns + counts."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        return pa.table(
+            {
+                "year": pc.cast(pc.year(ts), pa.int64()),
+                "month": pc.cast(pc.month(ts), pa.int64()),
+                "day": pc.cast(pc.day(ts), pa.int64()),
+                "hour": pc.cast(pc.hour(ts), pa.int64()),
+            }
+        )
+
+    derived = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return partial_groupby_sum(
+        derived, ["year", "month", "day", "hour"], [], count_alias="n_events"
+    )
+
+
+def q_type_normalize(sf_dir: str):
+    """M6/M7 analog: float->int-cents recast + case normalization."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type_uc": pc.utf8_upper(t["event_type"]),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", batch_size=None)
+
+
+def q_schema_union_backfill(sf_dir: str):
+    """M8/M9 analog: union of two differently-shaped projections with the
+    evolve stage null-backfilling the missing column."""
+    cutoff = pa.scalar(np.datetime64("2024-02-01T00:00:00", "us"))
+    target = pa.schema(
+        [("event_id", pa.int64()), ("value_cents", pa.int64()), ("extra", pa.string())]
+    )
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value", "ts"])
+
+    def old_shape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["ts"], cutoff))
+        out = pa.table({"event_id": t["event_id"], "value_cents": _cents(t["value"])})
+        return conform(out, target)  # extra backfilled null
+
+    def new_shape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["ts"], cutoff))
+        out = pa.table(
+            {
+                "event_id": t["event_id"],
+                "value_cents": _cents(t["value"]),
+                "extra": t["event_type"],
+            }
+        )
+        return conform(out, target)
+
+    old = ds.map_batches(old_shape, batch_format="pyarrow", batch_size=None)
+    new = ds.map_batches(new_shape, batch_format="pyarrow", batch_size=None)
+    return old.union(new)
+
+
+# ============================================================ joins / anti
+
+
+def q_broadcast_lookup_join(sf_dir: str):
+    """J1 analog: two-hop dimension lookup (nation->region) broadcast
+    once via ray.put, O(1) lookups per batch, zero shuffle on the fact
+    side; only the tiny (region, count) partials shuffle."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rmap = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    n2r = {
+        nk: rmap[rk]
+        for nk, rk in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+    }
+    ref = ray.put(n2r)
+
+    def lookup(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        names = [lut[nk] for nk in t["c_nationkey"].to_pylist()]
+        return pa.table({"region_name": pa.array(names, pa.string())})
+
+    ds = _t(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lookup, batch_format="pyarrow", batch_size=None
+    )
+    return partial_groupby_sum(ds, ["region_name"], [], count_alias="n_customers")
+
+
+def q_anti_join_inactive(sf_dir: str):
+    """J2 analog (anti-join / set difference): customers with no event
+    activity. The key set is collected once (distinct shuffle) and
+    broadcast; the probe side streams. At 100 TB swap the broadcast set
+    for a bucketed anti-join or Bloom filter."""
+    keys = _t(sf_dir, "events", ["user_id"]).unique("user_id")
+    ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    def anti(t: pa.Table) -> pa.Table:
+        have = ray.get(ref)
+        ck = t["c_custkey"].to_numpy()
+        mask = ~np.isin(ck, have)
+        return pa.table({"c_custkey": pa.array(ck[mask], pa.int64())})
+
+    return _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        anti, batch_format="pyarrow", batch_size=None
+    )
+
+
+# ========================================================== aggregations
+
+
+def q_classify_counts(sf_dir: str):
+    """M5/A1/A2 analog: demux counts per event class."""
+    ds = _t(sf_dir, "events", ["event_type"])
+    return partial_groupby_sum(ds, ["event_type"], [], count_alias="n")
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with per-block combining.
+    All measures are scaled integers (cents / basis points) so the
+    engine and the SQL oracle agree bit-for-bit."""
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-01T00:00:00", "us"))
+
+    def measures(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        qty = _cents(t["l_quantity"])
+        price = _cents(t["l_extendedprice"])
+        disc = _cents(t["l_discount"])
+        tax = _cents(t["l_tax"])
+        disc_e4 = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        charge_e6 = pc.multiply(disc_e4, pc.add(pa.scalar(100, pa.int64()), tax))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty_x100": qty,
+                "sum_base_cents": price,
+                "sum_disc_e4": disc_e4,
+                "sum_charge_e6": charge_e6,
+            }
+        )
+
+    m = ds.map_batches(measures, batch_format="pyarrow", batch_size=None)
+    return partial_groupby_sum(
+        m,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty_x100", "sum_base_cents", "sum_disc_e4", "sum_charge_e6"],
+        count_alias="count_order",
+    )
+
+
+def q_topk_users(sf_dir: str):
+    """O-class analog: top-10 users by total spend, deterministic
+    tie-break by user_id."""
+    ds = _t(sf_dir, "events", ["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "total_cents": _cents(t["value"])})
+
+    totals = partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        ["total_cents"],
+    )
+    return totals.sort(["total_cents", "user_id"], descending=[True, False]).limit(10)
+
+
+# ==================================================== documents / text ops
+
+
+def q_dedup_exact(sf_dir: str):
+    return exact_dedup(_t(sf_dir, "documents"))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        md5_fingerprint, batch_format="pyarrow", batch_size=None
+    ).select_columns(["doc_id", "fp"])
+
+
+def q_token_stats(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        token_stats, batch_format="pyarrow", batch_size=None
+    ).select_columns(["doc_id", "n_tokens", "n_uniq_tokens"])
+
+
+def q_quality(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        quality_stats, batch_format="pyarrow", batch_size=None
+    ).select_columns(["doc_id", "n_tokens", "n_stopwords", "is_quality"])
+
+
+def q_lang_id(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LangId,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=2,
+    ).select_columns(["doc_id", "pred_lang"])
+
+
+def q_rolling_fingerprint(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        rolling_fingerprint, batch_format="pyarrow", batch_size=None
+    ).select_columns(["doc_id", "rolling_fp"])
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    return ngram_jaccard_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), tau_num=4, tau_den=5
+    )
+
+
+def q_dedup_minhash(sf_dir: str):
+    return minhash_lsh_pairs(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_simhash(sf_dir: str):
+    return simhash_pairs(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ============================================================= embeddings
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t["vec_id"], n)).sort_by("vec_id")
+    mat = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    return mat, t["vec_id"].to_pylist()
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    q, ids = _query_vectors(sf_dir)
+    return cosine_topk(_t(sf_dir, "embeddings", ["vec_id", "embedding"]), q, ids, k=10)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    q, ids = _query_vectors(sf_dir)
+    return ivf_topk(_t(sf_dir, "embeddings", ["vec_id", "embedding"]), q, ids, k=10)
+
+
+# ============================================================ multimodal
+
+
+def q_media_decode(sf_dir: str):
+    """Binary-column decode plumbing (stubbed codec): documents text ->
+    opaque payload bytes -> actor-pool decode -> typed metadata."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        payloads = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    binary = ds.map_batches(to_binary, batch_format="pyarrow", batch_size=None)
+    decoded = binary.map_batches(
+        FakeMediaDecoder,
+        batch_format="pyarrow",
+        batch_size=256,  # binary payloads dominate memory: small batches
+        concurrency=2,
+    )
+    return decoded.select_columns(
+        ["doc_id", "n_bytes", "width", "height", "content_digest"]
+    )
+
+
+def q_frame_sample(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        payloads = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    frames = ds.map_batches(
+        to_binary, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+    def meta(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "frame_idx": t["frame_idx"],
+                "frame_bytes_len": pc.cast(
+                    pc.binary_length(t["frame_bytes"]), pa.int64()
+                ),
+            }
+        )
+
+    return frames.map_batches(meta, batch_format="pyarrow", batch_size=None)

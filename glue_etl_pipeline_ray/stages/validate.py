@@ -54,6 +54,41 @@ def _rule_fail_mask(rule: Rule, batch: pa.Table, op: pa.ChunkedArray) -> pa.Arra
     raise ValueError(f"unknown rule kind {rule.kind}")
 
 
+def make_flag_fn(spec: TableSpec, invalid_only: bool = True):
+    """In-stream variant of :class:`ValidateFn`: append an ``error`` column
+    (rule errors joined with ';' in spec rule order, null when valid)
+    instead of writing a side-channel. With ``invalid_only`` the batch is
+    filtered down to the failing rows — the dead-letter *query* shape."""
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        op = (
+            batch[spec.op_col]
+            if spec.op_col in batch.column_names
+            else pa.nulls(n, pa.string())
+        )
+        fails = []
+        any_fail = pa.array([False] * n)
+        for rule in spec.rules:
+            m = _rule_fail_mask(rule, batch, op)
+            if m is None:
+                continue
+            m = pc.fill_null(m, False)
+            fails.append((rule.error, m.to_pylist()))
+            any_fail = pc.or_(any_fail, m)
+        flags = any_fail.to_pylist()
+        errors = [
+            ";".join(e for e, vals in fails if vals[i]) if flags[i] else None
+            for i in range(n)
+        ]
+        out = batch.append_column("error", pa.array(errors, pa.string()))
+        if invalid_only:
+            out = out.filter(any_fail)
+        return out
+
+    return flag
+
+
 class ValidateFn:
     """``map_batches`` callable: Arrow batch in -> clean Arrow batch out,
     dirty rows written to ``dlq_dir`` as a side channel.
