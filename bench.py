@@ -1,0 +1,224 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Default mode: ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (32
+when unset), run the headline CDC replay (change-events/sec, the
+BASELINE.json metric) plus every ``__ray_entry__.queries()`` pipeline over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "headline": {"n_events": ..., "events_per_sec": ..., "sec": ...}}
+
+``--scaling``: generate ONE synthetic change-event input, replay it in two
+FRESH processes (num_cpus=8 then 32 — the sandbox evidence protocol for
+the N vs 4N cluster-size rule), and report both throughputs plus
+efficiency = T(32) / (4 * T(8)).
+
+``--headline-only`` is the child mode used by ``--scaling`` (fresh
+``ray.init`` per process).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def make_events(n_events: int, out_dir: str) -> str:
+    """Deterministic change-event stream for the flagship repo_files table.
+
+    Cached by (n_events) so --scaling's two fresh processes replay the
+    SAME input. Sized so each batch is one checkpoint unit.
+    """
+    from glue_etl_pipeline_ray.gen import generate_change_events
+
+    ev_dir = os.path.join(out_dir, f"events_{n_events}")
+    done = os.path.join(ev_dir, "_GEN_DONE")
+    if os.path.exists(done):
+        return os.path.join(ev_dir, "events")
+    shutil.rmtree(ev_dir, ignore_errors=True)
+    os.makedirs(ev_dir, exist_ok=True)
+    generate_change_events(
+        ev_dir,
+        n_events=n_events,
+        n_repos=max(50, n_events // 2_000),
+        n_paths=200,
+        n_batches=4,
+        dirty_frac=0.02,
+        delete_frac=0.08,
+        evolve_from_batch=3,
+        seed=42,
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return os.path.join(ev_dir, "events")
+
+
+def run_headline(ev_dir: str, n_events: int, num_buckets: int = 64) -> dict:
+    """Replay the change stream into a fresh lake; return throughput."""
+    from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
+    from glue_etl_pipeline_ray.spec import repo_file_spec
+
+    lake = tempfile.mkdtemp(prefix="gepr_bench_lake_")
+    try:
+        eng = ReplayEngine(
+            repo_file_spec(num_buckets=num_buckets),
+            lake,
+            compute_bucket_hash=False,  # hashing is the verify path, not the job
+        )
+        t0 = time.perf_counter()
+        eng.replay(ev_dir)
+        dt = time.perf_counter() - t0
+        n_live = eng.final_dataset().count()
+        return {
+            "n_events": n_events,
+            "sec": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+            "n_live_rows": n_live,
+        }
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import pyarrow as pa
+
+    import ray.data
+
+    import __ray_entry__ as entry
+
+    out: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # force execution
+        elif isinstance(res, pa.Table):
+            pass  # already materialized
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--headline-only", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--n-events", type=int, default=None)
+    p.add_argument("--events-dir", default=None)
+    p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p.add_argument("--cache-dir", default="/tmp/gepr_bench_cache")
+    args = p.parse_args()
+
+    sf = _sf_of(args.sf_dir)
+    n_events = args.n_events or max(100_000, int(10_000_000 * sf))
+    num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        os.makedirs(args.cache_dir, exist_ok=True)
+        # generate the shared input once (cheap, deterministic, CPU-neutral)
+        make_events(n_events, args.cache_dir)
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--headline-only",
+                    f"--num-cpus={cpus}",
+                    f"--n-events={n_events}",
+                    f"--cache-dir={args.cache_dir}",
+                    f"--sf-dir={args.sf_dir}",
+                ],
+                capture_output=True,
+                text=True,
+                check=False,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            if proc.returncode != 0 or not line:
+                print(proc.stderr[-2000:], file=sys.stderr)
+                return 1
+            results[cpus] = json.loads(line)
+        t8 = results[8]["headline"]["events_per_sec"]
+        t32 = results[32]["headline"]["events_per_sec"]
+        eff = t32 / (4 * t8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32_cpus",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "n_events": n_events,
+                    "throughput_8cpu_events_per_sec": t8,
+                    "throughput_32cpu_events_per_sec": t32,
+                    "sf": sf,
+                }
+            )
+        )
+        return 0
+
+    _init_ray(num_cpus)
+    import ray
+
+    try:
+        os.makedirs(args.cache_dir, exist_ok=True)
+        ev_dir = args.events_dir or make_events(n_events, args.cache_dir)
+        t_start = time.perf_counter()
+        headline = run_headline(ev_dir, n_events)
+        queries = {} if args.headline_only else run_queries(args.sf_dir)
+        total = time.perf_counter() - t_start
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_replay_end_to_end_plus_query_suite",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "num_cpus": num_cpus,
+                    "headline": headline,
+                }
+            )
+        )
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,6 +71,7 @@ def generate_change_events(
     zipf_a: float = 1.3,
     content_pool_size: int = 2_000,
     seed: int = 42,
+    row_group_size: int = 16_384,
 ) -> dict:
     """Write per-batch Parquet change-event files; return metadata."""
     rng = np.random.default_rng(seed)
@@ -141,7 +142,8 @@ def generate_change_events(
             sb = np.array([len(c) if c is not None else 0 for c in content[m]], np.int64)
             cols["size_bytes"] = pa.array(sb)
         f = os.path.join(ev_dir, f"batch={b:05d}.parquet")
-        pq.write_table(pa.table(cols), f)
+        # small row groups = the fan-out unit for the raw-Ray exchange
+        pq.write_table(pa.table(cols), f, row_group_size=row_group_size)
         files.append(f)
 
     return {

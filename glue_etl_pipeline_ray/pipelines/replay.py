@@ -79,11 +79,19 @@ class ReplayEngine:
         lake_dir: str,
         compute_bucket_hash: bool = True,
         validate_batch_size: int | None = None,
+        exchange: str = "raycore",
     ):
+        """``exchange``: "raycore" (default) = map-side-partition shuffle on
+        Ray core (stages/exchange.py — ~10x less overhead per micro-batch);
+        "groupby" = pure Dataset ``groupby(bucket).map_groups`` path. Both
+        produce byte-identical lake state (tested)."""
+        if exchange not in ("raycore", "groupby"):
+            raise ValueError(f"unknown exchange mode: {exchange}")
         self.spec = spec
         self.lake_dir = lake_dir
         self.compute_bucket_hash = compute_bucket_hash
         self.validate_batch_size = validate_batch_size
+        self.exchange = exchange
         os.makedirs(lake_dir, exist_ok=True)
         self.ckpt = CheckpointManager(lake_dir)
 
@@ -127,6 +135,24 @@ class ReplayEngine:
         )
         n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
+        if self.exchange == "raycore":
+            from glue_etl_pipeline_ray.stages.exchange import exchange_apply_batch
+
+            records = exchange_apply_batch(
+                spec,
+                evolved,
+                files,
+                self.lake_dir,
+                staging_dir,
+                dlq_dir,
+                batch_id,
+                compute_hash=self.compute_bucket_hash,
+            )
+            return self._finish_batch(
+                batch_id, evolved, n_events, dlq_dir, staging_dir, records,
+                _fail_before_commit,
+            )
+
         ds = ray.data.read_parquet(files)
         ds = ds.map_batches(
             ValidateFn(spec, dlq_dir),
@@ -157,7 +183,21 @@ class ReplayEngine:
             merge_fn, batch_format="pyarrow"
         )
         records = lineage_ds.take_all()  # <= num_buckets tiny rows
+        return self._finish_batch(
+            batch_id, evolved, n_events, dlq_dir, staging_dir, records,
+            _fail_before_commit,
+        )
 
+    def _finish_batch(
+        self,
+        batch_id: int,
+        evolved: tuple[tuple[str, str], ...],
+        n_events: int,
+        dlq_dir: str,
+        staging_dir: str,
+        records: list[dict],
+        _fail_before_commit: bool = False,
+    ) -> dict:
         # promote staging -> lake (atomic per file; idempotent overall)
         if os.path.isdir(staging_dir):
             for name in sorted(os.listdir(staging_dir)):

@@ -68,6 +68,82 @@ def part_name(bucket: int) -> str:
     return f"part-{bucket:05d}.parquet"
 
 
+def merge_bucket_table(
+    spec: TableSpec,
+    evolved: tuple[tuple[str, str], ...],
+    lake_dir: str,
+    staging_dir: str,
+    batch_id: int,
+    bucket: int,
+    group: pa.Table,
+    compute_hash: bool = True,
+) -> dict:
+    """Pure per-sink-bucket LWW merge + idempotent staged write.
+
+    ``group``: all (partially reduced) events of this batch whose key
+    hashes to ``bucket``. Returns the lineage record as a plain dict.
+    Shared by both exchange paths (Dataset groupby and raw-Ray shuffle).
+    """
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    st_schema = state_schema(spec, evolved)
+    canonical_cols = spec.canonical_cols(evolved)
+    key_cols = list(spec.key_cols)
+
+    group = group.combine_chunks()
+    deleted = pc.equal(group[spec.op_col], "DELETE")
+    n_deletes = pc.sum(deleted).as_py() or 0
+    # events -> state rows; tombstone payloads nulled for determinism
+    cols = {}
+    for name in canonical_cols:
+        c = group[name]
+        if name not in key_cols:
+            # null ARRAY, not scalar: pyarrow 16 if_else(mask, null_scalar,
+            # sliced_array) emits arrays with out-of-bounds offsets
+            c = pc.if_else(deleted, pa.nulls(group.num_rows, c.type), c)
+        cols[name] = c
+    cols[SEQ_COL] = group[spec.seq_col]
+    cols[DELETED_COL] = deleted
+    incoming = pa.table(cols).cast(st_schema)
+
+    prior_path = os.path.join(lake_dir, part_name(bucket))
+    if os.path.exists(prior_path):
+        prior = conform(pq.read_table(prior_path), st_schema)
+        combined = pa.concat_tables([prior, incoming])
+    else:
+        combined = incoming
+
+    df = (
+        pl.from_arrow(combined)
+        .sort(SEQ_COL)
+        .unique(subset=key_cols, keep="last", maintain_order=True)
+        .sort(key_cols)
+    )
+    new_state = df.to_arrow().cast(st_schema)
+
+    os.makedirs(staging_dir, exist_ok=True)
+    out = os.path.join(staging_dir, part_name(bucket))
+    tmp = f"{out}.tmp.{os.getpid()}"
+    pq.write_table(new_state, tmp)
+    os.replace(tmp, out)
+
+    live = new_state.filter(pc.invert(new_state[DELETED_COL])).select(
+        canonical_cols
+    )
+    digest = table_sha256(live, key_cols) if compute_hash else ""
+    return {
+        "bucket": bucket,
+        "batch_id": batch_id,
+        "n_events": group.num_rows,
+        "n_upserts": group.num_rows - n_deletes,
+        "n_deletes": n_deletes,
+        "n_live": live.num_rows,
+        "n_tombstones": new_state.num_rows - live.num_rows,
+        "sha256": digest,
+    }
+
+
 def make_merge_fn(
     spec: TableSpec,
     evolved: tuple[tuple[str, str], ...],
@@ -76,68 +152,18 @@ def make_merge_fn(
     batch_id: int,
     compute_hash: bool = True,
 ):
-    st_schema = state_schema(spec, evolved)
-    canonical_cols = spec.canonical_cols(evolved)
-    key_cols = list(spec.key_cols)
-
     def merge(group: pa.Table) -> pa.Table:
-        import polars as pl
-        import pyarrow.parquet as pq
-
-        group = group.combine_chunks()
         bucket = group[BUCKET_COL][0].as_py()
-        deleted = pc.equal(group[spec.op_col], "DELETE")
-        n_deletes = pc.sum(deleted).as_py() or 0
-        # events -> state rows; tombstone payloads nulled for determinism
-        cols = {}
-        for name in canonical_cols:
-            c = group[name]
-            if name not in key_cols:
-                # null ARRAY, not scalar: pyarrow 16 if_else(mask, null_scalar,
-                # sliced_array) emits arrays with out-of-bounds offsets
-                c = pc.if_else(deleted, pa.nulls(group.num_rows, c.type), c)
-            cols[name] = c
-        cols[SEQ_COL] = group[spec.seq_col]
-        cols[DELETED_COL] = deleted
-        incoming = pa.table(cols).cast(st_schema)
-
-        prior_path = os.path.join(lake_dir, part_name(bucket))
-        if os.path.exists(prior_path):
-            prior = conform(pq.read_table(prior_path), st_schema)
-            combined = pa.concat_tables([prior, incoming])
-        else:
-            combined = incoming
-
-        df = (
-            pl.from_arrow(combined)
-            .sort(SEQ_COL)
-            .unique(subset=key_cols, keep="last", maintain_order=True)
-            .sort(key_cols)
+        rec = merge_bucket_table(
+            spec,
+            evolved,
+            lake_dir,
+            staging_dir,
+            batch_id,
+            bucket,
+            group,
+            compute_hash=compute_hash,
         )
-        new_state = df.to_arrow().cast(st_schema)
-
-        os.makedirs(staging_dir, exist_ok=True)
-        out = os.path.join(staging_dir, part_name(bucket))
-        tmp = f"{out}.tmp.{os.getpid()}"
-        pq.write_table(new_state, tmp)
-        os.replace(tmp, out)
-
-        live = new_state.filter(pc.invert(new_state[DELETED_COL])).select(
-            canonical_cols
-        )
-        digest = table_sha256(live, key_cols) if compute_hash else ""
-        return pa.table(
-            {
-                "bucket": [bucket],
-                "batch_id": [batch_id],
-                "n_events": [group.num_rows],
-                "n_upserts": [group.num_rows - n_deletes],
-                "n_deletes": [n_deletes],
-                "n_live": [live.num_rows],
-                "n_tombstones": [new_state.num_rows - live.num_rows],
-                "sha256": [digest],
-            },
-            schema=LINEAGE_SCHEMA,
-        )
+        return pa.table({k: [rec[k]] for k in LINEAGE_SCHEMA.names}, schema=LINEAGE_SCHEMA)
 
     return merge

@@ -61,3 +61,21 @@ def test_lineage_written_and_consistent(tmp_path):
         assert all(len(b["sha256"]) == 64 for b in bs)
     # final live rows equals last batch's lineage n_live
     assert summaries[-1]["n_live"] == eng.final_table().num_rows
+
+
+def test_exchange_paths_identical(tmp_path):
+    """raycore (raw-Ray map-side-partition shuffle) and groupby (Dataset
+    sort-shuffle) exchanges must produce byte-identical lake state."""
+    meta = generate_change_events(
+        str(tmp_path), n_events=3000, n_repos=12, n_paths=40, n_batches=3,
+        seed=7, evolve_from_batch=2, dirty_frac=0.05, delete_frac=0.15,
+    )
+    spec = repo_file_spec(num_buckets=16)
+    shas = {}
+    for mode in ("raycore", "groupby"):
+        eng = ReplayEngine(spec, str(tmp_path / f"lake_{mode}"), exchange=mode)
+        eng.replay(meta["events_dir"])
+        shas[mode] = eng.final_sha256()
+    assert shas["raycore"] == shas["groupby"]
+    oracle = replay_oracle(spec, meta["events_dir"])
+    assert shas["raycore"] == oracle["sha256"]
