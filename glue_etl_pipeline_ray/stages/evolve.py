@@ -57,6 +57,8 @@ def discover_evolved(
 
 def conform(batch: pa.Table, target: pa.Schema) -> pa.Table:
     """Project/cast/backfill a batch to exactly ``target``."""
+    if batch.schema.equals(target):
+        return batch  # zero-copy fast path: already canonical
     n = batch.num_rows
     cols = []
     for f in target:

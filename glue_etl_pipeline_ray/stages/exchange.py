@@ -42,7 +42,8 @@ import ray
 from glue_etl_pipeline_ray.spec import TableSpec
 from glue_etl_pipeline_ray.stages.evolve import make_evolve_fn
 from glue_etl_pipeline_ray.stages.merge import merge_bucket_table
-from glue_etl_pipeline_ray.stages.partial import BUCKET_COL, make_partial_lww
+from glue_etl_pipeline_ray.hashing import key_hash_u64
+from glue_etl_pipeline_ray.stages.partial import BUCKET_COL
 from glue_etl_pipeline_ray.stages.validate import ValidateFn
 
 
@@ -79,6 +80,20 @@ def plan_chunks(
     return out
 
 
+def _pin_intraop_threads() -> None:
+    """One task = one core. Ray hands each task num_cpus=1, but pyarrow's
+    global compute/IO pools default to ALL machine cores — 32 workers x
+    32-thread pools thrash the node and (worse) make a num_cpus=8 run
+    silently use the whole machine, corrupting any scaling measurement.
+    Idempotent, cheap, called at task entry."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+
+
 @ray.remote
 def _map_chunk(
     spec: TableSpec,
@@ -88,6 +103,7 @@ def _map_chunk(
     num_exchange: int,
 ):
     """read -> validate -> evolve -> partial LWW -> G bucket-range slices."""
+    _pin_intraop_threads()
     parts = [pq.ParquetFile(f).read_row_groups(rgs) for f, rgs in chunk]
     t = (
         parts[0]
@@ -96,12 +112,23 @@ def _map_chunk(
     )
     t = ValidateFn(spec, dlq_dir)(t)
     t = make_evolve_fn(spec, evolved)(t)
-    t = make_partial_lww(spec, spec.num_buckets)(t)
 
-    b = t[BUCKET_COL].to_numpy(zero_copy_only=False)
-    order = np.argsort(b, kind="stable")
-    t = t.take(order)
-    ex = b[order] * num_exchange // spec.num_buckets
+    # fused partial LWW + bucket sort: ONE payload copy (the take).
+    # Sort indices by (bucket, key-hash, seq); the last row per key-hash
+    # is its max-seq survivor (the combiner, SURVEY.md 7.3) and survivors
+    # come out already bucket-ordered for zero-copy range slicing.
+    kh = key_hash_u64(*(t[k] for k in spec.key_cols))
+    seq = t[spec.seq_col].to_numpy(zero_copy_only=False)
+    bucket = (kh % np.uint64(spec.num_buckets)).astype(np.int64)
+    order = np.lexsort((seq, kh, bucket))
+    khs = kh[order]
+    last = np.r_[khs[1:] != khs[:-1], True]
+    chosen = order[last]
+    t = t.take(chosen)
+    bucket_chosen = bucket[chosen]
+    t = t.append_column(BUCKET_COL, pa.array(bucket_chosen, pa.int64()))
+
+    ex = bucket_chosen * num_exchange // spec.num_buckets
     bounds = np.searchsorted(ex, np.arange(num_exchange + 1))
     slices = [
         t.slice(int(bounds[g]), int(bounds[g + 1] - bounds[g]))
@@ -115,15 +142,24 @@ def _merge_group(
     spec: TableSpec,
     evolved: tuple[tuple[str, str], ...],
     lake_dir: str,
-    staging_dir: str,
     batch_id: int,
     compute_hash: bool,
+    prev: dict,
     *slices: pa.Table,
-) -> list[dict]:
-    """LWW-merge every sink bucket in this exchange group's range."""
+) -> dict:
+    """LWW-merge every sink bucket in this exchange group's range.
+
+    ``prev`` is the previous batch's output for the SAME group (passed as
+    an ObjectRef by the pipelined driver, so merges chain per group while
+    different groups — and different batches' map waves — run freely in
+    parallel). Its ``versions`` map tells each bucket which state file to
+    read; this batch's writes bump those versions. Returns
+    ``{"versions": ..., "records": [...]}``."""
+    _pin_intraop_threads()
+    versions = dict(prev["versions"])
     live = [s for s in slices if s.num_rows]
     if not live:
-        return []
+        return {"versions": versions, "records": []}
     t = live[0] if len(live) == 1 else pa.concat_tables(live)
     b = t[BUCKET_COL].to_numpy(zero_copy_only=False)
     order = np.argsort(b, kind="stable")
@@ -133,43 +169,95 @@ def _merge_group(
     starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
     ends = np.r_[starts[1:], len(bs)]
     for s, e in zip(starts, ends):
+        bucket = int(bs[s])
         records.append(
             merge_bucket_table(
                 spec,
                 evolved,
                 lake_dir,
-                staging_dir,
+                versions.get(bucket),
                 batch_id,
-                int(bs[s]),
+                bucket,
                 t.slice(int(s), int(e - s)),
                 compute_hash=compute_hash,
             )
         )
-    return records
+        versions[bucket] = batch_id
+    return {"versions": versions, "records": records}
 
 
-def exchange_apply_batch(
+@ray.remote
+def _warm() -> int:
+    """Pre-import the hot-path deps in a worker process (polars' rayon
+    pool, the package modules). Called once per core by ``warm_cluster``
+    so the first real batch doesn't pay a 32-way import storm."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    _pin_intraop_threads()
+    import polars  # noqa: F401
+
+    from glue_etl_pipeline_ray.stages import (  # noqa: F401
+        evolve,
+        merge,
+        partial,
+        validate,
+    )
+
+    return 1
+
+
+def warm_cluster(n: int | None = None) -> None:
+    if n is None:
+        n = int(ray.cluster_resources().get("CPU", 8))
+    ray.get([_warm.options(num_cpus=1).remote() for _ in range(int(n))])
+
+
+DEFAULT_SPLIT_ROWS = 32_768
+
+
+def default_num_exchange(spec: TableSpec) -> int:
+    """Reduce-group count: ~half the cores (measured sweet spot — fewer,
+    larger shuffle objects; the merge wave is short), capped by buckets."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(spec.num_buckets, max(4, cpus // 2)))
+
+
+def group_of(bucket: int, num_exchange: int, num_buckets: int) -> int:
+    return bucket * num_exchange // num_buckets
+
+
+def submit_batch(
     spec: TableSpec,
     evolved: tuple[tuple[str, str], ...],
     files: list[str],
     lake_dir: str,
-    staging_dir: str,
     dlq_dir: str,
     batch_id: int,
+    prev_by_group: list,
     compute_hash: bool = True,
     num_exchange: int | None = None,
-) -> list[dict]:
-    """Run one micro-batch through the raw-Ray exchange. Returns lineage
-    records (one per touched sink bucket). Idempotent: staged files are
-    deterministic per bucket; the caller promotes + commits."""
-    if num_exchange is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_exchange = max(2, min(spec.num_buckets, cpus * 2))
-    num_exchange = max(1, min(num_exchange, spec.num_buckets))
+    split_rows: int = DEFAULT_SPLIT_ROWS,
+) -> list:
+    """Submit one micro-batch's map + merge waves WITHOUT blocking.
 
-    chunks = plan_chunks(files, target_chunks=num_exchange)
-    if not chunks:
-        return []
+    ``prev_by_group[g]``: the previous batch's ``_merge_group`` output for
+    group g — an ObjectRef (pipelined chaining) or a plain dict (first
+    pending batch, seeded from the committed manifest). Returns the new
+    per-group ObjectRefs; the caller drains them in commit order.
+
+    Split size is FIXED (``split_rows``), not derived from cluster size:
+    per-task efficiency stays uniform from 8 cores to a 256-node cluster,
+    and parallelism comes from data volume + batch pipelining (the same
+    fixed-split discipline as HDFS/Spark input splits)."""
+    if num_exchange is None:
+        num_exchange = default_num_exchange(spec)
+    num_exchange = max(1, min(num_exchange, spec.num_buckets))
+    assert len(prev_by_group) == num_exchange
+
+    total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    n_chunks = max(1, -(-total_rows // split_rows))
+    chunks = plan_chunks(files, target_chunks=n_chunks)
     map_refs = [
         _map_chunk.options(num_returns=num_exchange).remote(
             spec, evolved, ch, dlq_dir, num_exchange
@@ -178,16 +266,15 @@ def exchange_apply_batch(
     ]
     if num_exchange == 1:
         map_refs = [[r] for r in map_refs]
-    merge_refs = [
+    return [
         _merge_group.remote(
             spec,
             evolved,
             lake_dir,
-            staging_dir,
             batch_id,
             compute_hash,
+            prev_by_group[g],
             *(map_refs[m][g] for m in range(len(map_refs))),
         )
         for g in range(num_exchange)
     ]
-    return [rec for sub in ray.get(merge_refs) for rec in sub]

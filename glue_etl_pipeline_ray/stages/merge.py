@@ -10,17 +10,18 @@ sorted work-list ``update_workflow_properties.py:146-150``).
 Exactly-once mechanics (fixes the reference's at-least-once hazard,
 SURVEY.md 2.9):
 
-- **Deterministic file names**: bucket ``b`` always writes
-  ``part-{b:05d}.parquet``; a retried task overwrites, never duplicates.
+- **Deterministic versioned file names**: bucket ``b`` merged by batch
+  ``v`` always writes ``part-{b:05d}-v{v:05d}.parquet`` (tmp + atomic
+  rename); a retried/crashed batch rewrites the same files with the same
+  content, never duplicates. The committed bucket -> version map lives in
+  the checkpoint manifest; files newer than the watermark are orphans
+  that the re-run overwrites (snapshot-versioning, Delta/Iceberg style).
+  Versioning (instead of in-place overwrite) is what lets batch N+1's
+  merges run while batch N is still committing — the pipelined replay.
 - **Tombstones**: DELETE keeps the key in the state file with
   ``__deleted=true`` and its ``seq``, so re-applying any prefix of the
   event stream is a no-op (an old UPDATE can never resurrect a deleted
   key). The live table view filters tombstones out.
-- **Staging + atomic promote**: new bucket files land in
-  ``_staging/batch=NNNNN/`` (written tmp + rename); the driver promotes
-  them into the lake with ``os.replace`` and only then commits the
-  checkpoint watermark. A crash anywhere in between re-runs the batch,
-  which is idempotent by the two properties above.
 
 State-file schema: canonical payload + ``__seq:int64`` + ``__deleted:bool``.
 Per-bucket lineage (events in, upserts, deletes, live rows, live-state
@@ -46,6 +47,7 @@ DELETED_COL = "__deleted"
 LINEAGE_SCHEMA = pa.schema(
     [
         ("bucket", pa.int64()),
+        ("version", pa.int64()),
         ("batch_id", pa.int64()),
         ("n_events", pa.int64()),
         ("n_upserts", pa.int64()),
@@ -64,28 +66,37 @@ def state_schema(spec: TableSpec, evolved: tuple[tuple[str, str], ...]) -> pa.Sc
     )
 
 
-def part_name(bucket: int) -> str:
-    return f"part-{bucket:05d}.parquet"
+def part_name(bucket: int, version: int) -> str:
+    """Versioned state-file name: bucket b after batch v. Deterministic,
+    so a re-run of an uncommitted batch overwrites its own orphans —
+    the write-side half of exactly-once (snapshot-version layout like a
+    Delta/Iceberg manifest, here with the version map in the checkpoint
+    manifest instead of a log)."""
+    return f"part-{bucket:05d}-v{version:05d}.parquet"
 
 
 def merge_bucket_table(
     spec: TableSpec,
     evolved: tuple[tuple[str, str], ...],
     lake_dir: str,
-    staging_dir: str,
+    prior_version: int | None,
     batch_id: int,
     bucket: int,
     group: pa.Table,
     compute_hash: bool = True,
 ) -> dict:
-    """Pure per-sink-bucket LWW merge + idempotent staged write.
+    """Pure per-sink-bucket LWW merge + idempotent versioned write.
 
     ``group``: all (partially reduced) events of this batch whose key
-    hashes to ``bucket``. Returns the lineage record as a plain dict.
+    hashes to ``bucket``. Reads state ``part-{bucket}-v{prior_version}``
+    (None = bucket never written), writes ``part-{bucket}-v{batch_id}``.
+    Returns the lineage record (incl. the new version) as a plain dict.
     Shared by both exchange paths (Dataset groupby and raw-Ray shuffle).
     """
-    import polars as pl
+    import numpy as np
     import pyarrow.parquet as pq
+
+    from glue_etl_pipeline_ray.hashing import key_hash_u64
 
     st_schema = state_schema(spec, evolved)
     canonical_cols = spec.canonical_cols(evolved)
@@ -107,23 +118,24 @@ def merge_bucket_table(
     cols[DELETED_COL] = deleted
     incoming = pa.table(cols).cast(st_schema)
 
-    prior_path = os.path.join(lake_dir, part_name(bucket))
-    if os.path.exists(prior_path):
+    if prior_version is not None:
+        prior_path = os.path.join(lake_dir, part_name(bucket, prior_version))
         prior = conform(pq.read_table(prior_path), st_schema)
         combined = pa.concat_tables([prior, incoming])
     else:
         combined = incoming
 
-    df = (
-        pl.from_arrow(combined)
-        .sort(SEQ_COL)
-        .unique(subset=key_cols, keep="last", maintain_order=True)
-        .sort(key_cols)
-    )
-    new_state = df.to_arrow().cast(st_schema)
+    # LWW by max seq per key, one payload copy (the take); state-file row
+    # order = key-hash ascending (deterministic; the oracle comparison
+    # key-sorts the assembled live table anyway)
+    kh = key_hash_u64(*(combined[k] for k in key_cols))
+    seqs = combined[SEQ_COL].to_numpy(zero_copy_only=False)
+    order = np.lexsort((seqs, kh))
+    khs = kh[order]
+    last = np.r_[khs[1:] != khs[:-1], True]
+    new_state = combined.take(order[last]).cast(st_schema)
 
-    os.makedirs(staging_dir, exist_ok=True)
-    out = os.path.join(staging_dir, part_name(bucket))
+    out = os.path.join(lake_dir, part_name(bucket, batch_id))
     tmp = f"{out}.tmp.{os.getpid()}"
     pq.write_table(new_state, tmp)
     os.replace(tmp, out)
@@ -134,6 +146,7 @@ def merge_bucket_table(
     digest = table_sha256(live, key_cols) if compute_hash else ""
     return {
         "bucket": bucket,
+        "version": batch_id,
         "batch_id": batch_id,
         "n_events": group.num_rows,
         "n_upserts": group.num_rows - n_deletes,
@@ -148,17 +161,20 @@ def make_merge_fn(
     spec: TableSpec,
     evolved: tuple[tuple[str, str], ...],
     lake_dir: str,
-    staging_dir: str,
+    prior_versions: dict[int, int],
     batch_id: int,
     compute_hash: bool = True,
 ):
+    """groupby-path ``map_groups`` callable. ``prior_versions``: committed
+    bucket -> state-file version map as of the previous batch."""
+
     def merge(group: pa.Table) -> pa.Table:
         bucket = group[BUCKET_COL][0].as_py()
         rec = merge_bucket_table(
             spec,
             evolved,
             lake_dir,
-            staging_dir,
+            prior_versions.get(bucket),
             batch_id,
             bucket,
             group,

@@ -32,6 +32,12 @@ def make_partial_lww(spec: TableSpec, num_buckets: int):
     def partial_lww(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column(BUCKET_COL, pa.array([], pa.int64()))
+        import os
+
+        # one task = one core: a 32-thread rayon pool per worker process
+        # thrashes the node when 32 workers run (must be set before the
+        # first polars import in this process)
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
 
         df = pl.from_arrow(batch)

@@ -119,8 +119,10 @@ class ValidateFn:
             m = pc.fill_null(m, False)
             fails.append((rule.error, m))
             any_fail = pc.or_(any_fail, m)
+        n_dirty = pc.sum(any_fail).as_py() or 0
+        if n_dirty == 0:
+            return batch  # zero-copy fast path: nothing to quarantine
         clean = batch.filter(pc.invert(any_fail))
-        n_dirty = n - clean.num_rows
         if n_dirty and self.dlq_dir:
             dirty = batch.filter(any_fail)
             # error detail strings only for the dirty minority

@@ -30,7 +30,13 @@ class CheckpointManager:
         if os.path.exists(self.path):
             with open(self.path) as f:
                 return json.load(f)
-        return {"watermark": -1, "committed": [], "evolved": [], "batches": {}}
+        return {
+            "watermark": -1,
+            "committed": [],
+            "evolved": [],
+            "batches": {},
+            "bucket_versions": {},
+        }
 
     @property
     def watermark(self) -> int:
@@ -44,6 +50,13 @@ class CheckpointManager:
     def evolved(self) -> tuple[tuple[str, str], ...]:
         return tuple((n, t) for n, t in self._m["evolved"])
 
+    @property
+    def bucket_versions(self) -> dict[int, int]:
+        """Committed state-file version per sink bucket (the snapshot
+        pointer set; files ``part-{b}-v{version}`` newer than these are
+        uncommitted orphans)."""
+        return {int(b): int(v) for b, v in self._m.get("bucket_versions", {}).items()}
+
     def is_committed(self, batch_id: int) -> bool:
         return batch_id in self.committed
 
@@ -52,6 +65,7 @@ class CheckpointManager:
         batch_id: int,
         evolved: tuple[tuple[str, str], ...],
         summary: dict,
+        new_versions: dict[int, int] | None = None,
     ) -> None:
         m = self._m
         if batch_id not in m["committed"]:
@@ -59,6 +73,10 @@ class CheckpointManager:
         m["watermark"] = max(m["watermark"], batch_id)
         m["evolved"] = [list(e) for e in evolved]
         m["batches"][str(batch_id)] = summary
+        if new_versions:
+            bv = m.setdefault("bucket_versions", {})
+            for b, v in new_versions.items():
+                bv[str(b)] = int(v)
         self._write(m)
 
     def _write(self, m: dict) -> None:
