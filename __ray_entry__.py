@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings: similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "ann_ivf_topk": Q.q_ann_ivf_topk,
+        "dedup_embed_cosine": Q.q_dedup_embed_cosine,
+        "dedup_embed_lsh": Q.q_dedup_embed_lsh,
         # multimodal plumbing (stub codecs)
         "media_decode": Q.q_media_decode,
         "frame_sample": Q.q_frame_sample,
@@ -238,7 +240,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             ) WHERE rn <= 10
         """,
-        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
+        "dedup_embed_cosine": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
+        # rows-only (non-SQL-expressible): dedup_embed_lsh, dedup_minhash, dedup_simhash,
         # rolling_fingerprint, lang_id, ann_ivf_topk, media_decode,
         # frame_sample
     }

@@ -176,3 +176,113 @@ def ivf_topk(
 
     partial = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def embed_cosine_pairs(
+    ds: Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "brute",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> Dataset:
+    """Embedding-cosine near-duplicate pairs: all ``(id_a < id_b)`` with
+    cosine similarity >= ``threshold``.
+
+    - ``method="brute"``: the normalized corpus (ids + matrix) is
+      broadcast once via ``ray.put``; each block does one matmul against
+      it and emits only its above-threshold pairs (``a < b`` dedups the
+      symmetric hits). O(N^2 / blocks) scanned — the exact baseline.
+    - ``method="lsh"``: seeded random-hyperplane signature buckets rows
+      (near-identical vectors collide); pairwise cosine only within a
+      bucket, then exact pair-dedup. Sub-quadratic — the 100 TB path
+      (recall < 1 by construction; rows-only oracle).
+    """
+    if method == "brute":
+        tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+        import pyarrow as _pa
+
+        parts = [ray.get(r) for r in tbl]
+        corpus = _pa.concat_tables(parts)
+        ids_all = corpus[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_batch_matrix(corpus, vec_col))
+        ref = ray.put((ids_all, mat))
+
+        def block_pairs(batch: pa.Table) -> pa.Table:
+            ids_c, m_c = ray.get(ref)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = m @ m_c.T
+            bi, cj = np.nonzero(sims >= threshold)
+            a = ids[bi]
+            b = ids_c[cj]
+            keep = a < b
+            return pa.table(
+                {
+                    "vec_id_a": pa.array(a[keep], pa.int64()),
+                    "vec_id_b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+        return ds.map_batches(block_pairs, batch_format="pyarrow", batch_size=None)
+
+    # banded hyperplane LSH: L tables of r planes each; a pair collides if
+    # it matches in ANY table (recall ~ 1-(1-p^r)^L, p = 1 - theta/pi).
+    # rows explode x L, groupby (table, bucket), exact cosine in-bucket,
+    # then exact pair dedup — same band structure as minhash_lsh_pairs.
+    n_tables, r = 12, max(2, n_planes // 3)
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        p_rng = np.random.default_rng(seed)
+        planes = p_rng.standard_normal((m.shape[1], n_tables * r))
+        bits = (m @ planes) >= 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_bucket = [], []
+        pow2 = 1 << np.arange(r, dtype=np.int64)
+        for t in range(n_tables):
+            h = bits[:, t * r : (t + 1) * r] @ pow2
+            out_id.append(ids)
+            out_bucket.append((np.int64(t) << np.int64(48)) | h)
+        emb = batch[vec_col].combine_chunks()
+        n = len(ids)
+        idx = np.tile(np.arange(n), n_tables)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "__lsh": pa.array(np.concatenate(out_bucket), pa.int64()),
+                vec_col: emb.take(pa.array(idx)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) < 2:
+            return pa.table(
+                {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+            )
+        m = _normalize(_batch_matrix(group, vec_col))
+        sims = m @ m.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b = ids[ii], ids[jj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a[keep], pa.int64()),
+                "vec_id_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    pairs = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(add_buckets, batch_format="pyarrow", batch_size=None)
+        .groupby("__lsh")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+        dedup_pairs, batch_format="pyarrow"
+    )

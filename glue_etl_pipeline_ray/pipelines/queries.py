@@ -33,7 +33,11 @@ from glue_etl_pipeline_ray.functions.dedup import (
     simhash_pairs,
 )
 from glue_etl_pipeline_ray.functions.multimodal import FakeMediaDecoder, FrameSampler
-from glue_etl_pipeline_ray.functions.similarity import cosine_topk, ivf_topk
+from glue_etl_pipeline_ray.functions.similarity import (
+    cosine_topk,
+    embed_cosine_pairs,
+    ivf_topk,
+)
 from glue_etl_pipeline_ray.functions.text import (
     LangId,
     md5_fingerprint,
@@ -494,3 +498,17 @@ def q_frame_sample(sf_dir: str):
         )
 
     return frames.map_batches(meta, batch_format="pyarrow", batch_size=None)
+
+
+def q_dedup_embed_cosine(sf_dir: str):
+    """Embedding-cosine near-dup pairs, exact brute-force baseline
+    (block x broadcast-corpus matmul)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embed_cosine_pairs(ds, threshold=0.5, method="brute")
+
+
+def q_dedup_embed_lsh(sf_dir: str):
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH —
+    the sub-quadratic 100 TB path (recall < 1 by construction)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embed_cosine_pairs(ds, threshold=0.5, method="lsh")

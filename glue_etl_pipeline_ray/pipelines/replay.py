@@ -95,6 +95,7 @@ class ReplayEngine:
         exchange: str = "raycore",
         num_exchange: int | None = None,
         window: int = 4,
+        gc_old_versions: bool = True,
     ):
         """``exchange``: "raycore" (default) = pipelined map-side-partition
         shuffle on Ray core (stages/exchange.py); "groupby" = pure Dataset
@@ -110,6 +111,7 @@ class ReplayEngine:
         self.exchange = exchange
         self.num_exchange = num_exchange
         self.window = max(1, window)
+        self.gc_old_versions = gc_old_versions
         os.makedirs(lake_dir, exist_ok=True)
         self.ckpt = CheckpointManager(lake_dir)
 
@@ -293,7 +295,10 @@ class ReplayEngine:
         write_lineage(self.lake_dir, batch_id, records, summary)
         self.ckpt.commit_batch(batch_id, evolved, summary, new_versions)
         # GC superseded state files (post-commit, so a crash mid-GC only
-        # leaves extra files, never dangling pointers)
+        # leaves extra files, never dangling pointers). Keep history when
+        # time-travel reads are wanted (gc_old_versions=False).
+        if not self.gc_old_versions:
+            return summary
         for b, v_new in new_versions.items():
             v_old = old_versions.get(b)
             if v_old is not None and v_old != v_new:
@@ -303,19 +308,98 @@ class ReplayEngine:
                     pass
         return summary
 
+    # ------------------------------------------------------------ compaction
+    def compact(self, min_retained_seq: int | None = None) -> dict:
+        """Drop tombstones from the committed state (LSM-style compaction).
+
+        A tombstone is only needed to beat a *late* event with a smaller
+        ``seq`` arriving in a future batch. ``min_retained_seq`` declares
+        the lateness horizon: tombstones with ``seq >= min_retained_seq``
+        are kept; default (None) drops them all (caller asserts no late
+        data — the reference's pipeline has the same property once a file
+        set is committed, ``update_workflow_properties.py:141-165``).
+
+        Rewrites each affected bucket at version = current watermark (a
+        committed batch id can never be re-run, so overwriting that
+        version is safe), updates the manifest, GCs old files. Runs as
+        parallel Ray tasks, one per bucket."""
+        wm = self.ckpt.watermark
+        if wm < 0:
+            return {"compacted_buckets": 0, "dropped_tombstones": 0}
+        versions = self.ckpt.bucket_versions
+        horizon = min_retained_seq
+
+        @ray.remote
+        def compact_bucket(lake_dir: str, bucket: int, version: int, wm: int, horizon):
+            t = pq.read_table(os.path.join(lake_dir, part_name(bucket, version)))
+            dead = t[DELETED_COL]
+            drop = dead if horizon is None else pc.and_(
+                dead, pc.less(t["__seq"], horizon)
+            )
+            n_drop = pc.sum(drop).as_py() or 0
+            if n_drop == 0:
+                return (bucket, version, 0)
+            out = t.filter(pc.invert(pc.fill_null(drop, False)))
+            path = os.path.join(lake_dir, part_name(bucket, wm))
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pq.write_table(out, tmp)
+            os.replace(tmp, path)
+            return (bucket, wm, n_drop)
+
+        results = ray.get(
+            [
+                compact_bucket.remote(self.lake_dir, b, v, wm, horizon)
+                for b, v in sorted(versions.items())
+            ]
+        )
+        new_versions = {b: v for b, v, n in results if n > 0}
+        dropped = sum(n for _, _, n in results)
+        if new_versions:
+            summary = {
+                "kind": "compaction",
+                "watermark": wm,
+                "compacted_buckets": len(new_versions),
+                "dropped_tombstones": dropped,
+            }
+            self.ckpt.commit_batch(wm, self.ckpt.evolved, summary, new_versions)
+            for b, v_new in new_versions.items():
+                v_old = versions.get(b)
+                if v_old is not None and v_old != v_new:
+                    try:
+                        os.remove(os.path.join(self.lake_dir, part_name(b, v_old)))
+                    except FileNotFoundError:
+                        pass
+        return {"compacted_buckets": len(new_versions), "dropped_tombstones": dropped}
+
     # ----------------------------------------------------------- final state
-    def _state_files(self) -> list[str]:
+    def versions_as_of(self, as_of_batch: int) -> dict[int, int]:
+        """Snapshot pointer set as of a committed batch id, reconstructed
+        from the lineage log (time travel; requires the engine to have
+        retained old versions — construct with ``gc_old_versions=False``)."""
+        from glue_etl_pipeline_ray.state.lineage import read_lineage
+
+        out: dict[int, int] = {}
+        for rec in read_lineage(self.lake_dir):
+            if rec.get("kind") == "bucket" and rec["batch_id"] <= as_of_batch:
+                out[rec["bucket"]] = max(out.get(rec["bucket"], -1), rec["version"])
+        return out
+
+    def _state_files(self, as_of: int | None = None) -> list[str]:
+        versions = (
+            self.ckpt.bucket_versions if as_of is None else self.versions_as_of(as_of)
+        )
         return [
             os.path.join(self.lake_dir, part_name(b, v))
-            for b, v in sorted(self.ckpt.bucket_versions.items())
+            for b, v in sorted(versions.items())
         ]
 
-    def final_dataset(self) -> "ray.data.Dataset":
-        """Live table as a streaming Dataset (scale path)."""
+    def final_dataset(self, as_of: int | None = None) -> "ray.data.Dataset":
+        """Live table as a streaming Dataset (scale path). ``as_of``:
+        committed batch id for a time-travel snapshot."""
         evolved = self.ckpt.evolved
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
-        files = self._state_files()
+        files = self._state_files(as_of)
         if not files:
             return ray.data.from_arrow(self.spec.canonical_schema(evolved).empty_table())
 
@@ -327,13 +411,13 @@ class ReplayEngine:
             live_view, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    def final_table(self) -> pa.Table:
+    def final_table(self, as_of: int | None = None) -> pa.Table:
         """Live table assembled driver-side (test/oracle path only)."""
         evolved = self.ckpt.evolved
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
         parts = []
-        for f in self._state_files():
+        for f in self._state_files(as_of):
             t = conform(pq.read_table(f), st)
             parts.append(t.filter(pc.invert(t[DELETED_COL])).select(cols))
         if not parts:
@@ -341,5 +425,5 @@ class ReplayEngine:
         out = pa.concat_tables(parts)
         return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
 
-    def final_sha256(self) -> str:
-        return table_sha256(self.final_table(), self.spec.key_cols)
+    def final_sha256(self, as_of: int | None = None) -> str:
+        return table_sha256(self.final_table(as_of), self.spec.key_cols)

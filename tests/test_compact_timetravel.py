@@ -1,0 +1,65 @@
+"""Compaction (tombstone GC) and time-travel (as-of) reads."""
+
+import os
+import shutil
+
+from glue_etl_pipeline_ray.gen import generate_change_events
+from glue_etl_pipeline_ray.oracle import replay_oracle
+from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
+from glue_etl_pipeline_ray.spec import repo_file_spec
+
+
+def _gen(tmp_path, **kw):
+    defaults = dict(n_events=4000, n_repos=12, n_paths=40, n_batches=4, seed=9,
+                    delete_frac=0.25)
+    defaults.update(kw)
+    return generate_change_events(str(tmp_path), **defaults)
+
+
+def test_compact_drops_tombstones_preserves_live_state(tmp_path):
+    meta = _gen(tmp_path)
+    spec = repo_file_spec(num_buckets=16)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(meta["events_dir"])
+    sha_before = eng.final_sha256()
+    n_live = eng.final_table().num_rows
+
+    res = eng.compact()
+    assert res["dropped_tombstones"] > 0
+    assert eng.final_sha256() == sha_before
+    assert eng.final_table().num_rows == n_live
+
+    # state files now hold exactly the live rows (no tombstones left)
+    import pyarrow.parquet as pq
+    total_state = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in eng._state_files()
+    )
+    assert total_state == n_live
+
+    # a resume after compaction is a no-op with the same sha
+    eng2 = ReplayEngine(spec, str(tmp_path / "lake"))
+    r = eng2.replay(meta["events_dir"])
+    assert r["applied_batches"] == []
+    assert eng2.final_sha256() == sha_before
+
+
+def test_time_travel_matches_prefix_oracle(tmp_path):
+    meta = _gen(tmp_path, n_batches=4)
+    spec = repo_file_spec(num_buckets=16)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"), gc_old_versions=False)
+    eng.replay(meta["events_dir"])
+
+    for as_of in (0, 1, 2, 3):
+        # oracle over only the first as_of+1 batches
+        prefix = tmp_path / f"prefix{as_of}"
+        os.makedirs(prefix / "events")
+        for b in range(as_of + 1):
+            name = f"batch={b:05d}.parquet"
+            shutil.copy(
+                os.path.join(meta["events_dir"], name), prefix / "events" / name
+            )
+        oracle = replay_oracle(spec, str(prefix / "events"))
+        assert eng.final_sha256(as_of=as_of) == oracle["sha256"], as_of
+
+    # full state equals the no-as_of read
+    assert eng.final_sha256(as_of=3) == eng.final_sha256()

@@ -157,3 +157,36 @@ def test_frame_sampler_explodes_rows():
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG")
+
+
+def test_embed_cosine_pairs_brute_vs_lsh(ray_session):
+    """LSH pair set must be a subset of brute-force (exact) pairs; with
+    generous bands at this tiny scale it should equal it."""
+    import numpy as np
+    import ray.data as rd
+
+    from glue_etl_pipeline_ray.functions.similarity import embed_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    # plant near-duplicates: rows 40..49 are jittered copies of 0..9
+    dup = base[:10] + rng.standard_normal((10, 16)) * 0.05
+    vecs = np.vstack([base, dup])
+    ds = rd.from_items(
+        [
+            {"vec_id": i, "embedding": vecs[i].astype("float32").tolist()}
+            for i in range(len(vecs))
+        ]
+    )
+    brute = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embed_cosine_pairs(ds, threshold=0.95, method="brute").take_all()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embed_cosine_pairs(ds, threshold=0.95, method="lsh").take_all()
+    }
+    planted = {(i, i + 40) for i in range(10)}
+    assert planted <= brute
+    assert lsh <= brute
+    assert len(lsh) >= len(brute) * 0.8
