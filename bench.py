@@ -102,6 +102,16 @@ def run_headline(ev_dir: str, n_events: int, num_buckets: int = 64) -> dict:
 
     lake = tempfile.mkdtemp(prefix="gepr_bench_lake_")
     try:
+        # untimed mini-replay: settles worker pool + code paths so the
+        # measured run reflects steady state, not cluster boot
+        warm_ev = make_events(50_000, os.path.dirname(os.path.dirname(ev_dir)))
+        warm_lake = tempfile.mkdtemp(prefix="gepr_bench_warm_")
+        ReplayEngine(
+            repo_file_spec(num_buckets=num_buckets), warm_lake,
+            compute_bucket_hash=False,
+        ).replay(warm_ev)
+        shutil.rmtree(warm_lake, ignore_errors=True)
+
         eng = ReplayEngine(
             repo_file_spec(num_buckets=num_buckets),
             lake,

@@ -30,6 +30,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
+from glue_etl_pipeline_ray.functions.groups import grouped_apply, grouped_first
 from glue_etl_pipeline_ray.functions.text import hash_token
 
 # ------------------------------------------------------------------ exact
@@ -51,12 +52,10 @@ def exact_dedup(
     def keep_first(group: pa.Table) -> pa.Table:
         return group.sort_by(id_col).slice(0, 1)
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
-        .groupby("__fp")
-        .map_groups(keep_first, batch_format="pyarrow")
-        .drop_columns(["__fp"])
-    )
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
+    return grouped_apply(
+        hashed, ["__fp"], keep_first, passthrough_singletons=True
+    ).drop_columns(["__fp"])
 
 
 # ------------------------------------------------------------- shingling
@@ -183,14 +182,11 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = sig_ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = grouped_apply(
+        sig_ds, ["band_id", "band_hash"], bucket_pairs, min_group_size=2
     )
     # a pair can collide in several bands -> distinct
-    dedup = pairs.groupby(["doc_id_a", "doc_id_b", "n_agree"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
-    return dedup
+    return grouped_first(pairs, ["doc_id_a", "doc_id_b", "n_agree"])
 
 
 _EMPTY_PAIRS = pa.table(
@@ -271,14 +267,11 @@ def simhash_pairs(
             }
         )
 
-    pairs = (
-        ds.map_batches(add_sim, batch_format="pyarrow", batch_size=None)
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    simmed = ds.map_batches(add_sim, batch_format="pyarrow", batch_size=None)
+    pairs = grouped_apply(
+        simmed, ["band_id", "band_key"], bucket_pairs, min_group_size=2
     )
-    return pairs.groupby(["doc_id_a", "doc_id_b", "hamming"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return grouped_first(pairs, ["doc_id_a", "doc_id_b", "hamming"])
 
 
 # ------------------------------------------------- exact n-gram Jaccard
@@ -330,54 +323,105 @@ def ngram_jaccard_pairs(
             }
         )
 
-    def co_pairs(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        if m < 2 or (max_df is not None and m > max_df):
-            return pa.table(
-                {
-                    "doc_id_a": pa.array([], pa.int64()),
-                    "doc_id_b": pa.array([], pa.int64()),
-                    "size_a": pa.array([], pa.int64()),
-                    "size_b": pa.array([], pa.int64()),
-                }
-            )
-        ids = np.array(group["doc_id"].to_pylist())
-        sizes = np.array(group["size"].to_pylist())
-        order = np.argsort(ids)
-        ids, sizes = ids[order], sizes[order]
-        iu, ju = np.triu_indices(m, k=1)
+    from glue_etl_pipeline_ray.hashing import key_hash_u64
+
+    n_parts = 64
+
+    def add_shingle_part(batch: pa.Table) -> pa.Table:
+        h = key_hash_u64(batch["shingle"])
+        return batch.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    def co_pairs_partition(part: pa.Table) -> pa.Table:
+        """All co-occurrence pairs for every shingle-run in this partition,
+        vectorized: rows sorted by (shingle-hash, doc_id); sweep offset k
+        emitting (row, row+k) while both land in the same run — max-run
+        iterations of O(rows) numpy work, no per-shingle Python."""
+        kh = key_hash_u64(part["shingle"])
+        doc = part["doc_id"].to_numpy(zero_copy_only=False)
+        size = part["size"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, kh))
+        khs, docs, sizes = kh[order], doc[order], size[order]
+        starts = np.flatnonzero(np.r_[True, khs[1:] != khs[:-1]])
+        ends = np.r_[starts[1:], len(khs)]
+        run_len = ends - starts
+        if max_df is not None:  # posting-list cap: mask out hot shingles
+            keep_run = run_len <= max_df
+            keep_row = np.repeat(keep_run, run_len)
+            docs, sizes = docs[keep_row], sizes[keep_row]
+            starts = np.flatnonzero(
+                np.r_[True, khs[keep_row][1:] != khs[keep_row][:-1]]
+            ) if keep_row.any() else np.array([], np.int64)
+            ends = np.r_[starts[1:], len(docs)] if len(starts) else starts
+            run_len = ends - starts
+        row_end = np.repeat(ends, run_len) if len(starts) else np.array([], np.int64)
+        idx = np.arange(len(docs))
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        k = 1
+        while True:
+            dst = idx + k
+            ok = dst < row_end
+            if not ok.any():
+                break
+            s_i, d_i = idx[ok], dst[ok]
+            out_a.append(docs[s_i])
+            out_b.append(docs[d_i])
+            out_sa.append(sizes[s_i])
+            out_sb.append(sizes[d_i])
+            k += 1
+        cat = (lambda xs: np.concatenate(xs) if xs else np.array([], np.int64))
         return pa.table(
             {
-                "doc_id_a": pa.array(ids[iu], pa.int64()),
-                "doc_id_b": pa.array(ids[ju], pa.int64()),
-                "size_a": pa.array(sizes[iu], pa.int64()),
-                "size_b": pa.array(sizes[ju], pa.int64()),
+                "doc_id_a": pa.array(cat(out_a), pa.int64()),
+                "doc_id_b": pa.array(cat(out_b), pa.int64()),
+                "size_a": pa.array(cat(out_sa), pa.int64()),
+                "size_b": pa.array(cat(out_sb), pa.int64()),
             }
         )
 
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
     pairs = (
-        ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
-        .groupby("shingle")
-        .map_groups(co_pairs, batch_format="pyarrow")
-    )
-    inter = pairs.groupby(["doc_id_a", "doc_id_b", "size_a", "size_b"]).aggregate(
-        Count(alias_name="inter")
+        exploded.map_batches(add_shingle_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(co_pairs_partition, batch_format="pyarrow")
     )
 
-    def threshold(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # count shared shingles per pair + threshold, fully vectorized per
+    # hash-partition (a Dataset.groupby().aggregate() here costs ~10x the
+    # work at 10^6 candidate pairs: one Ray group per distinct pair)
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = key_hash_u64(batch["doc_id_a"], batch["doc_id_b"])
+        return batch.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        )
 
-        i = pc.cast(batch["inter"], pa.int64())
-        union = pc.subtract(
-            pc.add(batch["size_a"], batch["size_b"]), i
+    def count_and_threshold(part: pa.Table) -> pa.Table:
+        kh = key_hash_u64(part["doc_id_a"], part["doc_id_b"])
+        order = np.argsort(kh, kind="stable")
+        khs = kh[order]
+        starts = np.flatnonzero(np.r_[True, khs[1:] != khs[:-1]])
+        ends = np.r_[starts[1:], len(khs)]
+        inter = (ends - starts).astype(np.int64)
+        first = order[starts]
+        a = part["doc_id_a"].to_numpy(zero_copy_only=False)[first]
+        b = part["doc_id_b"].to_numpy(zero_copy_only=False)[first]
+        sa = part["size_a"].to_numpy(zero_copy_only=False)[first]
+        sb = part["size_b"].to_numpy(zero_copy_only=False)[first]
+        union = sa + sb - inter
+        keep = tau_den * inter >= tau_num * union
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a[keep], pa.int64()),
+                "doc_id_b": pa.array(b[keep], pa.int64()),
+                "size_a": pa.array(sa[keep], pa.int64()),
+                "size_b": pa.array(sb[keep], pa.int64()),
+                "inter": pa.array(inter[keep], pa.int64()),
+            }
         )
-        keep = pc.greater_equal(
-            pc.multiply(pa.scalar(tau_den, pa.int64()), i),
-            pc.multiply(pa.scalar(tau_num, pa.int64()), union),
-        )
-        out = batch.set_column(
-            batch.column_names.index("inter"), "inter", i
-        )
-        return out.filter(keep)
 
-    return inter.map_batches(threshold, batch_format="pyarrow", batch_size=None)
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(count_and_threshold, batch_format="pyarrow")
+    )

@@ -277,12 +277,10 @@ def embed_cosine_pairs(
     def dedup_pairs(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    pairs = (
-        ds.select_columns([id_col, vec_col])
-        .map_batches(add_buckets, batch_format="pyarrow", batch_size=None)
-        .groupby("__lsh")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply, grouped_first
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        add_buckets, batch_format="pyarrow", batch_size=None
     )
-    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
-        dedup_pairs, batch_format="pyarrow"
-    )
+    pairs = grouped_apply(bucketed, ["__lsh"], bucket_pairs, min_group_size=2)
+    return grouped_first(pairs, ["vec_id_a", "vec_id_b"])
