@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_derive": Q.q_partition_derive,
         "type_normalize": Q.q_type_normalize,
         "schema_union_backfill": Q.q_schema_union_backfill,
+        "str_list_promote": Q.q_str_list_promote,
+        "partitioned_write": Q.q_partitioned_write,
         # joins
         "broadcast_lookup_join": Q.q_broadcast_lookup_join,
         "anti_join_inactive": Q.q_anti_join_inactive,
@@ -125,6 +127,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_cents,
                    event_type AS extra
             FROM events WHERE ts >= TIMESTAMP '2024-02-01'
+        """,
+        "str_list_promote": """
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0 THEN CAST(2 AS BIGINT)
+                        WHEN event_id % 3 = 1 THEN 1 ELSE 0 END AS n_tags,
+                   CASE WHEN event_id % 3 = 0 THEN 'a,b'
+                        WHEN event_id % 3 = 1 THEN 'solo' ELSE '' END
+                       AS tags_joined
+            FROM events
+        """,
+        "partitioned_write": """
+            SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
         """,
         "broadcast_lookup_join": """
             SELECT r.r_name AS region_name, count(*) AS n_customers

@@ -512,3 +512,85 @@ def q_dedup_embed_lsh(sf_dir: str):
     the sub-quadratic 100 TB path (recall < 1 by construction)."""
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embed_cosine_pairs(ds, threshold=0.5, method="lsh")
+
+
+def q_str_list_promote(sf_dir: str):
+    """M10 analog (``flat_jsons.py:113-136``): a union-typed field
+    (scalar string | list | literal "null") is promoted to a canonical
+    ``list<string>`` — "null" -> [], scalar -> [scalar] — then reduced to
+    oracle-comparable scalars (len + joined)."""
+    ds = _t(sf_dir, "events", ["event_id"])
+
+    def promote(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        # deterministic raw union value per row (the fixture): a JSON-ish
+        # field that may be a list, a bare scalar, or the literal "null"
+        raw = [
+            ["a", "b"] if m == 0 else ("solo" if m == 1 else "null")
+            for m in eid % 3
+        ]
+        promoted = [
+            [] if v is None or v == "null" else (v if isinstance(v, list) else [v])
+            for v in raw
+        ]
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "n_tags": pa.array([len(v) for v in promoted], pa.int64()),
+                "tags_joined": pa.array(
+                    [",".join(v) for v in promoted], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(promote, batch_format="pyarrow", batch_size=None)
+
+
+def q_partitioned_write(sf_dir: str):
+    """S7 analog (``convert_to_parquet.py:224,236-238``): derive
+    year/month/day, write hive-partitioned Parquet, then PROVE the
+    round-trip by re-reading the partitioned lake and counting per
+    partition (partition values come back from directory names)."""
+    import shutil as _shutil
+
+    ds = _t(sf_dir, "events", ["event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "year": pc.cast(pc.year(ts), pa.int64()),
+                "month": pc.cast(pc.month(ts), pa.int64()),
+                "day": pc.cast(pc.day(ts), pa.int64()),
+            }
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="gepr_partwrite_")
+    try:
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None).write_parquet(
+            out_dir, partition_cols=["year", "month", "day"]
+        )
+        back = rd.read_parquet(out_dir)
+
+        def cast_parts(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "year": pc.cast(t["year"], pa.int64()),
+                    "month": pc.cast(t["month"], pa.int64()),
+                    "day": pc.cast(t["day"], pa.int64()),
+                }
+            )
+
+        casted = back.map_batches(cast_parts, batch_format="pyarrow", batch_size=None)
+        result = partial_groupby_sum(
+            casted, ["year", "month", "day"], [], count_alias="n_events"
+        )
+        # materialize before deleting the temp lake
+        import pyarrow as _pa
+
+        return _pa.concat_tables(
+            [ray.get(r) for r in result.to_arrow_refs()]
+        )
+    finally:
+        _shutil.rmtree(out_dir, ignore_errors=True)
