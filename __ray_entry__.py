@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_inactive": Q.q_anti_join_inactive,
         # aggregations / sort / limit
         "classify_counts": Q.q_classify_counts,
+        "tumbling_window": Q.q_tumbling_window,
+        "session_windows": Q.q_session_windows,
         "pricing_summary": Q.q_pricing_summary,
         "topk_users": Q.q_topk_users,
         # documents: dedup + text analysis
@@ -156,6 +158,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "classify_counts": """
             SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        """,
+        "tumbling_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH o AS (
+                SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, cents,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM s GROUP BY user_id, sid
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -168,7 +168,7 @@ def main() -> int:
 
     sf = _sf_of(args.sf_dir)
     # scaling needs a problem big enough to saturate 32 cores for seconds
-    default_events = 4_000_000 if args.scaling else max(100_000, int(10_000_000 * sf))
+    default_events = 4_000_000 if args.scaling else max(200_000, int(40_000_000 * sf))
     n_events = args.n_events or default_events
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 

@@ -28,7 +28,6 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 from glue_etl_pipeline_ray.functions.groups import grouped_apply, grouped_first
 from glue_etl_pipeline_ray.functions.text import hash_token

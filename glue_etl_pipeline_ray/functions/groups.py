@@ -72,8 +72,8 @@ def grouped_apply(
             o = fn(part.slice(int(s), int(e - s)))
             if o.num_rows:
                 outs.append(o)
-        if not outs:  # keep a typed empty table for schema stability
-            outs = [fn(part.slice(0, min(1, part.num_rows)))]
+        if not outs:  # typed empty output for schema stability (0-row in,
+            outs = [fn(part.slice(0, 0))]  # so fn can't invent rows)
         return pa.concat_tables(outs)
 
     return (

@@ -594,3 +594,80 @@ def q_partitioned_write(sf_dir: str):
         )
     finally:
         _shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def q_tumbling_window(sf_dir: str):
+    """Streaming-style tumbling window (1h) aggregate per event_type:
+    window derivation is a stateless map (M13 generalization), the
+    aggregate pre-combines per block before one small shuffle."""
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        # cast to second precision: arrow strftime's %S emits fractional
+        # digits for us-precision timestamps, duckdb's does not
+        w = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("s"))
+        return pa.table(
+            {
+                "window_start": pc.strftime(w, format="%Y-%m-%d %H:%M:%S"),
+                "event_type": t["event_type"],
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    derived = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return partial_groupby_sum(
+        derived,
+        ["window_start", "event_type"],
+        ["value_cents"],
+        count_alias="n_events",
+    )
+
+
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows (30 min) per user — genuinely stateful
+    ordered-window semantics: one shuffle on user_id, then fully
+    vectorized per-user session assignment (sort by ts, split where the
+    gap exceeds the timeout, aggregate per session)."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    gap_us = 30 * 60 * 1_000_000
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        tsv = ts[order].astype(np.int64)
+        cents = (
+            np.round(group["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)[order]
+        )
+        brk = np.r_[True, np.diff(tsv) > gap_us]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(tsv)]
+        uid = group["user_id"][0].as_py()
+        start_strs = [
+            str(np.datetime64(int(tsv[s]), "us")).replace("T", " ")
+            for s in starts
+        ]
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(starts), pa.int64()),
+                "session_start": pa.array(start_strs, pa.string()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "sum_cents": pa.array(
+                    np.add.reduceat(cents, starts), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], sessions)

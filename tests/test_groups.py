@@ -1,0 +1,44 @@
+"""grouped_apply: exact fine-grained groupby semantics at coarse Ray fan-out."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from glue_etl_pipeline_ray.functions.groups import grouped_apply, grouped_first
+
+
+def test_grouped_apply_matches_naive_groupby(ray_session):
+    rng = np.random.default_rng(3)
+    n = 5000
+    keys = rng.integers(0, 800, n)          # ~800 distinct keys, many singletons
+    vals = rng.integers(0, 1000, n)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals}))
+
+    def group_sum(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table(
+            {"k": g["k"].slice(0, 1), "s": pa.array([pc.sum(g["v"]).as_py() or 0], pa.int64())}
+        )
+
+    got = {r["k"]: r["s"] for r in grouped_apply(ds, ["k"], group_sum).take_all()}
+    want = {}
+    for k, v in zip(keys.tolist(), vals.tolist()):
+        want[k] = want.get(k, 0) + v
+    assert got == want
+
+
+def test_grouped_first_keeps_one_row_per_key(ray_session):
+    t = pa.table({"k": [1, 1, 2, 3, 3, 3], "v": [10, 11, 20, 30, 31, 32]})
+    out = grouped_first(rd.from_arrow(t), ["k"]).take_all()
+    assert sorted(r["k"] for r in out) == [1, 2, 3]
+
+
+def test_grouped_apply_min_group_size_skips_singletons(ray_session):
+    t = pa.table({"k": [1, 2, 2, 3], "v": [1, 2, 3, 4]})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        return pa.table({"k": g["k"].slice(0, 1)})
+
+    out = grouped_apply(rd.from_arrow(t), ["k"], pairs, min_group_size=2).take_all()
+    assert [r["k"] for r in out] == [2]
