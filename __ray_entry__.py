@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins
         "broadcast_lookup_join": Q.q_broadcast_lookup_join,
         "anti_join_inactive": Q.q_anti_join_inactive,
+        "asof_prev_order": Q.q_asof_prev_order,
         # aggregations / sort / limit
         "classify_counts": Q.q_classify_counts,
         "tumbling_window": Q.q_tumbling_window,
@@ -155,6 +156,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
+        """,
+        "asof_prev_order": """
+            SELECT a.o_orderkey,
+                   strftime(b.o_orderdate, '%Y-%m-%d') AS prev_order_date
+            FROM orders a
+            ASOF LEFT JOIN orders b
+              ON a.o_custkey = b.o_custkey AND a.o_orderdate > b.o_orderdate
         """,
         "classify_counts": """
             SELECT event_type, count(*) AS n FROM events GROUP BY 1

@@ -671,3 +671,29 @@ def q_session_windows(sf_dir: str):
         )
 
     return grouped_apply(ds, ["user_id"], sessions)
+
+
+def q_asof_prev_order(sf_dir: str):
+    """As-of join (operator Ray Data lacks): for every order, the date of
+    the customer's most recent STRICTLY earlier order (null for the
+    first). One hash shuffle on the key + vectorized searchsorted per
+    group — see functions/joins.py for the partitioning assumption."""
+    from glue_etl_pipeline_ray.functions.joins import asof_join_backward
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_r = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    joined = asof_join_backward(
+        orders,
+        orders_r,
+        by="o_custkey",
+        on="o_orderdate",
+        left_cols=["o_orderkey"],
+        right_value_col="o_orderdate",
+        out_col="prev_ts",
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        prev = pc.strftime(pc.cast(t["prev_ts"], pa.timestamp("s")), format="%Y-%m-%d")
+        return pa.table({"o_orderkey": t["o_orderkey"], "prev_order_date": prev})
+
+    return joined.map_batches(fmt, batch_format="pyarrow", batch_size=None)
