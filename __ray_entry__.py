@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_lookup_join": Q.q_broadcast_lookup_join,
         "anti_join_inactive": Q.q_anti_join_inactive,
         "asof_prev_order": Q.q_asof_prev_order,
+        "hash_join_orders": Q.q_hash_join_orders,
         # aggregations / sort / limit
         "classify_counts": Q.q_classify_counts,
         "tumbling_window": Q.q_tumbling_window,
@@ -156,6 +157,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
+        """,
+        "hash_join_orders": """
+            SELECT c.c_mktsegment,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
         """,
         "asof_prev_order": """
             SELECT a.o_orderkey,

@@ -697,3 +697,32 @@ def q_asof_prev_order(sf_dir: str):
         return pa.table({"o_orderkey": t["o_orderkey"], "prev_order_date": prev})
 
     return joined.map_batches(fmt, batch_format="pyarrow", batch_size=None)
+
+
+def q_hash_join_orders(sf_dir: str):
+    """Large-large equi-join: orders x customer via Ray Data's native
+    hash-shuffle join (both sides partitioned on the key), then a keyed
+    aggregate. The broadcast variant (q_broadcast_lookup_join) is for
+    small sides; this is the genuine all-to-all path."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    c = joined.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    return partial_groupby_sum(
+        c, ["c_mktsegment"], ["price_cents"], count_alias="n_orders"
+    )
