@@ -61,12 +61,16 @@ def exact_dedup(
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    import pandas as pd
+
     toks = (text or "").split(" ")
     if len(toks) < n:
         grams = [" ".join(toks)]
     else:
         grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.unique(np.array([hash_token(g) for g in grams], dtype=np.uint64))
+    # vectorized SipHash (process-stable) — a per-byte python FNV loop here
+    # was the minhash/simhash hot spot
+    return np.unique(pd.util.hash_array(np.array(grams, dtype=object), categorize=False))
 
 
 # ------------------------------------------------------------- MinHash+LSH
@@ -100,17 +104,35 @@ class MinHashFn:
         return (self.a[:, None] * h[None, :] + self.b[:, None]).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        doc_ids = batch[self.id_col].to_pylist()
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band_id": pa.array([], pa.int64()),
+                    "band_hash": pa.array([], pa.string()),
+                    "sig": pa.array([], pa.binary()),
+                }
+            )
+        # one (n_perm x total_shingles) multiply-shift + reduceat per batch
+        # instead of a python loop per document
+        shingle_sets = [_shingle_hashes(t, self.shingle_n) for t in texts]
+        starts = np.cumsum([0] + [len(s) for s in shingle_sets[:-1]])
+        h_all = np.concatenate(shingle_sets)
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * h_all[None, :] + self.b[:, None]
+        sig_mat = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_docs)
         ids, bands, bhashes, sigs = [], [], [], []
-        for doc_id, text in zip(
-            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
-        ):
-            sig = self.signature(text)
+        for d, doc_id in enumerate(doc_ids):
+            sig = np.ascontiguousarray(sig_mat[:, d])
+            raw = sig.tobytes()
             for band in range(self.n_bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 ids.append(doc_id)
                 bands.append(band)
                 bhashes.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
-                sigs.append(sig.tobytes())
+                sigs.append(raw)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -132,6 +154,7 @@ def minhash_lsh_pairs(
     min_agree_den: int = 2,
     max_bucket: int = 1000,
     concurrency: int = 4,
+    batch_size: int = 256,
 ) -> Dataset:
     """Near-dup candidate pairs with signature-agreement verification.
 
@@ -152,7 +175,9 @@ def minhash_lsh_pairs(
             n_bands=n_bands, shingle_n=shingle_n,
         ),
         batch_format="pyarrow",
-        batch_size=None,
+        # bounded batches: one giant input block must not serialize the
+        # whole corpus through a single actor
+        batch_size=batch_size,
         concurrency=concurrency,
     )
 

@@ -393,8 +393,8 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(
         LangId,
         batch_format="pyarrow",
-        batch_size=None,
-        concurrency=2,
+        batch_size=256,  # split the single input block across the pool
+        concurrency=4,
     ).select_columns(["doc_id", "pred_lang"])
 
 
@@ -586,12 +586,13 @@ def q_partitioned_write(sf_dir: str):
         result = partial_groupby_sum(
             casted, ["year", "month", "day"], [], count_alias="n_events"
         )
-        # materialize before deleting the temp lake
+        # materialize before deleting the temp lake (skip the empty
+        # zero-column blocks Ray emits for key-less partitions)
         import pyarrow as _pa
 
-        return _pa.concat_tables(
-            [ray.get(r) for r in result.to_arrow_refs()]
-        )
+        parts = [ray.get(r) for r in result.to_arrow_refs()]
+        parts = [t for t in parts if t.num_columns > 0]
+        return _pa.concat_tables(parts)
     finally:
         _shutil.rmtree(out_dir, ignore_errors=True)
 
