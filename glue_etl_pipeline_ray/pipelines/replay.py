@@ -96,14 +96,28 @@ class ReplayEngine:
         num_exchange: int | None = None,
         window: int = 4,
         gc_old_versions: bool = True,
+        state_mode: str = "rewrite",
+        fold_threshold: int = 8,
     ):
         """``exchange``: "raycore" (default) = pipelined map-side-partition
         shuffle on Ray core (stages/exchange.py); "groupby" = pure Dataset
         ``groupby(bucket).map_groups`` path, one batch at a time. Both
         produce byte-identical lake state (tested). ``window``: max
-        batches in flight before the oldest is drained + committed."""
+        batches in flight before the oldest is drained + committed.
+
+        ``state_mode``: "rewrite" (default) merges each touched bucket
+        against its prior state every batch — O(state) per batch, simplest
+        reads. "delta" (LSM path, raycore only) appends per-batch delta
+        files with NO prior-state read — O(batch) per batch, mandatory
+        when state >> batch (the 10^10-event regime); reads fold
+        base+deltas and buckets exceeding ``fold_threshold`` deltas are
+        compacted in the background of the commit loop."""
         if exchange not in ("raycore", "groupby"):
             raise ValueError(f"unknown exchange mode: {exchange}")
+        if state_mode not in ("rewrite", "delta"):
+            raise ValueError(f"unknown state mode: {state_mode}")
+        if state_mode == "delta" and exchange == "groupby":
+            raise ValueError("state_mode='delta' requires exchange='raycore'")
         self.spec = spec
         self.lake_dir = lake_dir
         self.compute_bucket_hash = compute_bucket_hash
@@ -112,6 +126,8 @@ class ReplayEngine:
         self.num_exchange = num_exchange
         self.window = max(1, window)
         self.gc_old_versions = gc_old_versions
+        self.state_mode = state_mode
+        self.fold_threshold = max(1, fold_threshold)
         os.makedirs(lake_dir, exist_ok=True)
         self.ckpt = CheckpointManager(lake_dir)
 
@@ -178,6 +194,17 @@ class ReplayEngine:
                     _fail_before_commit=(fl["batch_id"] == fail_before_commit_of),
                 )
             )
+            if self.state_mode == "delta":
+                # compact buckets whose delta chains grew past threshold;
+                # delta-mode merges never read state, so folding is safe
+                # concurrently with in-flight batches
+                over = {
+                    b: d
+                    for b, d in self.ckpt.bucket_deltas.items()
+                    if len(d["deltas"]) >= self.fold_threshold
+                }
+                if over:
+                    self._fold_buckets(over)
 
         for bid, files in pending:
             # schema-evolution discovery from footers (no data read), in order
@@ -195,8 +222,11 @@ class ReplayEngine:
                 prev_by_group,
                 compute_hash=self.compute_bucket_hash,
                 num_exchange=ne,
+                state_mode=self.state_mode,
             )
-            prev_by_group = merge_refs
+            if self.state_mode == "rewrite":
+                # chain per-group merges; delta merges are independent
+                prev_by_group = merge_refs
             inflight.append(
                 {
                     "batch_id": bid,
@@ -278,6 +308,7 @@ class ReplayEngine:
                 for f in os.listdir(dlq_dir)
                 if f.endswith(".parquet")
             )
+        delta = self.state_mode == "delta"
         summary = {
             "batch_id": batch_id,
             "n_events": n_events,
@@ -285,7 +316,9 @@ class ReplayEngine:
             "n_merged_events": sum(r["n_events"] for r in records),
             "n_upserts": sum(r["n_upserts"] for r in records),
             "n_deletes": sum(r["n_deletes"] for r in records),
-            "n_live": sum(r["n_live"] for r in records),
+            # per-batch live counts require reading state — deferred to
+            # reads/compaction in delta mode
+            "n_live": -1 if delta else sum(r["n_live"] for r in records),
             "buckets_touched": len(records),
             "evolved": [list(e) for e in evolved],
         }
@@ -293,6 +326,11 @@ class ReplayEngine:
             raise RuntimeError(f"injected crash before commit of batch {batch_id}")
         old_versions = self.ckpt.bucket_versions
         write_lineage(self.lake_dir, batch_id, records, summary)
+        if delta:
+            self.ckpt.commit_batch(
+                batch_id, evolved, summary, new_deltas=new_versions
+            )
+            return summary
         self.ckpt.commit_batch(batch_id, evolved, summary, new_versions)
         # GC superseded state files (post-commit, so a crash mid-GC only
         # leaves extra files, never dangling pointers). Keep history when
@@ -307,6 +345,65 @@ class ReplayEngine:
                 except FileNotFoundError:
                     pass
         return summary
+
+    # -------------------------------------------------- delta-mode folding
+    def _fold_buckets(
+        self, targets: dict[int, dict], min_retained_seq: int | None = "keep"
+    ) -> int:
+        """Compact delta chains: fold base+deltas into a new base at the
+        current watermark, update the manifest, delete folded files.
+        ``min_retained_seq="keep"`` keeps all tombstones (safe default
+        during replay); None/int follows :meth:`compact` semantics."""
+        wm = self.ckpt.watermark
+        spec, evolved = self.spec, self.ckpt.evolved
+
+        @ray.remote
+        def fold_one(lake_dir, bucket, base, deltas, wm, horizon):
+            from glue_etl_pipeline_ray.stages.merge import (
+                part_name as _pn,
+                read_bucket_state,
+                write_atomic,
+            )
+
+            st = read_bucket_state(spec, evolved, lake_dir, base, deltas, bucket)
+            if horizon != "keep":
+                dead = st[DELETED_COL]
+                drop = dead if horizon is None else pc.and_(
+                    dead, pc.less(st["__seq"], horizon)
+                )
+                st = st.filter(pc.invert(pc.fill_null(drop, False)))
+            write_atomic(os.path.join(lake_dir, _pn(bucket, wm)), st)
+            return bucket
+
+        refs = [
+            fold_one.remote(
+                self.lake_dir, b, d["base"], d["deltas"], wm, min_retained_seq
+            )
+            for b, d in targets.items()
+        ]
+        ray.get(refs)
+        folds = {
+            b: {"base": wm, "folded_deltas": list(d["deltas"])}
+            for b, d in targets.items()
+        }
+        old_bases = {b: d["base"] for b, d in targets.items()}
+        self.ckpt.apply_folds(folds)
+        # GC post-commit: folded deltas + superseded bases
+        from glue_etl_pipeline_ray.stages.merge import delta_name
+
+        for b, d in targets.items():
+            for v in d["deltas"]:
+                try:
+                    os.remove(os.path.join(self.lake_dir, delta_name(b, v)))
+                except FileNotFoundError:
+                    pass
+            ob = old_bases[b]
+            if ob is not None and ob != wm:
+                try:
+                    os.remove(os.path.join(self.lake_dir, part_name(b, ob)))
+                except FileNotFoundError:
+                    pass
+        return len(targets)
 
     # ------------------------------------------------------------ compaction
     def compact(self, min_retained_seq: int | None = None) -> dict:
@@ -326,6 +423,9 @@ class ReplayEngine:
         wm = self.ckpt.watermark
         if wm < 0:
             return {"compacted_buckets": 0, "dropped_tombstones": 0}
+        if self.state_mode == "delta":
+            n = self._fold_buckets(self.ckpt.bucket_deltas, min_retained_seq)
+            return {"compacted_buckets": n, "dropped_tombstones": -1}
         versions = self.ckpt.bucket_versions
         horizon = min_retained_seq
 
@@ -385,6 +485,18 @@ class ReplayEngine:
         return out
 
     def _state_files(self, as_of: int | None = None) -> list[str]:
+        if self.state_mode == "delta":
+            from glue_etl_pipeline_ray.stages.merge import delta_name
+
+            out = []
+            for b, d in sorted(self.ckpt.bucket_deltas.items()):
+                if d["base"] is not None:
+                    out.append(os.path.join(self.lake_dir, part_name(b, d["base"])))
+                out += [
+                    os.path.join(self.lake_dir, delta_name(b, v))
+                    for v in sorted(d["deltas"])
+                ]
+            return out
         versions = (
             self.ckpt.bucket_versions if as_of is None else self.versions_as_of(as_of)
         )
@@ -393,12 +505,40 @@ class ReplayEngine:
             for b, v in sorted(versions.items())
         ]
 
+    def _delta_live_refs(self) -> list:
+        """One Ray task per bucket: fold base+deltas, return live rows."""
+        from glue_etl_pipeline_ray.stages.merge import read_bucket_state
+
+        spec, evolved = self.spec, self.ckpt.evolved
+        cols = spec.canonical_cols(evolved)
+
+        @ray.remote
+        def live_bucket(lake_dir, b, base, deltas):
+            t = read_bucket_state(spec, evolved, lake_dir, base, deltas, b)
+            return t.filter(pc.invert(t[DELETED_COL])).select(cols)
+
+        return [
+            live_bucket.remote(self.lake_dir, b, d["base"], d["deltas"])
+            for b, d in sorted(self.ckpt.bucket_deltas.items())
+        ]
+
     def final_dataset(self, as_of: int | None = None) -> "ray.data.Dataset":
         """Live table as a streaming Dataset (scale path). ``as_of``:
         committed batch id for a time-travel snapshot."""
         evolved = self.ckpt.evolved
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
+        if self.state_mode == "delta":
+            if as_of is not None:
+                raise NotImplementedError(
+                    "time travel requires state_mode='rewrite'"
+                )
+            refs = self._delta_live_refs()
+            if not refs:
+                return ray.data.from_arrow(
+                    self.spec.canonical_schema(evolved).empty_table()
+                )
+            return ray.data.from_arrow_refs(refs)
         files = self._state_files(as_of)
         if not files:
             return ray.data.from_arrow(self.spec.canonical_schema(evolved).empty_table())
@@ -413,6 +553,17 @@ class ReplayEngine:
 
     def final_table(self, as_of: int | None = None) -> pa.Table:
         """Live table assembled driver-side (test/oracle path only)."""
+        if self.state_mode == "delta":
+            if as_of is not None:
+                raise NotImplementedError(
+                    "time travel requires state_mode='rewrite'"
+                )
+            ev = self.ckpt.evolved
+            parts = ray.get(self._delta_live_refs())
+            if not parts:
+                return self.spec.canonical_schema(ev).empty_table()
+            out = pa.concat_tables(parts)
+            return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
         evolved = self.ckpt.evolved
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)

@@ -187,6 +187,41 @@ def _merge_group(
 
 
 @ray.remote
+def _delta_group(
+    spec: TableSpec,
+    evolved: tuple[tuple[str, str], ...],
+    lake_dir: str,
+    batch_id: int,
+    *slices: pa.Table,
+) -> dict:
+    """state_mode="delta" reduce: write each sink bucket's batch rows as a
+    delta file. No prior-state read -> no cross-batch chaining needed;
+    every batch's reduce wave runs fully independently."""
+    _pin_intraop_threads()
+    from glue_etl_pipeline_ray.stages.merge import write_delta_bucket
+
+    live = [s for s in slices if s.num_rows]
+    if not live:
+        return {"records": []}
+    t = live[0] if len(live) == 1 else pa.concat_tables(live)
+    b = t[BUCKET_COL].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    t = t.take(order)
+    bs = b[order]
+    records = []
+    starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+    ends = np.r_[starts[1:], len(bs)]
+    for s, e in zip(starts, ends):
+        records.append(
+            write_delta_bucket(
+                spec, evolved, lake_dir, batch_id, int(bs[s]),
+                t.slice(int(s), int(e - s)),
+            )
+        )
+    return {"records": records}
+
+
+@ray.remote
 def _warm() -> int:
     """Pre-import the hot-path deps in a worker process (polars' rayon
     pool, the package modules). Called once per core by ``warm_cluster``
@@ -238,6 +273,7 @@ def submit_batch(
     compute_hash: bool = True,
     num_exchange: int | None = None,
     split_rows: int = DEFAULT_SPLIT_ROWS,
+    state_mode: str = "rewrite",
 ) -> list:
     """Submit one micro-batch's map + merge waves WITHOUT blocking.
 
@@ -266,6 +302,17 @@ def submit_batch(
     ]
     if num_exchange == 1:
         map_refs = [[r] for r in map_refs]
+    if state_mode == "delta":
+        return [
+            _delta_group.remote(
+                spec,
+                evolved,
+                lake_dir,
+                batch_id,
+                *(map_refs[m][g] for m in range(len(map_refs))),
+            )
+            for g in range(num_exchange)
+        ]
     return [
         _merge_group.remote(
             spec,

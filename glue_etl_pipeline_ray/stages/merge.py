@@ -66,6 +66,14 @@ def state_schema(spec: TableSpec, evolved: tuple[tuple[str, str], ...]) -> pa.Sc
     )
 
 
+def delta_name(bucket: int, version: int) -> str:
+    """LSM delta file: batch ``version``'s (partially reduced) upserts for
+    bucket ``bucket``, in state-row form. Written WITHOUT reading prior
+    state — the ``state_mode="delta"`` sink is O(batch) per batch instead
+    of O(state); reads/compaction fold base+deltas by the same LWW."""
+    return f"delta-{bucket:05d}-v{version:05d}.parquet"
+
+
 def part_name(bucket: int, version: int) -> str:
     """Versioned state-file name: bucket b after batch v. Deterministic,
     so a re-run of an uncommitted batch overwrites its own orphans —
@@ -73,6 +81,60 @@ def part_name(bucket: int, version: int) -> str:
     Delta/Iceberg manifest, here with the version map in the checkpoint
     manifest instead of a log)."""
     return f"part-{bucket:05d}-v{version:05d}.parquet"
+
+
+def events_to_state(
+    spec: TableSpec, evolved: tuple[tuple[str, str], ...], group: pa.Table
+) -> tuple[pa.Table, int]:
+    """Change events -> state rows (tombstone payloads nulled for
+    determinism). Returns (state_table, n_deletes)."""
+    st_schema = state_schema(spec, evolved)
+    key_cols = spec.key_cols
+    group = group.combine_chunks()
+    deleted = pc.equal(group[spec.op_col], "DELETE")
+    n_deletes = pc.sum(deleted).as_py() or 0
+    cols = {}
+    for name in spec.canonical_cols(evolved):
+        c = group[name]
+        if name not in key_cols:
+            # null ARRAY, not scalar: pyarrow 16 if_else(mask, null_scalar,
+            # sliced_array) emits arrays with out-of-bounds offsets
+            c = pc.if_else(deleted, pa.nulls(group.num_rows, c.type), c)
+        cols[name] = c
+    cols[SEQ_COL] = group[spec.seq_col]
+    cols[DELETED_COL] = deleted
+    return pa.table(cols).cast(st_schema), n_deletes
+
+
+def lww_state(
+    spec: TableSpec,
+    evolved: tuple[tuple[str, str], ...],
+    tables: list[pa.Table],
+) -> pa.Table:
+    """Fold state tables to one row per key by max ``__seq`` — one payload
+    copy (the take); row order = key-hash ascending (deterministic; the
+    oracle comparison key-sorts the assembled live table anyway)."""
+    import numpy as np
+
+    from glue_etl_pipeline_ray.hashing import key_hash_u64
+
+    st_schema = state_schema(spec, evolved)
+    tables = [conform(t, st_schema) for t in tables]
+    combined = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    kh = key_hash_u64(*(combined[k] for k in spec.key_cols))
+    seqs = combined[SEQ_COL].to_numpy(zero_copy_only=False)
+    order = np.lexsort((seqs, kh))
+    khs = kh[order]
+    last = np.r_[khs[1:] != khs[:-1], True]
+    return combined.take(order[last]).cast(st_schema)
+
+
+def write_atomic(path: str, table: pa.Table) -> None:
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
 
 
 def merge_bucket_table(
@@ -85,7 +147,8 @@ def merge_bucket_table(
     group: pa.Table,
     compute_hash: bool = True,
 ) -> dict:
-    """Pure per-sink-bucket LWW merge + idempotent versioned write.
+    """Pure per-sink-bucket LWW merge + idempotent versioned write
+    (``state_mode="rewrite"``: O(state) per touched bucket per batch).
 
     ``group``: all (partially reduced) events of this batch whose key
     hashes to ``bucket``. Reads state ``part-{bucket}-v{prior_version}``
@@ -93,52 +156,19 @@ def merge_bucket_table(
     Returns the lineage record (incl. the new version) as a plain dict.
     Shared by both exchange paths (Dataset groupby and raw-Ray shuffle).
     """
-    import numpy as np
     import pyarrow.parquet as pq
-
-    from glue_etl_pipeline_ray.hashing import key_hash_u64
 
     st_schema = state_schema(spec, evolved)
     canonical_cols = spec.canonical_cols(evolved)
     key_cols = list(spec.key_cols)
 
-    group = group.combine_chunks()
-    deleted = pc.equal(group[spec.op_col], "DELETE")
-    n_deletes = pc.sum(deleted).as_py() or 0
-    # events -> state rows; tombstone payloads nulled for determinism
-    cols = {}
-    for name in canonical_cols:
-        c = group[name]
-        if name not in key_cols:
-            # null ARRAY, not scalar: pyarrow 16 if_else(mask, null_scalar,
-            # sliced_array) emits arrays with out-of-bounds offsets
-            c = pc.if_else(deleted, pa.nulls(group.num_rows, c.type), c)
-        cols[name] = c
-    cols[SEQ_COL] = group[spec.seq_col]
-    cols[DELETED_COL] = deleted
-    incoming = pa.table(cols).cast(st_schema)
-
+    incoming, n_deletes = events_to_state(spec, evolved, group)
+    tables = [incoming]
     if prior_version is not None:
         prior_path = os.path.join(lake_dir, part_name(bucket, prior_version))
-        prior = conform(pq.read_table(prior_path), st_schema)
-        combined = pa.concat_tables([prior, incoming])
-    else:
-        combined = incoming
-
-    # LWW by max seq per key, one payload copy (the take); state-file row
-    # order = key-hash ascending (deterministic; the oracle comparison
-    # key-sorts the assembled live table anyway)
-    kh = key_hash_u64(*(combined[k] for k in key_cols))
-    seqs = combined[SEQ_COL].to_numpy(zero_copy_only=False)
-    order = np.lexsort((seqs, kh))
-    khs = kh[order]
-    last = np.r_[khs[1:] != khs[:-1], True]
-    new_state = combined.take(order[last]).cast(st_schema)
-
-    out = os.path.join(lake_dir, part_name(bucket, batch_id))
-    tmp = f"{out}.tmp.{os.getpid()}"
-    pq.write_table(new_state, tmp)
-    os.replace(tmp, out)
+        tables.insert(0, pq.read_table(prior_path))
+    new_state = lww_state(spec, evolved, tables)
+    write_atomic(os.path.join(lake_dir, part_name(bucket, batch_id)), new_state)
 
     live = new_state.filter(pc.invert(new_state[DELETED_COL])).select(
         canonical_cols
@@ -155,6 +185,61 @@ def merge_bucket_table(
         "n_tombstones": new_state.num_rows - live.num_rows,
         "sha256": digest,
     }
+
+
+def write_delta_bucket(
+    spec: TableSpec,
+    evolved: tuple[tuple[str, str], ...],
+    lake_dir: str,
+    batch_id: int,
+    bucket: int,
+    group: pa.Table,
+) -> dict:
+    """``state_mode="delta"`` sink: append this batch's (partially
+    reduced) state rows as ``delta-{bucket}-v{batch}`` WITHOUT reading
+    prior state — O(batch) per batch regardless of state size (the LSM
+    path for 10^10-event replays where state >> batch). LWW is deferred
+    to reads/compaction; per-batch live counts are therefore not known
+    here (``n_live=-1``)."""
+    incoming, n_deletes = events_to_state(spec, evolved, group)
+    write_atomic(os.path.join(lake_dir, delta_name(bucket, batch_id)), incoming)
+    return {
+        "bucket": bucket,
+        "version": batch_id,
+        "batch_id": batch_id,
+        "n_events": group.num_rows,
+        "n_upserts": group.num_rows - n_deletes,
+        "n_deletes": n_deletes,
+        "n_live": -1,
+        "n_tombstones": -1,
+        "sha256": "",
+    }
+
+
+def read_bucket_state(
+    spec: TableSpec,
+    evolved: tuple[tuple[str, str], ...],
+    lake_dir: str,
+    base_version: int | None,
+    delta_versions: list[int],
+    bucket: int,
+) -> pa.Table:
+    """Fold a delta-mode bucket (base + ordered deltas) to its current
+    state rows."""
+    import pyarrow.parquet as pq
+
+    tables = []
+    if base_version is not None:
+        tables.append(
+            pq.read_table(os.path.join(lake_dir, part_name(bucket, base_version)))
+        )
+    for v in sorted(delta_versions):
+        tables.append(
+            pq.read_table(os.path.join(lake_dir, delta_name(bucket, v)))
+        )
+    if not tables:
+        return state_schema(spec, evolved).empty_table()
+    return lww_state(spec, evolved, tables)
 
 
 def make_merge_fn(

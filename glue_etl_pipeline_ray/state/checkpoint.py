@@ -57,8 +57,36 @@ class CheckpointManager:
         uncommitted orphans)."""
         return {int(b): int(v) for b, v in self._m.get("bucket_versions", {}).items()}
 
+    @property
+    def bucket_deltas(self) -> dict[int, dict]:
+        """state_mode="delta" pointers: ``bucket -> {"base": version|None,
+        "deltas": [versions...]}`` (the LSM manifest)."""
+        out = {}
+        for b, d in self._m.get("bucket_deltas", {}).items():
+            out[int(b)] = {"base": d["base"], "deltas": list(d["deltas"])}
+        return out
+
     def is_committed(self, batch_id: int) -> bool:
         return batch_id in self.committed
+
+    def append_deltas(self, new_deltas: dict[int, int]) -> None:
+        """Record batch deltas (called inside commit_batch via
+        new_deltas=)."""
+        bd = self._m.setdefault("bucket_deltas", {})
+        for b, v in new_deltas.items():
+            ent = bd.setdefault(str(b), {"base": None, "deltas": []})
+            if v not in ent["deltas"]:
+                ent["deltas"].append(v)
+
+    def apply_folds(self, folds: dict[int, dict]) -> None:
+        """Atomically record compaction results: ``bucket -> {"base":
+        new_base_version, "folded_deltas": [...]}``."""
+        bd = self._m.setdefault("bucket_deltas", {})
+        for b, f in folds.items():
+            ent = bd.setdefault(str(b), {"base": None, "deltas": []})
+            ent["base"] = f["base"]
+            ent["deltas"] = [v for v in ent["deltas"] if v not in set(f["folded_deltas"])]
+        self._write(self._m)
 
     def commit_batch(
         self,
@@ -66,6 +94,7 @@ class CheckpointManager:
         evolved: tuple[tuple[str, str], ...],
         summary: dict,
         new_versions: dict[int, int] | None = None,
+        new_deltas: dict[int, int] | None = None,
     ) -> None:
         m = self._m
         if batch_id not in m["committed"]:
@@ -77,6 +106,8 @@ class CheckpointManager:
             bv = m.setdefault("bucket_versions", {})
             for b, v in new_versions.items():
                 bv[str(b)] = int(v)
+        if new_deltas:
+            self.append_deltas(new_deltas)
         self._write(m)
 
     def _write(self, m: dict) -> None:
