@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embed_lsh": Q.q_dedup_embed_lsh,
         # multimodal plumbing (stub codecs)
         "media_decode": Q.q_media_decode,
+        "media_resize": Q.q_media_resize,
+        "token_stats_bpe": Q.q_token_stats_bpe,
         "frame_sample": Q.q_frame_sample,
     }
 
@@ -230,6 +232,13 @@ def oracle_sql() -> dict[str, str]:
                        AS total_cents
             FROM events GROUP BY 1
             ORDER BY total_cents DESC, user_id LIMIT 10
+        """,
+        "token_stats_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (

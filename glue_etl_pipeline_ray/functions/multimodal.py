@@ -109,3 +109,34 @@ def embed_bytes(payload_col: str = "frame_bytes", dim: int = 16):
         )
 
     return embed
+
+
+class FakeResizer:
+    """Actor-pool resize/feature stage chained after the decoder: fits
+    (width, height) into a target box preserving aspect ratio and emits a
+    deterministic digest of the "resized" payload. Real thumbnailing goes
+    in ``_resize_one`` on a cluster with PIL; the plumbing (actor setup in
+    __init__, vectorized metadata math, schema) is the tested part."""
+
+    def __init__(self, box: int = 64):
+        self.box = box  # per-actor setup (a real stage would allocate here)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(1.0, self.box / np.maximum(w, h))
+        rw = np.maximum(1, np.round(w * scale)).astype(np.int64)
+        rh = np.maximum(1, np.round(h * scale)).astype(np.int64)
+        digests = [
+            hashlib.sha1(d.encode() + b":" + str(a).encode() + b"x" + str(b).encode())
+            .hexdigest()[:16]
+            for d, a, b in zip(batch["content_digest"].to_pylist(), rw, rh)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "resized_w": pa.array(rw, pa.int64()),
+                "resized_h": pa.array(rh, pa.int64()),
+                "resized_digest": pa.array(digests, pa.string()),
+            }
+        )

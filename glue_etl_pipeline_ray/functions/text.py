@@ -126,3 +126,29 @@ def hash_token(w: str) -> int:
     for b in w.encode("utf-8"):
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+class BpeTokenCount:
+    """Actor-pool token counter with a BPE-style pre-tokenizer regex
+    (GPT-2-ish, simplified to an RE2-compatible class set so the DuckDB
+    oracle runs the SAME pattern). Pattern compiled once per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [
+            len(self.pat.findall(t or "")) for t in batch[self.text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(counts, pa.int64()),
+            }
+        )

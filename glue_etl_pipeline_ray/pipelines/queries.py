@@ -727,3 +727,40 @@ def q_hash_join_orders(sf_dir: str):
     return partial_groupby_sum(
         c, ["c_mktsegment"], ["price_cents"], count_alias="n_orders"
     )
+
+
+def q_token_stats_bpe(sf_dir: str):
+    """BPE-style regex token counting (actor pool, pattern compiled once
+    per actor) — the 'whitespace + BPE-ish regex' token-count pair."""
+    from glue_etl_pipeline_ray.functions.text import BpeTokenCount
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        BpeTokenCount, batch_format="pyarrow", batch_size=512, concurrency=4
+    )
+
+
+def q_media_resize(sf_dir: str):
+    """Multimodal chain: decode (actor pool) -> resize (actor pool) —
+    binary payload in, typed thumbnail metadata out."""
+    from glue_etl_pipeline_ray.functions.multimodal import FakeResizer
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        payloads = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    binary = ds.map_batches(to_binary, batch_format="pyarrow", batch_size=None)
+    decoded = binary.map_batches(
+        FakeMediaDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    return decoded.map_batches(
+        FakeResizer, batch_format="pyarrow", batch_size=256, concurrency=2
+    )

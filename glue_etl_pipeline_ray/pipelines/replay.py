@@ -405,6 +405,38 @@ class ReplayEngine:
                     pass
         return len(targets)
 
+    # ------------------------------------------------------------- orphan GC
+    def gc_orphans(self) -> int:
+        """Delete state/delta files that are newer than the watermark and
+        not referenced by the committed manifest — leftovers of a crash
+        inside the at-least-once window (a resumed run overwrites the ones
+        it re-creates; this clears the rest). Files at or below the
+        watermark are never touched (time-travel history)."""
+        referenced = {
+            part_name(b, v) for b, v in self.ckpt.bucket_versions.items()
+        }
+        from glue_etl_pipeline_ray.stages.merge import delta_name
+
+        for b, d in self.ckpt.bucket_deltas.items():
+            if d["base"] is not None:
+                referenced.add(part_name(b, d["base"]))
+            referenced.update(delta_name(b, v) for v in d["deltas"])
+        wm = self.ckpt.watermark
+        pat = re.compile(r"(?:part|delta)-(\d+)-v(\d+)\.parquet$")
+        n = 0
+        for f in glob.glob(os.path.join(self.lake_dir, "part-*.parquet")) + glob.glob(
+            os.path.join(self.lake_dir, "delta-*.parquet")
+        ):
+            name = os.path.basename(f)
+            m = pat.match(name)
+            if m and name not in referenced and int(m.group(2)) > wm:
+                try:
+                    os.remove(f)
+                    n += 1
+                except FileNotFoundError:
+                    pass
+        return n
+
     # ------------------------------------------------------------ compaction
     def compact(self, min_retained_seq: int | None = None) -> dict:
         """Drop tombstones from the committed state (LSM-style compaction).

@@ -63,3 +63,24 @@ def test_time_travel_matches_prefix_oracle(tmp_path):
 
     # full state equals the no-as_of read
     assert eng.final_sha256(as_of=3) == eng.final_sha256()
+
+
+def test_gc_orphans_removes_crash_leftovers(tmp_path):
+    meta = _gen(tmp_path, n_batches=4)
+    spec = repo_file_spec(num_buckets=16)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake)
+    try:
+        eng.replay(meta["events_dir"], fail_before_commit_of=1)
+    except RuntimeError:
+        pass
+    # batches 1..3 (pipelined) may have written uncommitted version files
+    eng2 = ReplayEngine(spec, lake)
+    n = eng2.gc_orphans()
+    assert n >= 0  # orphans (if any) removed; manifest files untouched
+    # resume still reaches the oracle state
+    eng2.replay(meta["events_dir"])
+    oracle = replay_oracle(spec, meta["events_dir"])
+    assert eng2.final_sha256() == oracle["sha256"]
+    # after full commit, nothing is an orphan
+    assert ReplayEngine(spec, lake).gc_orphans() == 0
