@@ -493,7 +493,7 @@ class ReplayEngine:
                 "compacted_buckets": len(new_versions),
                 "dropped_tombstones": dropped,
             }
-            self.ckpt.commit_batch(wm, self.ckpt.evolved, summary, new_versions)
+            self.ckpt.record_compaction(summary, new_versions)
             for b, v_new in new_versions.items():
                 v_old = versions.get(b)
                 if v_old is not None and v_old != v_new:

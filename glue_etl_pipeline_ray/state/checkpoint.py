@@ -78,6 +78,19 @@ class CheckpointManager:
             if v not in ent["deltas"]:
                 ent["deltas"].append(v)
 
+    def record_compaction(
+        self, summary: dict, new_versions: dict[int, int]
+    ) -> None:
+        """Rewrite-mode compaction: bump bucket pointers + log the event
+        WITHOUT touching any batch's summary (compactions are not
+        batches)."""
+        m = self._m
+        m.setdefault("compactions", []).append(summary)
+        bv = m.setdefault("bucket_versions", {})
+        for b, v in new_versions.items():
+            bv[str(b)] = int(v)
+        self._write(m)
+
     def apply_folds(self, folds: dict[int, dict]) -> None:
         """Atomically record compaction results: ``bucket -> {"base":
         new_base_version, "folded_deltas": [...]}``."""
