@@ -98,6 +98,7 @@ class ReplayEngine:
         gc_old_versions: bool = True,
         state_mode: str = "rewrite",
         fold_threshold: int = 8,
+        event_filter=None,
     ):
         """``exchange``: "raycore" (default) = pipelined map-side-partition
         shuffle on Ray core (stages/exchange.py); "groupby" = pure Dataset
@@ -128,6 +129,7 @@ class ReplayEngine:
         self.gc_old_versions = gc_old_versions
         self.state_mode = state_mode
         self.fold_threshold = max(1, fold_threshold)
+        self.event_filter = event_filter
         os.makedirs(lake_dir, exist_ok=True)
         self.ckpt = CheckpointManager(lake_dir)
 
@@ -223,6 +225,7 @@ class ReplayEngine:
                 compute_hash=self.compute_bucket_hash,
                 num_exchange=ne,
                 state_mode=self.state_mode,
+                event_filter=self.event_filter,
             )
             if self.state_mode == "rewrite":
                 # chain per-group merges; delta merges are independent
@@ -255,6 +258,10 @@ class ReplayEngine:
         n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
         ds = ray.data.read_parquet(files)
+        if self.event_filter is not None:
+            ds = ds.map_batches(
+                self.event_filter, batch_format="pyarrow", batch_size=None
+            )
         ds = ds.map_batches(
             ValidateFn(spec, dlq_dir),
             batch_format="pyarrow",

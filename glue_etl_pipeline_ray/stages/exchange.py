@@ -101,8 +101,10 @@ def _map_chunk(
     chunk: list[tuple[str, list[int]]],
     dlq_dir: str,
     num_exchange: int,
+    event_filter=None,
 ):
-    """read -> validate -> evolve -> partial LWW -> G bucket-range slices."""
+    """read -> [route filter] -> validate -> evolve -> partial LWW ->
+    G bucket-range slices."""
     _pin_intraop_threads()
     parts = [pq.ParquetFile(f).read_row_groups(rgs) for f, rgs in chunk]
     t = (
@@ -110,6 +112,10 @@ def _map_chunk(
         if len(parts) == 1
         else pa.concat_tables(parts, promote_options="permissive")
     )
+    if event_filter is not None:
+        # demux predicate (reference M5 analog): this engine instance only
+        # consumes its logical table's events
+        t = event_filter(t)
     t = ValidateFn(spec, dlq_dir)(t)
     t = make_evolve_fn(spec, evolved)(t)
 
@@ -274,6 +280,7 @@ def submit_batch(
     num_exchange: int | None = None,
     split_rows: int = DEFAULT_SPLIT_ROWS,
     state_mode: str = "rewrite",
+    event_filter=None,
 ) -> list:
     """Submit one micro-batch's map + merge waves WITHOUT blocking.
 
@@ -296,7 +303,7 @@ def submit_batch(
     chunks = plan_chunks(files, target_chunks=n_chunks)
     map_refs = [
         _map_chunk.options(num_returns=num_exchange).remote(
-            spec, evolved, ch, dlq_dir, num_exchange
+            spec, evolved, ch, dlq_dir, num_exchange, event_filter
         )
         for ch in chunks
     ]

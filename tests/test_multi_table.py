@@ -1,0 +1,55 @@
+"""One change stream demuxed into two logical table lakes (the
+reference's six-table routing, SURVEY.md M5/2.10)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from glue_etl_pipeline_ray.gen import generate_change_events
+from glue_etl_pipeline_ray.oracle import replay_oracle
+from glue_etl_pipeline_ray.pipelines.multi import MultiTableReplayer
+from glue_etl_pipeline_ray.spec import repo_file_spec
+
+
+def test_demux_two_tables_match_filtered_oracles(tmp_path):
+    # locally-defined filters: cloudpickle ships them by value into the
+    # map tasks (a module-level test function would be imported by name,
+    # which workers can't resolve)
+    def _route_org0(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+
+    def _route_rest(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+        )
+
+    meta = generate_change_events(
+        str(tmp_path), n_events=5000, n_repos=15, n_paths=40, n_batches=3,
+        seed=13, delete_frac=0.15, dirty_frac=0.03,
+    )
+    spec = repo_file_spec(num_buckets=8)
+    multi = MultiTableReplayer(
+        str(tmp_path / "lakes"),
+        {"org0_files": (spec, _route_org0), "other_files": (spec, _route_rest)},
+    )
+    res = multi.replay(meta["events_dir"])
+    assert all(r["applied_batches"] == [0, 1, 2] for r in res.values())
+
+    # oracle per table: filter the raw stream the same way, replay serially
+    for name, flt in (("org0_files", _route_org0), ("other_files", _route_rest)):
+        odir = tmp_path / f"oracle_{name}" / "events"
+        os.makedirs(odir)
+        for f in meta["files"]:
+            pq.write_table(flt(pq.read_table(f)), str(odir / os.path.basename(f)))
+        oracle = replay_oracle(spec, str(odir))
+        assert multi.engines[name].final_sha256() == oracle["sha256"], name
+
+    # every live key lives in exactly one table
+    a = multi.engines["org0_files"].final_table()
+    b = multi.engines["other_files"].final_table()
+    keys_a = set(zip(a["repo"].to_pylist(), a["path"].to_pylist()))
+    keys_b = set(zip(b["repo"].to_pylist(), b["path"].to_pylist()))
+    assert not (keys_a & keys_b)
+    assert all(r.startswith("org0/") for r, _ in keys_a)
