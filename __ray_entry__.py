@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": Q.q_media_resize,
         "token_stats_bpe": Q.q_token_stats_bpe,
         "frame_sample": Q.q_frame_sample,
+        "media_embed": Q.q_media_embed,
     }
 
 

@@ -764,3 +764,41 @@ def q_media_resize(sf_dir: str):
     return decoded.map_batches(
         FakeResizer, batch_format="pyarrow", batch_size=256, concurrency=2
     )
+
+
+def q_media_embed(sf_dir: str):
+    """Multimodal feature extraction: frame-sample (actor pool) ->
+    batched embed (the GPU-stage stub) -> per-doc feature count + L1 norm
+    in scaled ints (deterministic across float orders)."""
+    from glue_etl_pipeline_ray.functions.multimodal import FrameSampler, embed_bytes
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        payloads = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    frames = (
+        ds.map_batches(to_binary, batch_format="pyarrow", batch_size=None)
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .map_batches(embed_bytes(), batch_format="pyarrow", batch_size=256)
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        feats = t["feature"].combine_chunks()
+        flat = feats.flatten().to_numpy(zero_copy_only=False)
+        n = len(feats)
+        dims = np.diff(feats.offsets.to_numpy(zero_copy_only=False))
+        l1 = np.add.reduceat(np.abs(flat), feats.offsets.to_numpy(zero_copy_only=False)[:-1]) if n else np.array([])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "frame_idx": t["frame_idx"],
+                "feat_dim": pa.array(dims, pa.int64()),
+                "l1_e4": pa.array(np.round(l1 * 10_000).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return frames.map_batches(summarize, batch_format="pyarrow", batch_size=None)
