@@ -6,9 +6,12 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay at sf0.001 (events table -> change
   stream -> exactly-once upserted user-state lake) returning the live
   table as a Dataset.
-- ``queries()``: one entry per operator family from SURVEY.md section 2
-  plus the training-data operators (dedup / similarity / text /
-  multimodal).
+- ``queries()``: 35 pipelines — one per operator family from SURVEY.md
+  section 2 (flatten/validate/evolve/joins incl. as-of and hash,
+  windowed aggregates, partitioned writes) plus the training-data
+  operators (dedup exact/minhash/simhash/ngram/embedding, ANN search,
+  text analysis, multimodal chains). SURVEY.md section 8 maps each to
+  its implementation.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query. Aggregates use
   scaled-integer measures (cents / e4 / e6) so engine and oracle match
   bit-for-bit; fuzzy operators (minhash/simhash LSH, IVF-ANN, lang-id,
