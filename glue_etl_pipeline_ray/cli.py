@@ -1,0 +1,84 @@
+"""Job entry point: ``ray job submit -- python -m glue_etl_pipeline_ray.cli ...``.
+
+The ``ray job submit`` story from BASELINE.json's north_rule: on a real
+cluster the driver below runs inside the job (``ray.init(address="auto")``
+connects to the running cluster); locally it starts a local session. This
+is the ONLY module in the package that may call ``ray.init`` — and only
+under ``__main__``.
+
+Subcommands:
+
+- ``replay``  : apply pending change-event batches to a lake.
+- ``compact`` : fold deltas / drop tombstones.
+- ``verify``  : recompute the live-table sha256 (prints it).
+- ``gc``      : remove crash orphans.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_engine(args):
+    from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
+    from glue_etl_pipeline_ray.spec import repo_file_spec
+
+    return ReplayEngine(
+        repo_file_spec(num_buckets=args.num_buckets),
+        args.lake,
+        compute_bucket_hash=not args.no_bucket_hash,
+        state_mode=args.state_mode,
+        window=args.window,
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="glue_etl_pipeline_ray")
+    p.add_argument("command", choices=["replay", "compact", "verify", "gc"])
+    p.add_argument("--events", help="events dir (batch=N.parquet files)")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--state-mode", choices=["rewrite", "delta"], default="rewrite")
+    p.add_argument("--window", type=int, default=4)
+    p.add_argument("--no-bucket-hash", action="store_true")
+    p.add_argument("--address", default=None,
+                   help='ray address ("auto" inside ray job submit; default local)')
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.address:
+            kw["address"] = args.address
+        else:
+            kw["address"] = "local"
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+
+    try:
+        eng = build_engine(args)
+        if args.command == "replay":
+            if not args.events:
+                p.error("replay requires --events")
+            out = eng.replay(args.events)
+            out = {k: v for k, v in out.items() if k != "summaries"}
+        elif args.command == "compact":
+            out = eng.compact()
+        elif args.command == "verify":
+            out = {"sha256": eng.final_sha256(),
+                   "n_live": eng.final_table().num_rows}
+        else:
+            out = {"orphans_removed": eng.gc_orphans()}
+        print(json.dumps(out))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

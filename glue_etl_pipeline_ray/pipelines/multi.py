@@ -51,8 +51,126 @@ class MultiTableReplayer:
             for name, (spec, flt) in tables.items()
         }
 
-    def replay(self, events_dir: str) -> dict[str, dict]:
-        return {n: e.replay(events_dir) for n, e in self.engines.items()}
+    def replay(self, events_dir: str, shared_scan: bool = False) -> dict[str, dict]:
+        """``shared_scan=True``: one map wave reads each chunk once and
+        feeds every table's merge wave (read amplification 1, rewrite
+        state mode only); default runs one engine pass per table (the
+        simple composition)."""
+        if not shared_scan:
+            return {n: e.replay(events_dir) for n, e in self.engines.items()}
+        return self._replay_shared(events_dir)
+
+    def _replay_shared(self, events_dir: str) -> dict[str, dict]:
+        import pyarrow.parquet as pq
+
+        import ray
+
+        from glue_etl_pipeline_ray.pipelines.replay import discover_batches
+        from glue_etl_pipeline_ray.stages.evolve import discover_evolved
+        from glue_etl_pipeline_ray.stages.exchange import (
+            default_num_exchange,
+            group_of,
+            submit_batch_multi,
+        )
+
+        engines = self.engines
+        any_eng = next(iter(engines.values()))
+        assert all(e.state_mode == "rewrite" for e in engines.values()), (
+            "shared_scan supports state_mode='rewrite'"
+        )
+        ne = any_eng.num_exchange or default_num_exchange(any_eng.spec)
+
+        # per-(table, group) chains seeded from each table's manifest
+        prev: dict[str, list] = {}
+        for n, e in engines.items():
+            chains = [{"versions": {}} for _ in range(ne)]
+            for b, v in e.ckpt.bucket_versions.items():
+                chains[group_of(b, ne, e.spec.num_buckets)]["versions"][b] = v
+            prev[n] = chains
+        evolved = {n: e.ckpt.evolved for n, e in engines.items()}
+
+        batches = discover_batches(events_dir)
+        pending = [
+            (b, fs)
+            for b, fs in batches
+            if any(not e.ckpt.is_committed(b) for e in engines.values())
+        ]
+        window = any_eng.window
+        inflight: list[dict] = []
+        summaries: dict[str, list] = {n: [] for n in engines}
+
+        def drain_one():
+            fl = inflight.pop(0)
+            for n, e in engines.items():
+                outs = ray.get(fl["refs"][n])
+                records = [r for o in outs for r in o["records"]]
+                new_versions = {
+                    rec["bucket"]: rec["version"]
+                    for o in outs
+                    for rec in o["records"]
+                }
+                summaries[n].append(
+                    e._finish_batch(
+                        fl["batch_id"],
+                        fl["evolved"][n],
+                        fl["n_events"],
+                        fl["dlq"][n],
+                        records,
+                        new_versions,
+                    )
+                )
+
+        import os as _os
+
+        for bid, files in pending:
+            for f in files:
+                sch = pq.read_schema(f)
+                for n, e in engines.items():
+                    evolved[n] = discover_evolved(e.spec, sch, evolved[n])
+            dlq = {
+                n: _os.path.join(e.lake_dir, "_dlq", f"batch={bid:05d}")
+                for n, e in engines.items()
+            }
+            n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            tables = [
+                {
+                    "name": n,
+                    "spec": e.spec,
+                    "evolved": evolved[n],
+                    "filter": e.event_filter,
+                    "lake_dir": e.lake_dir,
+                    "dlq_dir": dlq[n],
+                    "prev_by_group": prev[n],
+                }
+                for n, e in engines.items()
+            ]
+            refs = submit_batch_multi(
+                tables, files, bid, ne,
+                compute_hash=any_eng.compute_bucket_hash,
+            )
+            for n in engines:
+                prev[n] = refs[n]
+            inflight.append(
+                {
+                    "batch_id": bid,
+                    "refs": refs,
+                    "evolved": dict(evolved),
+                    "dlq": dlq,
+                    "n_events": n_events,
+                }
+            )
+            if len(inflight) >= window:
+                drain_one()
+        while inflight:
+            drain_one()
+        return {
+            n: {
+                "applied_batches": [s["batch_id"] for s in summaries[n]],
+                "watermark": engines[n].ckpt.watermark,
+                "summaries": summaries[n],
+            }
+            for n in engines
+        }
 
     def final_tables(self) -> dict[str, pa.Table]:
         return {n: e.final_table() for n, e in self.engines.items()}

@@ -116,13 +116,24 @@ def _map_chunk(
         # demux predicate (reference M5 analog): this engine instance only
         # consumes its logical table's events
         t = event_filter(t)
+    slices = _validate_reduce_slice(spec, evolved, t, dlq_dir, num_exchange)
+    return tuple(slices) if num_exchange > 1 else slices[0]
+
+
+def _validate_reduce_slice(
+    spec: TableSpec,
+    evolved: tuple[tuple[str, str], ...],
+    t: pa.Table,
+    dlq_dir: str,
+    num_exchange: int,
+) -> list[pa.Table]:
+    """validate -> evolve -> fused partial LWW + bucket sort: ONE payload
+    copy (the take). Sort indices by (bucket, key-hash, seq); the last
+    row per key-hash is its max-seq survivor (the combiner, SURVEY.md
+    7.3) and survivors come out already bucket-ordered for zero-copy
+    range slicing into G exchange groups."""
     t = ValidateFn(spec, dlq_dir)(t)
     t = make_evolve_fn(spec, evolved)(t)
-
-    # fused partial LWW + bucket sort: ONE payload copy (the take).
-    # Sort indices by (bucket, key-hash, seq); the last row per key-hash
-    # is its max-seq survivor (the combiner, SURVEY.md 7.3) and survivors
-    # come out already bucket-ordered for zero-copy range slicing.
     kh = key_hash_u64(*(t[k] for k in spec.key_cols))
     seq = t[spec.seq_col].to_numpy(zero_copy_only=False)
     bucket = (kh % np.uint64(spec.num_buckets)).astype(np.int64)
@@ -136,11 +147,37 @@ def _map_chunk(
 
     ex = bucket_chosen * num_exchange // spec.num_buckets
     bounds = np.searchsorted(ex, np.arange(num_exchange + 1))
-    slices = [
+    return [
         t.slice(int(bounds[g]), int(bounds[g + 1] - bounds[g]))
         for g in range(num_exchange)
     ]
-    return tuple(slices) if num_exchange > 1 else slices[0]
+
+
+@ray.remote
+def _map_chunk_multi(
+    specs: list[TableSpec],
+    evolveds: list[tuple[tuple[str, str], ...]],
+    filters: list,
+    chunk: list[tuple[str, list[int]]],
+    dlq_dirs: list[str],
+    num_exchange: int,
+):
+    """Shared-scan demux map task: read the chunk ONCE, route it through
+    every logical table's filter -> validate -> reduce, and return
+    T x G slices (table-major). Read amplification 1 regardless of table
+    count — the fused alternative to running one engine per table."""
+    _pin_intraop_threads()
+    parts = [pq.ParquetFile(f).read_row_groups(rgs) for f, rgs in chunk]
+    t0 = (
+        parts[0]
+        if len(parts) == 1
+        else pa.concat_tables(parts, promote_options="permissive")
+    )
+    out: list[pa.Table] = []
+    for spec, evolved, flt, dlq in zip(specs, evolveds, filters, dlq_dirs):
+        t = flt(t0) if flt is not None else t0
+        out.extend(_validate_reduce_slice(spec, evolved, t, dlq, num_exchange))
+    return tuple(out) if len(out) > 1 else out[0]
 
 
 @ray.remote
@@ -266,6 +303,53 @@ def default_num_exchange(spec: TableSpec) -> int:
 
 def group_of(bucket: int, num_exchange: int, num_buckets: int) -> int:
     return bucket * num_exchange // num_buckets
+
+
+def submit_batch_multi(
+    tables: list[dict],
+    files: list[str],
+    batch_id: int,
+    num_exchange: int,
+    compute_hash: bool = True,
+    split_rows: int = DEFAULT_SPLIT_ROWS,
+) -> dict[str, list]:
+    """Shared-scan submit: one map wave feeds every table's merge wave.
+
+    ``tables``: [{"name", "spec", "evolved", "filter", "lake_dir",
+    "dlq_dir", "prev_by_group"}] — prev refs chain per (table, group).
+    Returns {name: merge refs per group}."""
+    total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    n_chunks = max(1, -(-total_rows // split_rows))
+    chunks = plan_chunks(files, target_chunks=n_chunks)
+    nt = len(tables)
+    n_ret = nt * num_exchange
+    specs = [tb["spec"] for tb in tables]
+    evolveds = [tb["evolved"] for tb in tables]
+    filters = [tb["filter"] for tb in tables]
+    dlqs = [tb["dlq_dir"] for tb in tables]
+    map_refs = [
+        _map_chunk_multi.options(num_returns=n_ret).remote(
+            specs, evolveds, filters, ch, dlqs, num_exchange
+        )
+        for ch in chunks
+    ]
+    if n_ret == 1:
+        map_refs = [[r] for r in map_refs]
+    out: dict[str, list] = {}
+    for ti, tb in enumerate(tables):
+        out[tb["name"]] = [
+            _merge_group.remote(
+                tb["spec"],
+                tb["evolved"],
+                tb["lake_dir"],
+                batch_id,
+                compute_hash,
+                tb["prev_by_group"][g],
+                *(map_refs[m][ti * num_exchange + g] for m in range(len(map_refs))),
+            )
+            for g in range(num_exchange)
+        ]
+    return out
 
 
 def submit_batch(

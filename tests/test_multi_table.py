@@ -53,3 +53,29 @@ def test_demux_two_tables_match_filtered_oracles(tmp_path):
     keys_b = set(zip(b["repo"].to_pylist(), b["path"].to_pylist()))
     assert not (keys_a & keys_b)
     assert all(r.startswith("org0/") for r, _ in keys_a)
+
+
+def test_shared_scan_demux_matches_per_table_pass(tmp_path):
+    def _route_org0(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+
+    def _route_rest(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+        )
+
+    meta = generate_change_events(
+        str(tmp_path), n_events=5000, n_repos=15, n_paths=40, n_batches=3,
+        seed=13, delete_frac=0.15, dirty_frac=0.03,
+    )
+    spec = repo_file_spec(num_buckets=8)
+    tables = {"org0_files": (spec, _route_org0), "other_files": (spec, _route_rest)}
+
+    shared = MultiTableReplayer(str(tmp_path / "lakes_shared"), tables)
+    res = shared.replay(meta["events_dir"], shared_scan=True)
+    assert all(r["applied_batches"] == [0, 1, 2] for r in res.values())
+
+    per_table = MultiTableReplayer(str(tmp_path / "lakes_sep"), tables)
+    per_table.replay(meta["events_dir"])
+
+    assert shared.final_sha256() == per_table.final_sha256()
