@@ -29,6 +29,10 @@ def partial_groupby_sum(
     """
 
     def combine(batch: pa.Table) -> pa.Table:
+        import os
+
+        # one task = one core (see stages/exchange._pin_intraop_threads)
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
 
         df = pl.from_arrow(batch)

@@ -395,6 +395,10 @@ class ReplayEngine:
         }
         old_bases = {b: d["base"] for b, d in targets.items()}
         self.ckpt.apply_folds(folds)
+        if not self.gc_old_versions:
+            # keep folded files on disk: time-travel reads rebuild any
+            # as-of state from the full delta chain in the lineage log
+            return len(targets)
         # GC post-commit: folded deltas + superseded bases
         from glue_etl_pipeline_ray.stages.merge import delta_name
 
@@ -544,12 +548,30 @@ class ReplayEngine:
             for b, v in sorted(versions.items())
         ]
 
-    def _delta_live_refs(self) -> list:
-        """One Ray task per bucket: fold base+deltas, return live rows."""
+    def _delta_live_refs(self, as_of: int | None = None) -> list:
+        """One Ray task per bucket: fold base+deltas, return live rows.
+
+        ``as_of`` (requires gc_old_versions=False): rebuild the snapshot
+        from the pure delta chain recorded in the lineage log — folds are
+        only caches, so replaying every delta <= as_of is exact."""
         from glue_etl_pipeline_ray.stages.merge import read_bucket_state
 
         spec, evolved = self.spec, self.ckpt.evolved
         cols = spec.canonical_cols(evolved)
+
+        if as_of is None:
+            pointers = [
+                (b, d["base"], d["deltas"])
+                for b, d in sorted(self.ckpt.bucket_deltas.items())
+            ]
+        else:
+            from glue_etl_pipeline_ray.state.lineage import read_lineage
+
+            chains: dict[int, list[int]] = {}
+            for rec in read_lineage(self.lake_dir):
+                if rec.get("kind") == "bucket" and rec["batch_id"] <= as_of:
+                    chains.setdefault(rec["bucket"], []).append(rec["version"])
+            pointers = [(b, None, sorted(vs)) for b, vs in sorted(chains.items())]
 
         @ray.remote
         def live_bucket(lake_dir, b, base, deltas):
@@ -557,8 +579,8 @@ class ReplayEngine:
             return t.filter(pc.invert(t[DELETED_COL])).select(cols)
 
         return [
-            live_bucket.remote(self.lake_dir, b, d["base"], d["deltas"])
-            for b, d in sorted(self.ckpt.bucket_deltas.items())
+            live_bucket.remote(self.lake_dir, b, base, deltas)
+            for b, base, deltas in pointers
         ]
 
     def final_dataset(self, as_of: int | None = None) -> "ray.data.Dataset":
@@ -568,11 +590,11 @@ class ReplayEngine:
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
         if self.state_mode == "delta":
-            if as_of is not None:
+            if as_of is not None and self.gc_old_versions:
                 raise NotImplementedError(
-                    "time travel requires state_mode='rewrite'"
+                    "delta-mode time travel requires gc_old_versions=False"
                 )
-            refs = self._delta_live_refs()
+            refs = self._delta_live_refs(as_of)
             if not refs:
                 return ray.data.from_arrow(
                     self.spec.canonical_schema(evolved).empty_table()
@@ -593,12 +615,12 @@ class ReplayEngine:
     def final_table(self, as_of: int | None = None) -> pa.Table:
         """Live table assembled driver-side (test/oracle path only)."""
         if self.state_mode == "delta":
-            if as_of is not None:
+            if as_of is not None and self.gc_old_versions:
                 raise NotImplementedError(
-                    "time travel requires state_mode='rewrite'"
+                    "delta-mode time travel requires gc_old_versions=False"
                 )
             ev = self.ckpt.evolved
-            parts = ray.get(self._delta_live_refs())
+            parts = ray.get(self._delta_live_refs(as_of))
             if not parts:
                 return self.spec.canonical_schema(ev).empty_table()
             out = pa.concat_tables(parts)

@@ -77,3 +77,22 @@ def test_delta_compact_folds_everything(tmp_path):
     # a fresh engine over the compacted lake reads the same state
     eng2 = ReplayEngine(spec, lake, state_mode="delta")
     assert eng2.final_sha256() == sha
+
+
+def test_delta_time_travel_with_history(tmp_path):
+    import shutil
+
+    meta = _gen(tmp_path, n_batches=4)
+    spec = repo_file_spec(num_buckets=16)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"), state_mode="delta",
+                       fold_threshold=2, gc_old_versions=False)
+    eng.replay(meta["events_dir"])
+
+    for as_of in (0, 1, 2, 3):
+        prefix = tmp_path / f"prefix{as_of}" / "events"
+        os.makedirs(prefix)
+        for b in range(as_of + 1):
+            name = f"batch={b:05d}.parquet"
+            shutil.copy(os.path.join(meta["events_dir"], name), prefix / name)
+        oracle = replay_oracle(spec, str(prefix))
+        assert eng.final_sha256(as_of=as_of) == oracle["sha256"], as_of
