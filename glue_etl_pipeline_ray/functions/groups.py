@@ -93,3 +93,71 @@ def grouped_first(ds: Dataset, keys: list[str], num_partitions: int = 64) -> Dat
         num_partitions,
         passthrough_singletons=True,
     )
+
+
+def raycore_grouped_apply(
+    ds: Dataset,
+    keys: list[str],
+    fn: Callable[[pa.Table], pa.Table],
+    num_groups: int = 16,
+    min_group_size: int = 1,
+) -> Dataset:
+    """`grouped_apply` on the raw-Ray two-stage exchange instead of the
+    Dataset sort-shuffle (same pattern as stages/exchange.py: map tasks
+    split blocks into G hash-range slices, G reduce tasks walk per-key
+    runs). ~5-10x lower shuffle overhead at materialized-input sizes;
+    use when the input Dataset is already materialized (it consumes
+    block refs)."""
+    import ray
+    import ray.data
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    G = max(1, num_groups)
+
+    @ray.remote
+    def split(t: pa.Table, G: int):
+        kh = key_hash_u64(*(t[k] for k in keys))
+        g = (kh % np.uint64(G)).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        t = t.take(order)
+        gs = g[order]
+        bounds = np.searchsorted(gs, np.arange(G + 1))
+        slices = [
+            t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            for i in range(G)
+        ]
+        return tuple(slices) if G > 1 else slices[0]
+
+    @ray.remote
+    def reduce(*slices: pa.Table) -> pa.Table:
+        live = [s for s in slices if s.num_rows]
+        if not live:
+            return fn(slices[0].slice(0, 0))
+        t = live[0] if len(live) == 1 else pa.concat_tables(live)
+        kh = key_hash_u64(*(t[k] for k in keys))
+        order = np.argsort(kh, kind="stable")
+        t = t.take(order)
+        khs = kh[order]
+        starts = np.flatnonzero(np.r_[True, khs[1:] != khs[:-1]])
+        ends = np.r_[starts[1:], len(khs)]
+        outs = [
+            o
+            for s, e in zip(starts, ends)
+            if (e - s) >= min_group_size
+            for o in [fn(t.slice(int(s), int(e - s)))]
+            if o.num_rows
+        ]
+        if not outs:
+            outs = [fn(t.slice(0, 0))]
+        return pa.concat_tables(outs)
+
+    map_refs = [split.options(num_returns=G).remote(r, G) for r in refs]
+    if G == 1:
+        map_refs = [[r] for r in map_refs]
+    red = [
+        reduce.remote(*(map_refs[m][g] for m in range(len(map_refs))))
+        for g in range(G)
+    ]
+    return ray.data.from_arrow_refs(red)
