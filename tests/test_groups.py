@@ -42,3 +42,24 @@ def test_grouped_apply_min_group_size_skips_singletons(ray_session):
 
     out = grouped_apply(rd.from_arrow(t), ["k"], pairs, min_group_size=2).take_all()
     assert [r["k"] for r in out] == [2]
+
+
+def test_raycore_grouped_apply_matches_dataset_path(ray_session):
+    import pyarrow.compute as pc
+
+    from glue_etl_pipeline_ray.functions.groups import raycore_grouped_apply
+
+    rng = np.random.default_rng(11)
+    n = 8000
+    t = pa.table({"k": rng.integers(0, 500, n), "v": rng.integers(0, 100, n)})
+    ds = rd.from_arrow(t).materialize()
+
+    def group_sum(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": g["k"].slice(0, 1),
+             "s": pa.array([pc.sum(g["v"]).as_py() or 0], pa.int64())}
+        )
+
+    a = {r["k"]: r["s"] for r in grouped_apply(ds, ["k"], group_sum).take_all()}
+    b = {r["k"]: r["s"] for r in raycore_grouped_apply(ds, ["k"], group_sum).take_all()}
+    assert a == b and len(a) == len(set(t["k"].to_pylist()))
