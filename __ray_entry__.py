@@ -27,17 +27,25 @@ from glue_etl_pipeline_ray.pipelines import queries as Q
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001."""
+    """Flagship pipeline: CDC replay over the BASELINE.json input_hint
+    table shape — deterministic synthetic change events on
+    ``(repo, path, commit, lang, content)`` keys, replayed through the
+    pipelined exchange into an upserted lake; returns the live table as
+    a streaming Dataset (stable 5-column schema)."""
     import os
     import tempfile
 
+    from glue_etl_pipeline_ray.gen import generate_change_events
     from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
+    from glue_etl_pipeline_ray.spec import repo_file_spec
 
-    sf_dir = "/root/testdata/sf0.001"
     work = tempfile.mkdtemp(prefix="gepr_entry_")
-    ev_dir = Q._events_as_cdc(sf_dir, work)
-    eng = ReplayEngine(Q.user_state_spec(), os.path.join(work, "lake"))
-    eng.replay(ev_dir)
+    meta = generate_change_events(
+        work, n_events=6_000, n_repos=12, n_paths=40, n_batches=3,
+        evolve_from_batch=None, seed=42,
+    )
+    eng = ReplayEngine(repo_file_spec(num_buckets=16), os.path.join(work, "lake"))
+    eng.replay(meta["events_dir"])
     return eng.final_dataset()
 
 
