@@ -62,7 +62,7 @@ def test_entry_runs_and_returns_rows():
     ds = entry.entry()
     df = _to_pandas(ds)
     assert len(df) >= 0
-    assert list(df.columns) == ["user_id", "event_type", "value_cents"]
+    assert list(df.columns) == ["repo", "path", "commit", "lang", "content"]
 
 
 def test_every_query_has_callable():
