@@ -3,10 +3,10 @@
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-- ``entry()``: flagship CDC replay at sf0.001 (events table -> change
-  stream -> exactly-once upserted user-state lake) returning the live
-  table as a Dataset.
-- ``queries()``: 35 pipelines — one per operator family from SURVEY.md
+- ``entry()``: flagship CDC replay over the input_hint table shape
+  (synthetic change events on (repo, path) keys -> exactly-once upserted
+  lake), returning the live table as a Dataset.
+- ``queries()``: 37 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of and hash,
   windowed aggregates, partitioned writes) plus the training-data
   operators (dedup exact/minhash/simhash/ngram/embedding, ANN search,
@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": Q.q_session_windows,
         "pricing_summary": Q.q_pricing_summary,
         "topk_users": Q.q_topk_users,
+        "distinct_users": Q.q_distinct_users,
+        "distinct_users_hll": Q.q_distinct_users_hll,
         # documents: dedup + text analysis
         "dedup_exact": Q.q_dedup_exact,
         "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
@@ -251,6 +253,10 @@ def oracle_sql() -> dict[str, str]:
                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "distinct_users": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+            FROM events
         """,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (

@@ -802,3 +802,35 @@ def q_media_embed(sf_dir: str):
         )
 
     return frames.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact distinct count (the shuffle path the HLL sketch avoids)."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_first
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    distinct = grouped_first(ds, ["user_id"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    parts = distinct.map_batches(count, batch_format="pyarrow", batch_size=None)
+    total = sum(r["n"] for r in parts.take_all())
+    return pa.table({"n_distinct_users": pa.array([total], pa.int64())})
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct count: one shuffle-free pass, 2^14 registers
+    per block folded by max (rel. error ~0.8%); verified within bounds
+    against the exact count in tests (rows-only gate here — the estimate
+    is intentionally not bit-equal to SQL)."""
+    from glue_etl_pipeline_ray.functions.sketch import hll_distinct
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    res = hll_distinct(ds, ["user_id"])
+    return pa.table(
+        {
+            "estimate": pa.array([int(round(res["estimate"]))], pa.int64()),
+            "p": pa.array([res["p"]], pa.int64()),
+        }
+    )

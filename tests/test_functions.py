@@ -190,3 +190,19 @@ def test_embed_cosine_pairs_brute_vs_lsh(ray_session):
     assert planted <= brute
     assert lsh <= brute
     assert len(lsh) >= len(brute) * 0.8
+
+
+def test_hll_distinct_within_error_bound(ray_session):
+    import ray.data as rd
+
+    from glue_etl_pipeline_ray.functions.sketch import hll_distinct
+
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 20_000, 100_000)  # ~19.9k distinct
+    ds = rd.from_arrow(pa.table({"k": vals}))
+    exact = len(set(vals.tolist()))
+    res = hll_distinct(ds, ["k"], p=14)
+    assert abs(res["estimate"] - exact) / exact < 3 * res["rel_error"]
