@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 37 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 39 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of and hash,
   windowed aggregates, partitioned writes) plus the training-data
   operators (dedup exact/minhash/simhash/ngram/embedding, ANN search,
@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": Q.q_pricing_summary,
         "topk_users": Q.q_topk_users,
         "distinct_users": Q.q_distinct_users,
+        "topk_per_group": Q.q_topk_per_group,
+        "cumsum_per_user": Q.q_cumsum_per_user,
         "distinct_users_hll": Q.q_distinct_users_hll,
         # documents: dedup + text analysis
         "dedup_exact": Q.q_dedup_exact,
@@ -253,6 +255,25 @@ def oracle_sql() -> dict[str, str]:
                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, price_cents, rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+                       ) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "cumsum_per_user": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS running_cents
+            FROM events
         """,
         "distinct_users": """
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users

@@ -834,3 +834,58 @@ def q_distinct_users_hll(sf_dir: str):
             "p": pa.array([res["p"]], pa.int64()),
         }
     )
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 orders by price per customer — keyed top-k without a global
+    sort: one hash shuffle, vectorized per-key partial sort."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    def top3(g: pa.Table) -> pa.Table:
+        price = g["price_cents"].to_numpy(zero_copy_only=False)
+        keys = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -price))[:3]
+        out = g.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1), pa.int64())
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return grouped_apply(prepped, ["o_custkey"], top3)
+
+
+def q_cumsum_per_user(sf_dir: str):
+    """Ordered window function: running sum of value per user by event
+    time — one hash shuffle on the key, vectorized cumsum per group."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cumsum(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        cents = (
+            np.round(g["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)[order]
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": g["user_id"].take(pa.array(order)),
+                "running_cents": pa.array(np.cumsum(cents), pa.int64()),
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], cumsum)
