@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 39 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 40 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of and hash,
   windowed aggregates, partitioned writes) plus the training-data
   operators (dedup exact/minhash/simhash/ngram/embedding, ANN search,
@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumsum_per_user": Q.q_cumsum_per_user,
         "distinct_users_hll": Q.q_distinct_users_hll,
         # documents: dedup + text analysis
+        "hash_sample": Q.q_hash_sample,
         "dedup_exact": Q.q_dedup_exact,
         "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
         "dedup_minhash": Q.q_dedup_minhash,
@@ -278,6 +279,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
             FROM events
+        """,
+        "hash_sample": """
+            SELECT doc_id, text FROM documents WHERE md5(text) < '20'
         """,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (

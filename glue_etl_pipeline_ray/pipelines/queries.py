@@ -889,3 +889,22 @@ def q_cumsum_per_user(sf_dir: str):
         )
 
     return grouped_apply(ds, ["user_id"], cumsum)
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic content-hash sampling (~1/8 of documents): rows whose
+    md5(text) starts below 0x20 — reproducible across runs/engines (the
+    scale-safe alternative to random_shuffle-based sampling: no shuffle,
+    no RNG state, stable under retries)."""
+    import hashlib
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest() < "20"
+            for x in t["text"].to_pylist()
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=None)
