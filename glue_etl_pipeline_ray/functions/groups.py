@@ -28,6 +28,51 @@ from glue_etl_pipeline_ray.hashing import key_hash_u64
 _PART_COL = "__part"
 
 
+def _collision_runs(part, keys, starts, ends) -> set[int] | None:
+    """Find hash runs whose rows do NOT all share the same real key.
+
+    Group identity below is a 64-bit key hash; two distinct keys that
+    collide would silently merge (wrong dedup/session/top-k output). This
+    vectorized guard — one take+equal per key column per partition —
+    costs ~nothing and returns the (vanishingly rare) run indices that
+    need a real-key sub-split. Returns None when every run is clean.
+    The replay merge path (stages/merge.py) instead documents the
+    collision odds and skips the check: see hashing.key_hash_u64."""
+    import pyarrow.compute as pc
+
+    sizes = ends - starts
+    if int(sizes.max(initial=0)) <= 1:
+        return None
+    ok = np.ones(int(ends[-1]) if len(ends) else 0, bool)
+    idx_arr = pa.array(np.repeat(starts, sizes), pa.int64())
+    try:
+        for k in keys:
+            col = part[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ref = col.take(idx_arr)
+            eq = pc.or_kleene(
+                pc.equal(col, ref), pc.and_(pc.is_null(col), pc.is_null(ref))
+            )
+            ok &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+    except pa.ArrowNotImplementedError:  # non-comparable key type
+        return None
+    if ok.all():
+        return None
+    bad = np.flatnonzero(~ok)
+    return set((np.searchsorted(starts, bad, side="right") - 1).tolist())
+
+
+def _true_key_groups(sl: pa.Table, keys: list[str]):
+    """Sub-split one colliding hash run by real key values, preserving
+    first-appearance order (runs are tiny; a Python walk is fine)."""
+    rows = list(zip(*(sl[k].to_pylist() for k in keys)))
+    groups: dict = {}
+    for i, r in enumerate(rows):
+        groups.setdefault(r, []).append(i)
+    return [sl.take(idxs) for idxs in groups.values()]
+
+
 def grouped_apply(
     ds: Dataset,
     keys: list[str],
@@ -62,16 +107,30 @@ def grouped_apply(
         starts = np.flatnonzero(np.r_[True, khs[1:] != khs[:-1]])
         ends = np.r_[starts[1:], len(khs)]
         sizes = ends - starts
+        bad = _collision_runs(part, keys, starts, ends)
         outs = []
         if passthrough_singletons:
             singles = starts[sizes == 1]
             if len(singles):
                 outs.append(part.take(singles))
         floor = max(min_group_size, 2 if passthrough_singletons else 1)
-        for s, e in zip(starts[sizes >= floor], ends[sizes >= floor]):
-            o = fn(part.slice(int(s), int(e - s)))
-            if o.num_rows:
-                outs.append(o)
+        for ri in np.flatnonzero(sizes >= floor):
+            s, e = int(starts[ri]), int(ends[ri])
+            if bad and int(ri) in bad:
+                subs = _true_key_groups(part.slice(s, e - s), keys)
+            else:
+                subs = [part.slice(s, e - s)]
+            for g in subs:
+                if g.num_rows < min_group_size:
+                    if passthrough_singletons and g.num_rows == 1:
+                        outs.append(g)
+                    continue
+                if passthrough_singletons and g.num_rows == 1:
+                    outs.append(g)
+                    continue
+                o = fn(g)
+                if o.num_rows:
+                    outs.append(o)
         if not outs:  # typed empty output for schema stability (0-row in,
             outs = [fn(part.slice(0, 0))]  # so fn can't invent rows)
         return pa.concat_tables(outs)
@@ -142,11 +201,17 @@ def raycore_grouped_apply(
         khs = kh[order]
         starts = np.flatnonzero(np.r_[True, khs[1:] != khs[:-1]])
         ends = np.r_[starts[1:], len(khs)]
+        bad = _collision_runs(t, keys, starts, ends)
         outs = [
             o
-            for s, e in zip(starts, ends)
-            if (e - s) >= min_group_size
-            for o in [fn(t.slice(int(s), int(e - s)))]
+            for ri, (s, e) in enumerate(zip(starts, ends))
+            for g in (
+                _true_key_groups(t.slice(int(s), int(e - s)), keys)
+                if bad and ri in bad
+                else [t.slice(int(s), int(e - s))]
+            )
+            if g.num_rows >= min_group_size
+            for o in [fn(g)]
             if o.num_rows
         ]
         if not outs:

@@ -134,9 +134,22 @@ class ReplayEngine:
         self.ckpt = CheckpointManager(lake_dir)
 
     # ---------------------------------------------------------------- replay
-    def replay(self, events_dir: str, fail_before_commit_of: int | None = None) -> dict:
-        """Apply all not-yet-committed batches in id order. Returns run
-        summary.
+    def replay(
+        self,
+        events_dir: str,
+        fail_before_commit_of: int | None = None,
+        max_batches: int | None = None,
+        max_events: int | None = None,
+    ) -> dict:
+        """Apply not-yet-committed batches in id order. Returns run summary.
+
+        ``max_batches`` / ``max_events``: per-run work budget — stop taking
+        pending batches once the cap is reached (at least one batch is
+        always taken so a single oversized batch cannot stall the cursor).
+        The reference caps each workflow run at 500 files for bounded
+        recovery (``update_workflow_properties.py:152-160``); repeated
+        capped runs converge to the same committed state as one uncapped
+        run (sha256-tested).
 
         ``fail_before_commit_of``: test hook (FIXTURES.md F6) — raise after
         the named batch's merges land but before its checkpoint commit,
@@ -144,6 +157,16 @@ class ReplayEngine:
         """
         batches = discover_batches(events_dir)
         pending = [(b, fs) for b, fs in batches if not self.ckpt.is_committed(b)]
+        if max_batches is not None:
+            pending = pending[: max(1, max_batches)]
+        if max_events is not None and pending:
+            budget, cut = max_events, 0
+            for _, fs in pending:
+                budget -= sum(pq.ParquetFile(f).metadata.num_rows for f in fs)
+                cut += 1
+                if budget <= 0:
+                    break
+            pending = pending[:cut]
         if self.exchange == "raycore":
             summaries = self._replay_pipelined(pending, fail_before_commit_of)
         else:
@@ -505,13 +528,19 @@ class ReplayEngine:
                 "dropped_tombstones": dropped,
             }
             self.ckpt.record_compaction(summary, new_versions)
-            for b, v_new in new_versions.items():
-                v_old = versions.get(b)
-                if v_old is not None and v_old != v_new:
-                    try:
-                        os.remove(os.path.join(self.lake_dir, part_name(b, v_old)))
-                    except FileNotFoundError:
-                        pass
+            # on a history-retaining lake (gc_old_versions=False) the old
+            # versions back time-travel snapshot pointers — keep them, like
+            # _fold_buckets does
+            if self.gc_old_versions:
+                for b, v_new in new_versions.items():
+                    v_old = versions.get(b)
+                    if v_old is not None and v_old != v_new:
+                        try:
+                            os.remove(
+                                os.path.join(self.lake_dir, part_name(b, v_old))
+                            )
+                        except FileNotFoundError:
+                            pass
         return {"compacted_buckets": len(new_versions), "dropped_tombstones": dropped}
 
     # ----------------------------------------------------------- final state

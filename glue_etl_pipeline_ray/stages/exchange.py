@@ -134,6 +134,11 @@ def _validate_reduce_slice(
     range slicing into G exchange groups."""
     t = ValidateFn(spec, dlq_dir)(t)
     t = make_evolve_fn(spec, evolved)(t)
+    if t.num_rows == 0:
+        # a route filter or whole-chunk quarantine can drain a chunk;
+        # np.r_ below would build a length-1 mask over an empty array
+        empty = t.append_column(BUCKET_COL, pa.array([], pa.int64()))
+        return [empty] * num_exchange
     kh = key_hash_u64(*(t[k] for k in spec.key_cols))
     seq = t[spec.seq_col].to_numpy(zero_copy_only=False)
     bucket = (kh % np.uint64(spec.num_buckets)).astype(np.int64)
