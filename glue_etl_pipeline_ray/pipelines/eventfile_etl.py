@@ -1,52 +1,77 @@
-"""The reference's five-job event-file ETL as ONE streaming Ray pipeline.
+"""The reference's five-job event-file ETL as ONE single-pass Ray wave.
 
 Reference flow (SURVEY.md 3.1): pre-job work-list -> profile-job
 (split + Cerberus validate + dead-letter) -> flat-job (classify by
 service x type + per-service fix-ups) -> convert-job (project nested
-fields to flat columns, derive y/m/d/h, partitioned Parquet append) ->
-post-job commit. Here each Glue job is a stage on the same Dataset —
-no S3 staging hops, no per-job processes, same contract:
+fields, derive y/m/d/h, partitioned Parquet append) -> post-job commit.
 
-    read_event_files(blobs)                      # S2+S3 (B1/B2 fixed)
-      -> classify (service, kind)                # M2/M5
-      -> per-table: rules validate -> DLQ        # M3/M4 (ST1 analog)
-                    fix-ups (casts, list-promote,
-                    null backfill)               # M6-M10
-                    projection to flat schema    # M12
-                    y/m/d/h partition derive     # M13
-                    write_parquet(partition_cols)# S7
-      -> per-table lineage counts                # M14/A1/A2
+Here the whole flow is one map wave over deterministic blob chunks; each
+task parses its events ONCE and routes every event to exactly one of
+{table partition file, dead-letter file} (ref bugs B1/B2/B4 fixed):
 
-A logical table = an :class:`EventTableSpec` (the 2.10 extension surface:
-adding a "microservice" is one new spec entry, vs the reference's three
-files). Unknown (service, kind) pairs dead-letter — they neither crash
-the run (ref bug B4, ``flat_jsons.py:234-239``) nor vanish (B2).
+    chunk of blobs -> split concat-JSON -> source filter -> classify
+      -> envelope validate (nested anyof rules)   # M2-M4, ST1
+      -> fix-ups -> project (nested schemas ok)   # M5-M12
+      -> y/m/d/h derive (unparseable time -> DLQ) # M13
+      -> write out/{TABLE}/year=/month=/day=/hour=/part-c{chunk}.parquet
+         + out/_dlq/part-c{chunk}.parquet         # S7, S4
+
+Design points for 100 TB:
+
+- **No materialization, no shuffle, read amplification 1**: each blob is
+  read once; per-table output is written straight from the map task
+  (the round-1 design materialized the union dataset and re-filtered it
+  once per table).
+- **Deterministic, idempotent output**: chunking is a pure function of
+  the sorted input list and ``files_per_task`` (NOT cluster size), and
+  every output file is named by its chunk id (tmp + atomic rename), so
+  re-running a failed run overwrites identical files instead of
+  appending duplicates (the reference's at-least-once append hazard,
+  SURVEY.md 2.9). A resumable caller can skip chunks whose outputs
+  exist.
+- **Raw Ray tasks, not Dataset**: the idempotency contract requires the
+  chunk -> output-file mapping to be pinned; ``map_batches`` batch
+  composition isn't deterministic across cluster sizes. Same rationale
+  as stages/exchange.py. Output file count is chunks x touched
+  partitions (same shape as a Spark partitioned append).
+
+A logical table = an :class:`EventTableSpec` (the 2.10 extension
+surface); the reference's six production tables live in
+``pipelines/event_schemas.py``. Unknown (service, kind) pairs, invalid
+envelopes, corrupt JSON spans and unparseable event times all
+dead-letter — they neither crash the run (ref bug B4,
+``flat_jsons.py:234-239``) nor vanish (B2).
 """
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
-from ray.data import Dataset
-
-from glue_etl_pipeline_ray.sources.eventfiles import read_event_files
+import ray
 
 
 @dataclass(frozen=True)
 class EventTableSpec:
-    """One logical table: route key + projection + optional fix-ups.
+    """One logical table: route key + validation + fix-ups + projection.
 
-    ``project``: (detail dict) -> flat dict of output column values.
-    ``fixups``: applied to the detail dict before projection (M6-M10
+    ``project``: (detail dict) -> dict of output column values; the
+    envelope-level ``account`` / ``event_id`` / ``date_time`` columns are
+    injected automatically when the schema declares them and the
+    projection didn't set them.
+    ``fixups``: applied to the detail dict before projection (M6-M11
     analogs); each is (detail) -> detail.
-    ``schema``: authoritative flat output schema (the reference's SQL
-    SELECT contract, ``convert_to_parquet.py:58-159``)."""
+    ``validator``: optional nested envelope validator
+    (stages/rules.DocValidator, the Cerberus M3 analog); when absent, a
+    light required-field check applies instead.
+    ``schema``: authoritative output schema (the reference's SQL SELECT
+    contract, ``convert_to_parquet.py:58-159``) — nested ``struct`` /
+    ``list<struct>`` columns supported."""
 
     service: str
     kind: str  # "event" | "prediction"
@@ -54,10 +79,12 @@ class EventTableSpec:
     project: Callable[[dict], dict]
     fixups: tuple[Callable[[dict], dict], ...] = field(default=())
     required: tuple[str, ...] = ("id", "time")
+    validator: object | None = None
+    table_name: str | None = None
 
     @property
     def name(self) -> str:
-        return f"{self.service}_{self.kind}".upper()
+        return self.table_name or f"{self.service}_{self.kind}".upper()
 
 
 def classify(detail: dict) -> tuple[str | None, str | None]:
@@ -80,172 +107,198 @@ def classify(detail: dict) -> tuple[str | None, str | None]:
     return service, kind
 
 
+_PART_COLS = ("year", "month", "day", "hour")
+_DLQ_SCHEMA = pa.schema([("__raw", pa.string()), ("__error", pa.string())])
+
+
+def _parse_times(values: list) -> np.ndarray | None:
+    """ISO-8601 parse tolerant of fractional seconds / offsets; returns
+    an int64 array of [year, month, day, hour] rows with -1 for
+    unparseable entries (those rows dead-letter — the reference's Spark
+    cast would silently null their partitions instead)."""
+    import pandas as pd
+
+    try:
+        ts = pd.to_datetime(
+            pd.Series(values, dtype="object"),
+            utc=True,
+            errors="coerce",
+            format="ISO8601",
+        )
+    except (TypeError, ValueError):  # older pandas: no ISO8601 shortcut
+        ts = pd.to_datetime(pd.Series(values, dtype="object"), utc=True,
+                            errors="coerce")
+    out = np.full((len(values), 4), -1, dtype=np.int64)
+    ok = ts.notna().to_numpy()
+    if ok.any():
+        dt = ts[ok].dt
+        out[ok, 0] = dt.year.to_numpy()
+        out[ok, 1] = dt.month.to_numpy()
+        out[ok, 2] = dt.day.to_numpy()
+        out[ok, 3] = dt.hour.to_numpy()
+    return out
+
+
+def _write_atomic(path: str, table: pa.Table) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+@ray.remote
+def _etl_chunk(
+    chunk_id: int,
+    files: list[str],
+    specs: list[EventTableSpec],
+    out_dir: str,
+    require_source: str | None,
+) -> dict:
+    """Process one deterministic chunk of blobs end-to-end."""
+    from glue_etl_pipeline_ray.sources.eventfiles import split_concat_json
+    from glue_etl_pipeline_ray.stages.exchange import _pin_intraop_threads
+
+    _pin_intraop_threads()
+    by_key = {(s.service, s.kind): s for s in specs}
+    rows: dict[str, list[dict]] = {s.name: [] for s in specs}
+    dlq: list[tuple[str, str]] = []
+
+    for path in files:
+        with open(path, "rb") as f:
+            content = f.read().decode("utf-8", "replace")
+        events, bad_spans = split_concat_json(content)
+        dlq.extend((span, "decode") for span in bad_spans)
+        for ev in events:
+            if (
+                require_source is not None
+                and str(ev.get("source", "")).lower() != require_source
+            ):
+                # the reference silently drops these (data_profiling.py:154-157);
+                # we keep the everything-lands-somewhere invariant
+                dlq.append((str(ev)[:200], "source"))
+                continue
+            detail = ev.get("detail")
+            if not isinstance(detail, dict):
+                dlq.append((str(ev)[:200], "required"))
+                continue
+            service, kind = classify(detail)
+            spec = by_key.get((service, kind))
+            if spec is None:
+                dlq.append((str(ev)[:200], "unroutable"))
+                continue
+            if spec.validator is not None:
+                ok, errs = spec.validator.validate(ev)
+                if not ok:
+                    dlq.append((str(ev)[:200], f"validation: {errs[0]}"))
+                    continue
+            elif any(not ev.get(r) for r in spec.required):
+                dlq.append((str(ev)[:200], "required"))
+                continue
+            for fx in spec.fixups:
+                detail = fx(detail)
+            flat = spec.project(detail)
+            names = spec.schema.names
+            if "event_id" in names and "event_id" not in flat:
+                flat["event_id"] = ev.get("id")
+            if "account" in names and "account" not in flat:
+                flat["account"] = ev.get("account")
+            if "date_time" in names and "date_time" not in flat:
+                flat["date_time"] = ev.get("time")
+            rows[spec.name].append(flat)
+
+    counts: dict[str, int] = {}
+    partitions: set[tuple] = set()
+    for spec in specs:
+        table_rows = rows[spec.name]
+        if not table_rows:
+            counts[spec.name] = 0
+            continue
+        ymdh = _parse_times([r.get("date_time") for r in table_rows])
+        bad = np.flatnonzero(ymdh[:, 0] < 0)
+        if len(bad):
+            for i in bad:
+                dlq.append((str(table_rows[i])[:200], "time"))
+            keep = np.flatnonzero(ymdh[:, 0] >= 0)
+            table_rows = [table_rows[i] for i in keep]
+            ymdh = ymdh[keep]
+        counts[spec.name] = len(table_rows)
+        if not table_rows:
+            continue
+        t = pa.Table.from_pylist(table_rows, schema=spec.schema)
+        # group rows by partition tuple: one slice + one file per
+        # (chunk, partition)
+        order = np.lexsort((ymdh[:, 3], ymdh[:, 2], ymdh[:, 1], ymdh[:, 0]))
+        t = t.take(order)
+        y = ymdh[order]
+        starts = np.flatnonzero(np.r_[True, (np.diff(y, axis=0) != 0).any(axis=1)])
+        ends = np.r_[starts[1:], len(y)]
+        for s, e in zip(starts, ends):
+            py, pm, pd_, ph = (int(v) for v in y[s])
+            partitions.add((spec.name, py, pm, pd_, ph))
+            dest = os.path.join(
+                out_dir,
+                spec.name,
+                f"year={py}",
+                f"month={pm}",
+                f"day={pd_}",
+                f"hour={ph}",
+                f"part-c{chunk_id:05d}.parquet",
+            )
+            _write_atomic(dest, t.slice(int(s), int(e - s)))
+
+    if dlq:
+        _write_atomic(
+            os.path.join(out_dir, "_dlq", f"part-c{chunk_id:05d}.parquet"),
+            pa.table(
+                {
+                    "__raw": pa.array([r for r, _ in dlq], pa.string()),
+                    "__error": pa.array([e for _, e in dlq], pa.string()),
+                }
+            ),
+        )
+    return {
+        "tables": counts,
+        "dead_lettered": len(dlq),
+        "partitions": sorted(partitions),
+    }
+
+
 def run_eventfile_etl(
     paths: list[str],
     specs: list[EventTableSpec],
     out_dir: str,
+    files_per_task: int = 4,
+    require_source: str | None = None,
 ) -> dict:
     """Run the full ETL; returns per-table + DLQ counts (A1/A2 analog).
 
-    Writes ``out_dir/{TABLE}/year=/month=/day=/hour=/*.parquet`` and
-    ``out_dir/_dlq/*.parquet``.
+    Writes ``out_dir/{TABLE}/year=/month=/day=/hour=/part-c*.parquet``
+    and ``out_dir/_dlq/part-c*.parquet``. ``require_source``: when set
+    (e.g. ``"app.event.file"``), events from other sources dead-letter
+    (the reference's M1 filter, which silently drops them).
 
-    One heavy pass: each event's JSON payload is parsed ONCE; classify,
-    fix-ups and projection all happen in that map wave, which emits a
-    union-schema table (every spec's columns, null outside its rows) with
-    a ``table`` discriminator — the M5 "discriminator column, filter per
-    table downstream" shape. Per-table writes are then cheap vectorized
-    filters over the materialized union."""
-    by_key = {(s.service, s.kind): s for s in specs}
-    union_schema = _union_schema(specs)
-
-    def process(batch: pa.Table) -> pa.Table:
-        """split + classify + fix-ups + project, all on the raw blob —
-        each event's JSON is decoded exactly once (the generic
-        ``read_event_files`` source re-serializes the payload for
-        schema-stable transport; this fused path skips that round-trip)."""
-        from glue_etl_pipeline_ray.sources.eventfiles import split_concat_json
-
-        rows = []
-        for blob in batch["bytes"].to_pylist():
-            events, bad = split_concat_json(blob.decode("utf-8", "replace"))
-            for span in bad:
-                rows.append({"table": None, "__raw": span, "__error": "decode"})
-            for ev in events:
-                if not ev.get("id") or not ev.get("time") or "detail" not in ev:
-                    rows.append(
-                        {"table": None, "__raw": str(ev)[:200], "__error": "required"}
-                    )
-                    continue
-                detail = ev["detail"]
-                service, kind = classify(detail)
-                spec = by_key.get((service, kind))
-                if spec is None:
-                    rows.append(
-                        {"table": None, "__raw": str(ev)[:200], "__error": "unroutable"}
-                    )
-                    continue
-                for fx in spec.fixups:
-                    detail = fx(detail)
-                flat = spec.project(detail)
-                flat["table"] = spec.name
-                flat["event_id"] = ev["id"]
-                flat["date_time"] = ev["time"]
-                rows.append(flat)
-        # explicit per-column build: from_pylist would type-infer per batch
-        # and can collapse a column to null type in mixed batches
-        out = pa.table(
-            {
-                f.name: pa.array([r.get(f.name) for r in rows], f.type)
-                for f in union_schema
-            }
+    Chunking is ``sorted(paths)`` split every ``files_per_task`` files —
+    a pure function of the input (the reference's O1 work-list sort), so
+    output names are stable across runs and cluster sizes."""
+    paths = sorted(paths)
+    chunks = [
+        paths[i : i + max(1, files_per_task)]
+        for i in range(0, len(paths), max(1, files_per_task))
+    ]
+    refs = [
+        _etl_chunk.options(num_cpus=1).remote(
+            ci, ch, specs, out_dir, require_source
         )
-        ts = pc.strptime(out["date_time"], format="%Y-%m-%dT%H:%M:%SZ", unit="s")
-        for unit, fn in (("year", pc.year), ("month", pc.month),
-                         ("day", pc.day), ("hour", pc.hour)):
-            out = out.append_column(unit, pc.cast(fn(ts), pa.int32()))
-        return out
-
-    import ray.data as _rd
-
-    processed = (
-        _rd.read_binary_files(paths)
-        .map_batches(process, batch_format="pyarrow", batch_size=8)
-        .materialize()
-    )
-
-    counts: dict = {"tables": {}, "dead_lettered": 0}
-
-    def keep(pred):
-        def f(t: pa.Table) -> pa.Table:
-            return t.filter(pred(t))
-
-        return f
-
-    dlq = processed.map_batches(
-        keep(lambda t: pc.is_null(t["table"])),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()
-    n_dlq = dlq.count()
-    if n_dlq:
-        dlq.select_columns(["__raw", "__error"]).write_parquet(
-            os.path.join(out_dir, "_dlq")
-        )
-    counts["dead_lettered"] = n_dlq
-
-    part_cols = ["year", "month", "day", "hour"]
-    for spec in specs:
-        name = spec.name
-        tbl = processed.map_batches(
-            keep(lambda t, name=name: pc.fill_null(pc.equal(t["table"], name), False)),
-            batch_format="pyarrow",
-            batch_size=None,
-        ).select_columns(list(spec.schema.names) + part_cols)
-        counts["tables"][name] = hive_partitioned_write(
-            tbl, os.path.join(out_dir, name), part_cols
-        )
-    return counts
-
-
-def hive_partitioned_write(ds: Dataset, out_root: str, part_cols: list[str]) -> int:
-    """Partition-grouped hive write: ONE deterministic file per partition
-    value (``.../year=Y/month=M/day=D/hour=H/part-0.parquet``), via a
-    hash-partitioned group apply — a naive ``write_parquet(partition_cols)``
-    emits a file per (block x partition) pair, i.e. thousands of tiny
-    files (measured 9004 for 650 partitions). Deterministic names also
-    make re-runs idempotent (the reference's append mode duplicates,
-    SURVEY.md 2.9). Returns the row count written."""
-    import pyarrow.parquet as pq
-
-    from glue_etl_pipeline_ray.functions.groups import raycore_grouped_apply
-
-    def write_group(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table({"n": pa.array([], pa.int64())})
-        parts = [f"{c}={g[c][0].as_py()}" for c in part_cols]
-        dirp = os.path.join(out_root, *parts)
-        os.makedirs(dirp, exist_ok=True)
-        path = os.path.join(dirp, "part-0.parquet")
-        tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(g.drop_columns(part_cols), tmp)
-        os.replace(tmp, path)
-        return pa.table({"n": [g.num_rows]})
-
-    written = raycore_grouped_apply(ds.materialize(), part_cols, write_group)
-    return sum(r["n"] for r in written.take_all())
-
-
-def _union_schema(specs: list[EventTableSpec]) -> pa.Schema:
-    fields: dict[str, pa.DataType] = {
-        "table": pa.string(),
-        "__raw": pa.string(),
-        "__error": pa.string(),
+        for ci, ch in enumerate(chunks)
+    ]
+    outs = ray.get(refs)
+    counts: dict = {
+        "tables": {s.name: 0 for s in specs},
+        "dead_lettered": 0,
+        "partitions": sorted({p for o in outs for p in map(tuple, o["partitions"])}),
     }
-    for s in specs:
-        for f in s.schema:
-            prev = fields.get(f.name)
-            assert prev is None or prev == f.type, f"conflicting type for {f.name}"
-            fields[f.name] = f.type
-    return pa.schema(list(fields.items()))
-
-
-def conform_union(t: pa.Table, schema: pa.Schema) -> pa.Table:
-    cols = []
-    for f in schema:
-        if f.name in t.column_names:
-            c = t[f.name]
-            cols.append(pc.cast(c, f.type) if c.type != f.type else c)
-        else:
-            cols.append(pa.nulls(t.num_rows, f.type))
-    return pa.Table.from_arrays(
-        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
-        schema=schema,
-    )
-
-
-def _empty_with_parts(schema: pa.Schema) -> pa.Table:
-    s = schema
-    for unit in ("year", "month", "day", "hour"):
-        s = s.append(pa.field(unit, pa.int32()))
-    return s.empty_table()
+    for o in outs:
+        counts["dead_lettered"] += o["dead_lettered"]
+        for name, n in o["tables"].items():
+            counts["tables"][name] += n
+    return counts
