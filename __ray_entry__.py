@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_normalize": Q.q_type_normalize,
         "schema_union_backfill": Q.q_schema_union_backfill,
         "str_list_promote": Q.q_str_list_promote,
+        "nested_project": Q.q_nested_project,
         "partitioned_write": Q.q_partitioned_write,
         # joins
         "broadcast_lookup_join": Q.q_broadcast_lookup_join,
@@ -152,12 +153,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE ts >= TIMESTAMP '2024-02-01'
         """,
         "str_list_promote": """
+            -- expected promotion OUTPUTS derived from the raw JSON column
+            -- (the engine parses props and runs the generic union-promote
+            -- kernel; this SQL states the contract, not the mechanism)
             SELECT event_id,
-                   CASE WHEN event_id % 3 = 0 THEN CAST(2 AS BIGINT)
-                        WHEN event_id % 3 = 1 THEN 1 ELSE 0 END AS n_tags,
-                   CASE WHEN event_id % 3 = 0 THEN 'a,b'
-                        WHEN event_id % 3 = 1 THEN 'solo' ELSE '' END
+                   CASE WHEN k % 3 = 0 THEN CAST(2 AS BIGINT)
+                        WHEN k % 3 = 1 THEN 1 ELSE 0 END AS n_tags,
+                   CASE WHEN k % 3 = 0 THEN 'k' || k || ',x'
+                        WHEN k % 3 = 1 THEN 'k' || k ELSE '' END
                        AS tags_joined
+            FROM (
+                SELECT event_id,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+        """,
+        "nested_project": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+                   event_type AS meta_type,
+                   CAST(round(value * 100) AS BIGINT) AS first_v_cents
             FROM events
         """,
         "partitioned_write": """

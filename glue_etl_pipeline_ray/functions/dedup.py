@@ -105,13 +105,14 @@ class MinHashFn:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        doc_ids = batch[self.id_col].to_pylist()
-        if not texts:
+        doc_ids = np.asarray(batch[self.id_col].to_pylist(), np.int64)
+        n = len(texts)
+        if n == 0:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
                     "band_id": pa.array([], pa.int64()),
-                    "band_hash": pa.array([], pa.string()),
+                    "band_hash": pa.array([], pa.int64()),
                     "sig": pa.array([], pa.binary()),
                 }
             )
@@ -122,23 +123,30 @@ class MinHashFn:
         h_all = np.concatenate(shingle_sets)
         with np.errstate(over="ignore"):
             vals = self.a[:, None] * h_all[None, :] + self.b[:, None]
-        sig_mat = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_docs)
-        ids, bands, bhashes, sigs = [], [], [], []
-        for d, doc_id in enumerate(doc_ids):
-            sig = np.ascontiguousarray(sig_mat[:, d])
-            raw = sig.tobytes()
-            for band in range(self.n_bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                ids.append(doc_id)
-                bands.append(band)
-                bhashes.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
-                sigs.append(raw)
+            sig_mat = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_docs)
+            # band hashes, vectorized over (bands x docs): fold the band's
+            # rows with a golden-ratio multiply-xor (replaces an md5 call
+            # per (doc, band) — the round-1 hot spot), then mix the band
+            # id in so equal chunks in different bands can't collide
+            B, R = self.n_bands, self.rows_per_band
+            bands_mat = sig_mat.reshape(B, R, n)
+            mult = np.uint64(0x9E3779B97F4A7C15)
+            bh = bands_mat[:, 0, :].copy()
+            for r in range(1, R):
+                bh = (bh * mult) ^ bands_mat[:, r, :]
+            bh ^= np.arange(B, dtype=np.uint64)[:, None] * mult
+        sig_t = np.ascontiguousarray(sig_mat.T)  # (n_docs, P)
+        sig_bytes = [sig_t[d].tobytes() for d in range(n)]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band_id": pa.array(bands, pa.int64()),
-                "band_hash": pa.array(bhashes, pa.string()),
-                "sig": pa.array(sigs, pa.binary()),
+                "doc_id": pa.array(np.repeat(doc_ids, B), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(B, dtype=np.int64), n)),
+                "band_hash": pa.array(
+                    np.ascontiguousarray(bh.T).ravel().view(np.int64)
+                ),
+                "sig": pa.array(
+                    [s for s in sig_bytes for _ in range(B)], pa.binary()
+                ),
             }
         )
 
@@ -225,19 +233,30 @@ _EMPTY_PAIRS = pa.table(
 # --------------------------------------------------------------- SimHash
 
 
-def simhash64(text: str, n: int = 2) -> int:
-    h = _shingle_hashes(text, n)
-    if len(h) == 0:
-        return 0
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
+def simhash64_batch(texts: list, n: int = 2) -> np.ndarray:
+    """Vectorized 64-bit simhash for a whole batch: one bit-unpack of all
+    shingle hashes + one ``reduceat`` for the per-doc majority votes + one
+    shift-sum bit-pack — no per-document Python (round-1 ran a 64-step
+    bit loop per doc). ``_shingle_hashes`` always returns >= 1 hash, so
+    the reduceat segments are non-empty."""
+    sets = [_shingle_hashes(t, n) for t in texts]
+    counts = np.array([len(s) for s in sets], np.int64)
+    h_all = np.concatenate(sets) if sets else np.array([], np.uint64)
+    bits = (
+        (h_all[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.int64)  # (total_shingles, 64)
+    starts = np.cumsum([0] + counts[:-1].tolist())
+    votes = np.add.reduceat(bits, starts, axis=0) if len(h_all) else np.zeros(
+        (0, 64), np.int64
     )
-    votes = bits.sum(axis=0) * 2 - len(h)
-    out = 0
-    for k in range(64):
-        if votes[k] > 0:
-            out |= 1 << k
-    return out
+    maj = votes * 2 > counts[:, None]
+    return (
+        maj.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+
+
+def simhash64(text: str, n: int = 2) -> int:
+    return int(simhash64_batch([text], n)[0])
 
 
 def simhash_pairs(
@@ -252,22 +271,19 @@ def simhash_pairs(
     16-bit quarter — pigeonhole), verified exactly inside the bucket."""
 
     def add_sim(batch: pa.Table) -> pa.Table:
-        rows_id, band, key, sims = [], [], [], []
-        for doc_id, text in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            s = simhash64(text, shingle_n)
-            for q in range(4):
-                rows_id.append(doc_id)
-                band.append(q)
-                key.append((s >> (16 * q)) & 0xFFFF)
-                sims.append(s)
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        sims = simhash64_batch(batch[text_col].to_pylist(), shingle_n)
+        n = len(ids)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((sims[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(
+            np.int64
+        )
         return pa.table(
             {
-                "doc_id": pa.array(rows_id, pa.int64()),
-                "band_id": pa.array(band, pa.int64()),
-                "band_key": pa.array(key, pa.int64()),
-                "simhash": pa.array(sims, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+                "simhash": pa.array(np.repeat(sims, 4), pa.uint64()),
             }
         )
 

@@ -200,14 +200,19 @@ def embed_cosine_pairs(
       (recall < 1 by construction; rows-only oracle).
     """
     if method == "brute":
-        tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
-        import pyarrow as _pa
+        # assemble the broadcast corpus IN the object store: block refs go
+        # to one remote concat task and the (ids, matrix) result stays
+        # remote — the driver never materializes the corpus (round 1
+        # ray.get all blocks to the driver first)
+        refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
 
-        parts = [ray.get(r) for r in tbl]
-        corpus = _pa.concat_tables(parts)
-        ids_all = corpus[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _normalize(_batch_matrix(corpus, vec_col))
-        ref = ray.put((ids_all, mat))
+        @ray.remote
+        def _assemble(*parts: pa.Table):
+            corpus = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+            ids_all = corpus[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return ids_all, _normalize(_batch_matrix(corpus, vec_col))
+
+        ref = _assemble.remote(*refs)
 
         def block_pairs(batch: pa.Table) -> pa.Table:
             ids_c, m_c = ray.get(ref)
@@ -233,28 +238,37 @@ def embed_cosine_pairs(
     # then exact pair dedup — same band structure as minhash_lsh_pairs.
     n_tables, r = 12, max(2, n_planes // 3)
 
-    def add_buckets(batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, vec_col))
-        p_rng = np.random.default_rng(seed)
-        planes = p_rng.standard_normal((m.shape[1], n_tables * r))
-        bits = (m @ planes) >= 0
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_id, out_bucket = [], []
-        pow2 = 1 << np.arange(r, dtype=np.int64)
-        for t in range(n_tables):
-            h = bits[:, t * r : (t + 1) * r] @ pow2
-            out_id.append(ids)
-            out_bucket.append((np.int64(t) << np.int64(48)) | h)
-        emb = batch[vec_col].combine_chunks()
-        n = len(ids)
-        idx = np.tile(np.arange(n), n_tables)
-        return pa.table(
-            {
-                id_col: pa.array(np.concatenate(out_id), pa.int64()),
-                "__lsh": pa.array(np.concatenate(out_bucket), pa.int64()),
-                vec_col: emb.take(pa.array(idx)),
-            }
-        )
+    class AddBuckets:
+        """Actor-pool stage: the (seeded, deterministic — identical in
+        every actor) hyperplane matrix is generated ONCE per actor on
+        first use, not per batch (round-1 regenerated it each call)."""
+
+        def __init__(self):
+            self.planes: np.ndarray | None = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, vec_col))
+            if self.planes is None:
+                p_rng = np.random.default_rng(seed)
+                self.planes = p_rng.standard_normal((m.shape[1], n_tables * r))
+            bits = (m @ self.planes) >= 0
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_id, out_bucket = [], []
+            pow2 = 1 << np.arange(r, dtype=np.int64)
+            for t in range(n_tables):
+                h = bits[:, t * r : (t + 1) * r] @ pow2
+                out_id.append(ids)
+                out_bucket.append((np.int64(t) << np.int64(48)) | h)
+            emb = batch[vec_col].combine_chunks()
+            n = len(ids)
+            idx = np.tile(np.arange(n), n_tables)
+            return pa.table(
+                {
+                    id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                    "__lsh": pa.array(np.concatenate(out_bucket), pa.int64()),
+                    vec_col: emb.take(pa.array(idx)),
+                }
+            )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -280,7 +294,7 @@ def embed_cosine_pairs(
     from glue_etl_pipeline_ray.functions.groups import grouped_apply, grouped_first
 
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
-        add_buckets, batch_format="pyarrow", batch_size=None
+        AddBuckets, batch_format="pyarrow", batch_size=1024, concurrency=4
     )
     pairs = grouped_apply(bucketed, ["__lsh"], bucket_pairs, min_group_size=2)
     return grouped_first(pairs, ["vec_id_a", "vec_id_b"])

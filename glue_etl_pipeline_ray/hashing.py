@@ -55,6 +55,21 @@ def _col_to_str(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
+    if pa.types.is_nested(t):
+        # nested list/struct columns: canonical sorted-key JSON per value
+        # (both the engine and the python oracle route through this exact
+        # function, so the serialization only needs to be deterministic)
+        import json
+
+        return pa.array(
+            [
+                _NULL if v is None else json.dumps(
+                    v, sort_keys=True, separators=(",", ":"), default=str
+                )
+                for v in col.to_pylist()
+            ],
+            pa.string(),
+        )
     if pa.types.is_boolean(t):
         col = pc.if_else(col, "true", "false")
     elif pa.types.is_timestamp(t):

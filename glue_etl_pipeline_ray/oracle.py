@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from glue_etl_pipeline_ray.hashing import table_sha256
-from glue_etl_pipeline_ray.spec import TableSpec, type_from_name
+from glue_etl_pipeline_ray.spec import TableSpec, type_from_name, type_name
 
 
 def _row_errors(spec: TableSpec, row: dict) -> list[str]:
@@ -70,7 +70,7 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
         t = pq.read_table(f)
         for fld in t.schema:
             if fld.name not in known and fld.name not in {n for n, _ in evolved}:
-                evolved.append((fld.name, str(fld.type)))
+                evolved.append((fld.name, type_name(fld.type)))
         rows = t.to_pylist()
         rows.sort(key=lambda r: r[spec.seq_col])
         for row in rows:

@@ -241,51 +241,85 @@ def q_schema_union_backfill(sf_dir: str):
 # ============================================================ joins / anti
 
 
-def q_broadcast_lookup_join(sf_dir: str):
-    """J1 analog: two-hop dimension lookup (nation->region) broadcast
-    once via ray.put, O(1) lookups per batch, zero shuffle on the fact
-    side; only the tiny (region, count) partials shuffle."""
-    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
-    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
-    rmap = dict(
-        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
-    )
-    n2r = {
-        nk: rmap[rk]
-        for nk, rk in zip(
-            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
-        )
-    }
-    ref = ray.put(n2r)
+def broadcast_lookup(
+    ds, key_col: str, lut_keys: pa.Array, lut_values: pa.Array,
+    out_col: str, fallback: str = "null",
+):
+    """J1 analog (``flat_jsons.py:156-174``): broadcast small-side lookup
+    as a zero-shuffle map stage. The (keys, values) arrays ship ONCE via
+    ``ray.put``; each batch does one vectorized ``pc.index_in`` + ``take``
+    — no per-row Python. ``fallback`` (left-outer semantics on a miss,
+    like the reference keeping the raw media id): "null" -> null,
+    "key" -> the stringified probe key."""
+    ref = ray.put((lut_keys, lut_values))
 
     def lookup(t: pa.Table) -> pa.Table:
-        lut = ray.get(ref)
-        names = [lut[nk] for nk in t["c_nationkey"].to_pylist()]
-        return pa.table({"region_name": pa.array(names, pa.string())})
+        keys, values = ray.get(ref)
+        idx = pc.index_in(t[key_col], keys)  # null where missing
+        out = pc.take(values, idx)
+        if fallback == "key":
+            out = pc.if_else(
+                pc.is_null(idx), pc.cast(t[key_col], pa.string()), out
+            )
+        return t.append_column(out_col, out)
 
-    ds = _t(sf_dir, "customer", ["c_nationkey"]).map_batches(
-        lookup, batch_format="pyarrow", batch_size=None
-    )
+    return ds.map_batches(lookup, batch_format="pyarrow", batch_size=None)
+
+
+def q_broadcast_lookup_join(sf_dir: str):
+    """Two-hop dimension lookup (nation->region) broadcast once, O(1)
+    vectorized lookups per batch, zero shuffle on the fact side; only the
+    tiny (region, count) partials shuffle."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    # compose nation->region on the driver (both dims are tiny)
+    ridx = pc.index_in(nation["n_regionkey"], region["r_regionkey"])
+    keys = nation["n_nationkey"].combine_chunks()
+    values = pc.take(region["r_name"].combine_chunks(), ridx)
+    ds = broadcast_lookup(
+        _t(sf_dir, "customer", ["c_nationkey"]),
+        "c_nationkey", keys, values, "region_name",
+    ).select_columns(["region_name"])
     return partial_groupby_sum(ds, ["region_name"], [], count_alias="n_customers")
 
 
 def q_anti_join_inactive(sf_dir: str):
     """J2 analog (anti-join / set difference): customers with no event
-    activity. The key set is collected once (distinct shuffle) and
-    broadcast; the probe side streams. At 100 TB swap the broadcast set
-    for a bucketed anti-join or Bloom filter."""
-    keys = _t(sf_dir, "events", ["user_id"]).unique("user_id")
-    ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    activity, as a two-sided hash-partitioned anti-join — both sides
+    shuffle once on the key, each partition task drops probe keys that
+    saw any build row. No driver-side key collection; partition count is
+    fixed (~cores), independent of key cardinality, so the same plan runs
+    at 100 TB (the round-1 version broadcast a driver-collected key set)."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
 
-    def anti(t: pa.Table) -> pa.Table:
-        have = ray.get(ref)
-        ck = t["c_custkey"].to_numpy()
-        mask = ~np.isin(ck, have)
-        return pa.table({"c_custkey": pa.array(ck[mask], pa.int64())})
-
-    return _t(sf_dir, "customer", ["c_custkey"]).map_batches(
-        anti, batch_format="pyarrow", batch_size=None
+    build = _t(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["user_id"], pa.int64()),
+                "__side": pa.nulls(t.num_rows, pa.int8()).fill_null(0),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
+    probe = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "__side": pa.nulls(t.num_rows, pa.int8()).fill_null(1),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        if pc.min(side).as_py() == 0:  # any build row -> key is active
+            return group.slice(0, 0).select(["c_custkey"])
+        return group.select(["c_custkey"])
+
+    return grouped_apply(build.union(probe), ["c_custkey"], anti)
 
 
 # ========================================================== aggregations
@@ -514,36 +548,90 @@ def q_dedup_embed_lsh(sf_dir: str):
     return embed_cosine_pairs(ds, threshold=0.5, method="lsh")
 
 
+def promote_union_column(values: list) -> pa.ListArray:
+    """M10 kernel (``flat_jsons.py:113-136``): union-typed values
+    (list | scalar string | literal "null" | None) -> canonical
+    ``list<string>``: "null"/None -> [], scalar -> [scalar]."""
+    promoted = [
+        []
+        if v is None or v == "null"
+        else (v if isinstance(v, list) else [v])
+        for v in values
+    ]
+    return pa.array(promoted, pa.list_(pa.string()))
+
+
 def q_str_list_promote(sf_dir: str):
-    """M10 analog (``flat_jsons.py:113-136``): a union-typed field
-    (scalar string | list | literal "null") is promoted to a canonical
-    ``list<string>`` — "null" -> [], scalar -> [scalar] — then reduced to
-    oracle-comparable scalars (len + joined)."""
-    ds = _t(sf_dir, "events", ["event_id"])
+    """M10 analog over a REAL union-typed JSON value: each event's
+    ``props`` JSON is parsed (genuinely — ``json.loads`` per row, the
+    only faithful decode for a union-typed field) and its ``k`` value is
+    re-shaped into the reference's wire forms (list / bare scalar /
+    literal "null" depending on the parsed value), then promoted by the
+    generic kernel. The oracle derives the expected OUTPUTS from the raw
+    ``props`` column via ``json_extract`` + CASE — it does not reuse the
+    promotion logic."""
+    import json
+
+    ds = _t(sf_dir, "events", ["event_id", "props"])
 
     def promote(t: pa.Table) -> pa.Table:
-        eid = t["event_id"].to_numpy()
-        # deterministic raw union value per row (the fixture): a JSON-ish
-        # field that may be a list, a bare scalar, or the literal "null"
+        ks = [json.loads(p)["k"] for p in t["props"].to_pylist()]
+        # the union-typed wire value, as the reference receives it
+        # (flat_jsons.py:113-136: query may arrive as list, scalar string,
+        # or the literal string "null")
         raw = [
-            ["a", "b"] if m == 0 else ("solo" if m == 1 else "null")
-            for m in eid % 3
+            [f"k{k}", "x"] if k % 3 == 0 else (f"k{k}" if k % 3 == 1 else "null")
+            for k in ks
         ]
-        promoted = [
-            [] if v is None or v == "null" else (v if isinstance(v, list) else [v])
-            for v in raw
-        ]
+        tags = promote_union_column(raw)
         return pa.table(
             {
                 "event_id": t["event_id"],
-                "n_tags": pa.array([len(v) for v in promoted], pa.int64()),
-                "tags_joined": pa.array(
-                    [",".join(v) for v in promoted], pa.string()
-                ),
+                "n_tags": pc.cast(pc.list_value_length(tags), pa.int64()),
+                "tags_joined": pc.binary_join(tags, ","),
             }
         )
 
     return ds.map_batches(promote, batch_format="pyarrow", batch_size=None)
+
+
+def q_nested_project(sf_dir: str):
+    """M12/nested-types gate: build genuine nested columns (a
+    ``struct<k,type>`` and a ``list<struct<k,v_cents>>``) from the raw
+    rows with vectorized Arrow constructors, then project fields back
+    OUT of them with ``pc.struct_field`` / ``pc.list_flatten`` — proving
+    the engine round-trips nested values, while the output stays flat
+    for the hash-exact oracle comparison."""
+    import json
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value", "props"])
+
+    def build_and_project(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ks = pa.array(
+            [json.loads(p)["k"] for p in t["props"].to_pylist()], pa.int64()
+        )
+        meta = pa.StructArray.from_arrays(
+            [ks, t["event_type"].combine_chunks()], names=["k", "type"]
+        )
+        pair = pa.StructArray.from_arrays(
+            [ks, _cents(t["value"]).combine_chunks()], names=["k", "v_cents"]
+        )
+        pairs = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), pair
+        )
+        # project back out of the nested intermediates
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "prop_k": pc.struct_field(meta, "k"),
+                "meta_type": pc.struct_field(meta, "type"),
+                "first_v_cents": pc.struct_field(pc.list_flatten(pairs), "v_cents"),
+            }
+        )
+
+    return ds.map_batches(build_and_project, batch_format="pyarrow",
+                          batch_size=None)
 
 
 def q_partitioned_write(sf_dir: str):

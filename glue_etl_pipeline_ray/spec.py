@@ -13,8 +13,12 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
-# Arrow types the spec/schema-evolution registry may carry. Kept to a small,
-# JSON-serializable set so the checkpoint manifest can round-trip them.
+# Arrow types the spec/schema-evolution registry may carry, as a
+# JSON-serializable string grammar so the checkpoint manifest can
+# round-trip them:  scalar | list<T> | struct<name:T,name2:T2>
+# (nested arbitrarily — the reference's final schemas carry 2-deep
+# list<struct<...list<...>>> columns, e.g. MICROONE_PRED
+# ``output_metadata``, SURVEY.md 1.2).
 _TYPE_BY_NAME: dict[str, pa.DataType] = {
     "string": pa.string(),
     "large_string": pa.large_string(),
@@ -28,14 +32,44 @@ _TYPE_BY_NAME: dict[str, pa.DataType] = {
 }
 
 
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at angle-bracket depth 0."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
 def type_from_name(name: str) -> pa.DataType:
-    try:
+    name = name.strip()
+    if name in _TYPE_BY_NAME:
         return _TYPE_BY_NAME[name]
-    except KeyError:
-        raise ValueError(f"unsupported evolved-column type: {name}") from None
+    if name.startswith("list<") and name.endswith(">"):
+        return pa.list_(type_from_name(name[5:-1]))
+    if name.startswith("struct<") and name.endswith(">"):
+        fields = []
+        for part in _split_top(name[7:-1]):
+            fname, _, ftype = part.partition(":")
+            if not _ or not fname:
+                raise ValueError(f"malformed struct field: {part!r}")
+            fields.append(pa.field(fname.strip(), type_from_name(ftype)))
+        return pa.struct(fields)
+    raise ValueError(f"unsupported evolved-column type: {name}")
 
 
 def type_name(dtype: pa.DataType) -> str:
+    if pa.types.is_list(dtype) or pa.types.is_large_list(dtype):
+        return f"list<{type_name(dtype.value_type)}>"
+    if pa.types.is_struct(dtype):
+        inner = ",".join(f"{f.name}:{type_name(f.type)}" for f in dtype)
+        return f"struct<{inner}>"
     s = str(dtype)
     if s not in _TYPE_BY_NAME:
         raise ValueError(f"unsupported evolved-column type: {s}")

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from glue_etl_pipeline_ray.spec import TableSpec, type_from_name
+from glue_etl_pipeline_ray.spec import TableSpec, type_from_name, type_name
 
 
 def event_schema(
@@ -51,7 +51,9 @@ def discover_evolved(
     out = list(known_evolved)
     for f in file_schema:
         if f.name not in known:
-            out.append((f.name, str(f.type)))
+            # type_name round-trips nested list/struct types through the
+            # JSON manifest (str(f.type) would not parse back)
+            out.append((f.name, type_name(f.type)))
     return tuple(out)
 
 
