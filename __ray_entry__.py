@@ -93,7 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": Q.q_ann_ivf_topk,
         "dedup_embed_cosine": Q.q_dedup_embed_cosine,
         "dedup_embed_lsh": Q.q_dedup_embed_lsh,
-        # multimodal plumbing (stub codecs)
+        # multimodal: real PNG codec + stub plumbing for the rest
+        "media_decode_real": Q.q_media_decode_real,
         "media_decode": Q.q_media_decode,
         "media_resize": Q.q_media_resize,
         "token_stats_bpe": Q.q_token_stats_bpe,

@@ -26,10 +26,59 @@ import pyarrow as pa
 
 
 def decode_real(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "real media decoding requires PIL/ffmpeg (not in this container); "
-        "use FakeMediaDecoder for plumbing tests"
+    """REAL decode path. PNG is decoded natively (functions/png.py —
+    full filter support, no external libs); other containers still need
+    PIL/ffmpeg and raise."""
+    from glue_etl_pipeline_ray.functions.png import (
+        PNG_SIGNATURE,
+        pixel_stats,
+        png_decode,
     )
+
+    if payload[:8] == PNG_SIGNATURE:
+        arr = png_decode(payload)
+        return {"pixels": arr, **pixel_stats(arr)}
+    raise NotImplementedError(
+        "real decoding beyond PNG requires PIL/ffmpeg (not in this "
+        "container); use FakeMediaDecoder for plumbing tests"
+    )
+
+
+class PngDecoder:
+    """Actor-pool REAL decode stage: PNG payload column -> actual pixel
+    statistics (width/height/channels, BT.601 mean luma, pixel sum —
+    integer-scaled for exact oracle comparison). Same stage shape as
+    FakeMediaDecoder; decode errors dead-letter into an ``error`` column
+    instead of killing the task (ref bug B4 discipline)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        from glue_etl_pipeline_ray.functions import png  # once per actor
+
+        self.payload_col = payload_col
+        self._decode = png.png_decode
+        self._stats = png.pixel_stats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {
+            "width": [], "height": [], "channels": [],
+            "mean_luma_e6": [], "pixel_sum": [], "error": [],
+        }
+        for payload in batch[self.payload_col].to_pylist():
+            try:
+                st = self._stats(self._decode(payload or b""))
+                err = None
+            except Exception as e:  # noqa: BLE001 — corrupt payload
+                st = dict.fromkeys(
+                    ("width", "height", "channels", "mean_luma_e6", "pixel_sum")
+                )
+                err = f"decode: {e}"
+            for k in ("width", "height", "channels", "mean_luma_e6", "pixel_sum"):
+                cols[k].append(st[k])
+            cols["error"].append(err)
+        out = batch.drop_columns([self.payload_col])
+        for k in ("width", "height", "channels", "mean_luma_e6", "pixel_sum"):
+            out = out.append_column(k, pa.array(cols[k], pa.int64()))
+        return out.append_column("error", pa.array(cols["error"], pa.string()))
 
 
 class FakeMediaDecoder:

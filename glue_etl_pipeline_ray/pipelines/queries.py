@@ -505,6 +505,44 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def synth_png_payloads(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic PNG fixture per row: a seeded-noise RGB image whose
+    shape/content derive from the row id (same discipline as the
+    driver's synthetic tables — no external data), REAL-encoded via
+    functions/png.py. Every 97th payload is corrupted to exercise the
+    decode dead-letter path."""
+    from glue_etl_pipeline_ray.functions.png import png_encode
+
+    payloads = []
+    for did in t[id_col].to_pylist():
+        rng = np.random.default_rng(did)
+        h, w = 8 + did % 9, 8 + (did // 3) % 9
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = png_encode(arr)
+        if did % 97 == 0:
+            p = p[: len(p) // 2]  # truncated -> decode error
+        payloads.append(p)
+    return pa.table(
+        {id_col: t[id_col], "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_media_decode_real(sf_dir: str):
+    """REAL codec path (no stub): PNG payloads decoded by the native
+    decoder (zlib inflate + scanline defilter), emitting actual pixel
+    statistics; corrupt payloads land in the ``error`` column instead of
+    killing the run."""
+    from glue_etl_pipeline_ray.functions.multimodal import PngDecoder
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    binary = ds.map_batches(
+        synth_png_payloads, batch_format="pyarrow", batch_size=256
+    )
+    return binary.map_batches(
+        PngDecoder, batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+
+
 def q_frame_sample(sf_dir: str):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
