@@ -506,10 +506,9 @@ class ReplayEngine:
             if n_drop == 0:
                 return (bucket, version, 0)
             out = t.filter(pc.invert(pc.fill_null(drop, False)))
-            path = os.path.join(lake_dir, part_name(bucket, wm))
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(out, tmp)
-            os.replace(tmp, path)
+            from glue_etl_pipeline_ray.stages.merge import write_atomic
+
+            write_atomic(os.path.join(lake_dir, part_name(bucket, wm)), out)
             return (bucket, wm, n_drop)
 
         results = ray.get(
