@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins
         "broadcast_lookup_join": Q.q_broadcast_lookup_join,
         "anti_join_inactive": Q.q_anti_join_inactive,
+        "semi_join_active": Q.q_semi_join_active,
         "asof_prev_order": Q.q_asof_prev_order,
         "hash_join_orders": Q.q_hash_join_orders,
         # aggregations / sort / limit
@@ -76,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": Q.q_distinct_users,
         "topk_per_group": Q.q_topk_per_group,
         "cumsum_per_user": Q.q_cumsum_per_user,
+        "sliding_window_30m": Q.q_sliding_window_30m,
+        "grouped_quantiles": Q.q_grouped_quantiles,
         "distinct_users_hll": Q.q_distinct_users_hll,
         # documents: dedup + text analysis
         "hash_sample": Q.q_hash_sample,
@@ -98,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": Q.q_media_decode,
         "media_resize": Q.q_media_resize,
         "token_stats_bpe": Q.q_token_stats_bpe,
+        "frame_sample_real": Q.q_frame_sample_real,
         "frame_sample": Q.q_frame_sample,
         "media_embed": Q.q_media_embed,
     }
@@ -192,6 +196,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
+        """,
+        "semi_join_active": """
+            SELECT c_custkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey)
+        """,
+        "sliding_window_30m": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_last_30m,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS cents_last_30m
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "grouped_quantiles": """
+            SELECT event_type, count(*) AS n,
+                   quantile_disc(cents, 0.5) AS p50_cents,
+                   quantile_disc(cents, 0.9) AS p90_cents
+            FROM (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY 1
         """,
         "hash_join_orders": """
             SELECT c.c_mktsegment,

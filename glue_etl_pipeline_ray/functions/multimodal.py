@@ -115,6 +115,56 @@ class FakeMediaDecoder:
         )
 
 
+class PngFrameSampler:
+    """REAL frame sampling over a multi-frame payload: a 'video' carried
+    as back-to-back PNG frames (the APNG/MJPEG-style concatenation) is
+    split on PNG signature boundaries and every ``stride``-th frame is
+    emitted as one row — the explode-and-sample shape a real keyframe
+    extractor has, with an actual container parse instead of byte
+    windows. Chain :class:`PngDecoder` downstream for per-frame stats."""
+
+    def __init__(
+        self,
+        payload_col: str = "payload",
+        id_col: str = "doc_id",
+        stride: int = 2,
+    ):
+        from glue_etl_pipeline_ray.functions.png import PNG_SIGNATURE
+
+        self.payload_col, self.id_col = payload_col, id_col
+        self.stride = max(1, stride)
+        self.sig = PNG_SIGNATURE
+
+    def split_frames(self, payload: bytes) -> list[bytes]:
+        bounds = []
+        pos = payload.find(self.sig)
+        while pos != -1:
+            bounds.append(pos)
+            pos = payload.find(self.sig, pos + 8)
+        return [
+            payload[s:e]
+            for s, e in zip(bounds, bounds[1:] + [len(payload)])
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for doc_id, payload in zip(
+            batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            all_frames = self.split_frames(payload or b"")
+            for i in range(0, len(all_frames), self.stride):
+                ids.append(doc_id)
+                fidx.append(i)
+                frames.append(all_frames[i])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "payload": pa.array(frames, pa.binary()),
+            }
+        )
+
+
 class FrameSampler:
     """'Video' frame sampling stub: slice the payload into ``n_frames``
     equal byte windows and emit one row per sampled frame (flat_map-style

@@ -146,6 +146,20 @@ def _write_atomic(path: str, table: pa.Table) -> None:
     os.replace(tmp, path)
 
 
+def _chunk_marker(out_dir: str, chunk_id: int) -> str:
+    return os.path.join(out_dir, "_progress", f"chunk-{chunk_id:05d}.json")
+
+
+def _chunk_signature(files: list[str]) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        h.update(str(os.path.getsize(f)).encode())
+    return h.hexdigest()[:16]
+
+
 @ray.remote
 def _etl_chunk(
     chunk_id: int,
@@ -256,11 +270,25 @@ def _etl_chunk(
                 }
             ),
         )
-    return {
+    result = {
         "tables": counts,
         "dead_lettered": len(dlq),
         "partitions": sorted(partitions),
     }
+    # completion marker LAST (after every output rename): its existence
+    # proves the chunk's files are all in place, so a resumed run can
+    # skip the chunk (the engine's analog of the reference's
+    # processed-file set, at chunk granularity)
+    import json as _json
+
+    marker = {"signature": _chunk_signature(files), **result}
+    marker_path = _chunk_marker(out_dir, chunk_id)
+    os.makedirs(os.path.dirname(marker_path), exist_ok=True)
+    tmp = f"{marker_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(marker, f)
+    os.replace(tmp, marker_path)
+    return result
 
 
 def run_eventfile_etl(
@@ -269,6 +297,7 @@ def run_eventfile_etl(
     out_dir: str,
     files_per_task: int = 4,
     require_source: str | None = None,
+    resume: bool = False,
 ) -> dict:
     """Run the full ETL; returns per-table + DLQ counts (A1/A2 analog).
 
@@ -279,23 +308,43 @@ def run_eventfile_etl(
 
     Chunking is ``sorted(paths)`` split every ``files_per_task`` files —
     a pure function of the input (the reference's O1 work-list sort), so
-    output names are stable across runs and cluster sizes."""
+    output names are stable across runs and cluster sizes.
+
+    ``resume=True``: skip chunks whose completion marker
+    (``_progress/chunk-*.json``, written after all of the chunk's output
+    renames) exists with a matching input signature — a crashed run
+    redoes only unfinished chunks; finished chunks' counts come from
+    their markers."""
+    import json as _json
+
     paths = sorted(paths)
     chunks = [
         paths[i : i + max(1, files_per_task)]
         for i in range(0, len(paths), max(1, files_per_task))
     ]
-    refs = [
-        _etl_chunk.options(num_cpus=1).remote(
+    done: dict[int, dict] = {}
+    if resume:
+        for ci, ch in enumerate(chunks):
+            mp = _chunk_marker(out_dir, ci)
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    m = _json.load(f)
+                if m.get("signature") == _chunk_signature(ch):
+                    done[ci] = m
+    refs = {
+        ci: _etl_chunk.options(num_cpus=1).remote(
             ci, ch, specs, out_dir, require_source
         )
         for ci, ch in enumerate(chunks)
-    ]
-    outs = ray.get(refs)
+        if ci not in done
+    }
+    outs = list(done.values()) + list(ray.get(list(refs.values())))
     counts: dict = {
         "tables": {s.name: 0 for s in specs},
         "dead_lettered": 0,
         "partitions": sorted({p for o in outs for p in map(tuple, o["partitions"])}),
+        "chunks_skipped": len(done),
+        "chunks_run": len(refs),
     }
     for o in outs:
         counts["dead_lettered"] += o["dead_lettered"]

@@ -543,6 +543,54 @@ def q_media_decode_real(sf_dir: str):
     )
 
 
+def synth_video_payloads(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic multi-frame 'video' per row: 2-5 seeded-noise PNG
+    frames concatenated back-to-back."""
+    from glue_etl_pipeline_ray.functions.png import png_encode
+
+    payloads = []
+    for did in t[id_col].to_pylist():
+        rng = np.random.default_rng(did + 1_000_000)
+        n_frames = 2 + did % 4
+        payloads.append(
+            b"".join(
+                png_encode(rng.integers(0, 256, (6, 6, 3), dtype=np.uint8))
+                for _ in range(n_frames)
+            )
+        )
+    return pa.table(
+        {id_col: t[id_col], "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_frame_sample_real(sf_dir: str):
+    """REAL frame sampling + decode chain: multi-PNG payloads split on
+    container boundaries (every 2nd frame kept), each sampled frame
+    decoded natively to pixel stats — the video keyframe-extract ->
+    feature-extract pipeline with a working codec."""
+    from glue_etl_pipeline_ray.functions.multimodal import (
+        PngDecoder,
+        PngFrameSampler,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    # chained actor pools autoscale from 1 so the two stages + the
+    # upstream read tasks can't reserve every CPU of a small cluster
+    # (fixed pools of 2+2 deadlock a 4-cpu test session)
+    frames = ds.map_batches(
+        synth_video_payloads, batch_format="pyarrow", batch_size=256
+    ).map_batches(
+        PngFrameSampler,
+        fn_constructor_kwargs=dict(stride=2),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 2),
+    )
+    return frames.map_batches(
+        PngDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2)
+    )
+
+
 def q_frame_sample(sf_dir: str):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1015,6 +1063,119 @@ def q_cumsum_per_user(sf_dir: str):
         )
 
     return grouped_apply(ds, ["user_id"], cumsum)
+
+
+def q_sliding_window_30m(sf_dir: str):
+    """RANGE-frame sliding window (a bounded range self-join with an
+    equality key): per event, the count and sum of the same user's
+    events in the trailing 30 minutes INCLUDING ts-peers (SQL RANGE
+    frame semantics). One hash shuffle on the key; per group a sort +
+    two vectorized ``searchsorted`` probes + a prefix-sum difference —
+    no per-row loop, no pairwise join materialization."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    win = np.timedelta64(30, "m")
+
+    def slide(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_s = ts[order]
+        cents = (
+            np.round(g["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)[order]
+        )
+        lo = np.searchsorted(ts_s, ts_s - win, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")  # peers included
+        csum = np.r_[0, np.cumsum(cents)]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": g["user_id"].take(pa.array(order)),
+                "n_last_30m": pa.array(hi - lo, pa.int64()),
+                "cents_last_30m": pa.array(csum[hi] - csum[lo], pa.int64()),
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], slide)
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-group quantiles (discrete): median and p90 of the event
+    value per event type. Groups are hash-partitioned; each group sorts
+    its own values (never a global sort). Discrete quantile = element at
+    ``ceil(n*q)-1`` of the sorted run — bit-identical to DuckDB's
+    ``quantile_disc``. For quantiles over 10^10 rows per group, swap the
+    in-group sort for a t-digest/KLL sketch (approximate) or a
+    distributed selection pass; exact is right at per-group scale."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def quants(g: pa.Table) -> pa.Table:
+        cents = np.sort(
+            np.round(g["value"].to_numpy(zero_copy_only=False) * 100).astype(
+                np.int64
+            )
+        )
+        n = len(cents)
+        if n == 0:  # typed empty for the empty-partition schema probe
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "p50_cents": pa.array([], pa.int64()),
+                    "p90_cents": pa.array([], pa.int64()),
+                }
+            )
+        pick = lambda q: int(cents[int(np.ceil(n * q)) - 1])  # noqa: E731
+        return pa.table(
+            {
+                "event_type": g["event_type"].slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "p50_cents": pa.array([pick(0.5)], pa.int64()),
+                "p90_cents": pa.array([pick(0.9)], pa.int64()),
+            }
+        )
+
+    return grouped_apply(ds, ["event_type"], quants)
+
+
+def q_semi_join_active(sf_dir: str):
+    """Semi-join (EXISTS): customers WITH event activity — the
+    complement of the bucketed anti-join, same two-sided hash-partition
+    plan (round 1 had only the anti side)."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    def tag(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(t[col], pa.int64()),
+                    "__side": pa.array(
+                        np.full(t.num_rows, side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return f
+
+    build = _t(sf_dir, "events", ["user_id"]).map_batches(
+        tag("user_id", 0), batch_format="pyarrow", batch_size=None
+    )
+    probe = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        tag("c_custkey", 1), batch_format="pyarrow", batch_size=None
+    )
+
+    def semi(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        probe_rows = group.filter(pc.equal(side, 1)).select(["c_custkey"])
+        if pc.min(side).as_py() != 0:  # no build row -> key inactive
+            return probe_rows.slice(0, 0)
+        return probe_rows
+
+    return grouped_apply(build.union(probe), ["c_custkey"], semi)
 
 
 def q_hash_sample(sf_dir: str):

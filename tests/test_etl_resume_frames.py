@@ -1,0 +1,126 @@
+"""Round-2 additions: resumable event-file ETL (chunk completion
+markers) and real PNG frame sampling."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from glue_etl_pipeline_ray.pipelines.eventfile_etl import (
+    EventTableSpec,
+    run_eventfile_etl,
+)
+
+
+def _spec():
+    import pyarrow as pa
+
+    return EventTableSpec(
+        service="svc",
+        kind="event",
+        schema=pa.schema(
+            [("event_id", pa.string()), ("date_time", pa.string()),
+             ("k", pa.int64())]
+        ),
+        project=lambda d: {"k": d["evaluation"]["k"]},
+    )
+
+
+def _blobs(tmp_path, n_files=6, per_file=5):
+    paths = []
+    for fi in range(n_files):
+        evs = "".join(
+            json.dumps(
+                {
+                    "id": f"f{fi}e{i}",
+                    "time": f"2022-05-{fi + 1:02d}T10:00:00Z",
+                    "detail": {
+                        "type": "EFEvaluationEvent",
+                        "evaluation": {"service": "svc", "k": fi * 10 + i},
+                    },
+                }
+            )
+            for i in range(per_file)
+        )
+        p = tmp_path / f"ef-{fi:03d}"
+        p.write_text(evs)
+        paths.append(str(p))
+    return paths
+
+
+def test_resume_skips_completed_chunks(ray_session, tmp_path):
+    paths = _blobs(tmp_path)
+    out = str(tmp_path / "out")
+    c1 = run_eventfile_etl(paths, [_spec()], out, files_per_task=2, resume=True)
+    assert c1["chunks_run"] == 3 and c1["chunks_skipped"] == 0
+    assert c1["tables"]["SVC_EVENT"] == 30
+
+    # full resume: everything skipped, counts reconstructed from markers
+    c2 = run_eventfile_etl(paths, [_spec()], out, files_per_task=2, resume=True)
+    assert c2["chunks_run"] == 0 and c2["chunks_skipped"] == 3
+    assert c2["tables"] == c1["tables"]
+    assert c2["partitions"] == c1["partitions"]
+
+    # crash simulation: one chunk's marker missing -> only it re-runs
+    os.remove(os.path.join(out, "_progress", "chunk-00001.json"))
+    c3 = run_eventfile_etl(paths, [_spec()], out, files_per_task=2, resume=True)
+    assert c3["chunks_run"] == 1 and c3["chunks_skipped"] == 2
+    assert c3["tables"] == c1["tables"]
+
+    # input change invalidates the marker (signature mismatch)
+    with open(paths[0], "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "id": "extra",
+                    "time": "2022-05-01T11:00:00Z",
+                    "detail": {
+                        "type": "EFEvaluationEvent",
+                        "evaluation": {"service": "svc", "k": 999},
+                    },
+                }
+            )
+        )
+    c4 = run_eventfile_etl(paths, [_spec()], out, files_per_task=2, resume=True)
+    assert c4["chunks_run"] == 1 and c4["chunks_skipped"] == 2
+    assert c4["tables"]["SVC_EVENT"] == 31
+
+
+def test_png_frame_sampler_splits_on_signatures():
+    from glue_etl_pipeline_ray.functions.multimodal import PngFrameSampler
+    from glue_etl_pipeline_ray.functions.png import png_decode, png_encode
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, (4 + i, 5, 3), dtype=np.uint8) for i in range(5)
+    ]
+    payload = b"".join(png_encode(f) for f in frames)
+    sampler = PngFrameSampler(stride=2)
+    parts = sampler.split_frames(payload)
+    assert len(parts) == 5
+    for raw, orig in zip(parts, frames):
+        assert np.array_equal(png_decode(raw), orig)
+
+
+def test_frame_sample_real_pipeline(ray_session):
+    from glue_etl_pipeline_ray.pipelines.queries import q_frame_sample_real
+
+    res = q_frame_sample_real("/root/testdata/sf0.001").to_pandas()
+    assert res["error"].isna().all()
+    # every doc emits ceil(n_frames / 2) sampled frames, n_frames = 2 + id%4
+    got = res.groupby("doc_id").size()
+    for did, n in got.items():
+        assert n == -(-(2 + did % 4) // 2), did
+    assert (res["frame_idx"] % 2 == 0).all()
+    assert (res["width"] == 6).all() and (res["height"] == 6).all()
+    # spot-check one frame's pixel stats against the pre-encode array
+    from glue_etl_pipeline_ray.functions.png import pixel_stats
+
+    row = res.iloc[0]
+    rng = np.random.default_rng(int(row["doc_id"]) + 1_000_000)
+    # regenerate frames up to the sampled index
+    for _ in range(int(row["frame_idx"]) + 1):
+        arr = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    assert int(row["pixel_sum"]) == pixel_stats(arr)["pixel_sum"]
