@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumsum_per_user": Q.q_cumsum_per_user,
         "sliding_window_30m": Q.q_sliding_window_30m,
         "grouped_quantiles": Q.q_grouped_quantiles,
+        "value_quantiles_hist": Q.q_value_quantiles_hist,
         "distinct_users_hll": Q.q_distinct_users_hll,
         # documents: dedup + text analysis
         "hash_sample": Q.q_hash_sample,
@@ -220,6 +221,14 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(value * 100) AS BIGINT) AS cents
                   FROM events)
             GROUP BY 1
+        """,
+        "value_quantiles_hist": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   quantile_disc(cents, 0.5) AS p50_cents,
+                   quantile_disc(cents, 0.9) AS p90_cents,
+                   quantile_disc(cents, 0.99) AS p99_cents
+            FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
         """,
         "hash_join_orders": """
             SELECT c.c_mktsegment,

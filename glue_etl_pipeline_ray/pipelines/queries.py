@@ -285,28 +285,57 @@ def q_broadcast_lookup_join(sf_dir: str):
 
 def q_anti_join_inactive(sf_dir: str):
     """J2 analog (anti-join / set difference): customers with no event
-    activity, as a two-sided hash-partitioned anti-join — both sides
-    shuffle once on the key, each partition task drops probe keys that
-    saw any build row. No driver-side key collection; partition count is
-    fixed (~cores), independent of key cardinality, so the same plan runs
-    at 100 TB (the round-1 version broadcast a driver-collected key set)."""
-    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+    activity — the two-phase Bloom + exact plan, EXACT results:
 
-    build = _t(sf_dir, "events", ["user_id"]).map_batches(
-        lambda t: pa.table(
-            {
-                "c_custkey": pc.cast(t["user_id"], pa.int64()),
-                "__side": pa.nulls(t.num_rows, pa.int8()).fill_null(0),
-            }
+    1. the build side is compressed into a ~KB Bloom filter (per-block
+       partials OR-merged, ``functions/bloom.py``) and broadcast once;
+    2. probe rows the filter rules out are *definitely* inactive (Bloom
+       has no false negatives) and stream straight to the output with
+       zero shuffle;
+    3. only the "maybe active" residual — |build-distinct| + fp x |probe|
+       rows — goes through the exact two-sided hash-partitioned
+       anti-join (one keyed shuffle over a tiny fraction of the probe).
+
+    No driver-side key collection anywhere (round 1 broadcast a
+    driver-collected key set); the shuffled volume shrinks with the fp
+    rate instead of growing with the probe side."""
+    from glue_etl_pipeline_ray.functions.bloom import bloom_from_dataset
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+    from glue_etl_pipeline_ray.hashing import key_hash_u64
+
+    n_build = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    bloom = bloom_from_dataset(
+        _t(sf_dir, "events", ["user_id"]), ["user_id"],
+        expected_items=n_build, fp_rate=0.01,
+    )
+    bref = ray.put(bloom)
+
+    def split(maybe_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            bl = ray.get(bref)
+            keys = pc.cast(t["c_custkey"], pa.int64())
+            maybe = bl.contains_hashes(key_hash_u64(keys))
+            mask = pa.array(maybe if maybe_side else ~maybe)
+            return pa.table({"c_custkey": keys.filter(mask)})
+
+        return f
+
+    probe = _t(sf_dir, "customer", ["c_custkey"])
+    definite = probe.map_batches(split(False), batch_format="pyarrow",
+                                 batch_size=None)
+    residual = probe.map_batches(split(True), batch_format="pyarrow",
+                                 batch_size=None).map_batches(
+        lambda t: t.append_column(
+            "__side", pa.array(np.ones(t.num_rows, np.int8), pa.int8())
         ),
         batch_format="pyarrow",
         batch_size=None,
     )
-    probe = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+    build = _t(sf_dir, "events", ["user_id"]).map_batches(
         lambda t: pa.table(
             {
-                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
-                "__side": pa.nulls(t.num_rows, pa.int8()).fill_null(1),
+                "c_custkey": pc.cast(t["user_id"], pa.int64()),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
             }
         ),
         batch_format="pyarrow",
@@ -319,7 +348,8 @@ def q_anti_join_inactive(sf_dir: str):
             return group.slice(0, 0).select(["c_custkey"])
         return group.select(["c_custkey"])
 
-    return grouped_apply(build.union(probe), ["c_custkey"], anti)
+    exact_residual = grouped_apply(build.union(residual), ["c_custkey"], anti)
+    return definite.union(exact_residual)
 
 
 # ========================================================== aggregations
@@ -1140,6 +1170,48 @@ def q_grouped_quantiles(sf_dir: str):
         )
 
     return grouped_apply(ds, ["event_type"], quants)
+
+
+def q_value_quantiles_hist(sf_dir: str):
+    """Global exact quantiles WITHOUT a sort: integer-domain values
+    collapse to a (value -> count) histogram — pre-combined inside every
+    map task, so the only shuffle moves ~|distinct values| tiny rows —
+    and quantile_disc ranks are read off the cumulative counts in one
+    final pass. This is the 100 TB path for quantiles over bounded
+    integer domains (cents, token counts, sizes): mergeable partials,
+    no global sort, exact answers (for unbounded/float domains swap the
+    histogram for a KLL/t-digest sketch and accept approximation)."""
+    ds = _t(sf_dir, "events", ["value"])
+
+    hist = partial_groupby_sum(
+        ds.map_batches(
+            lambda t: pa.table({"cents": _cents(t["value"])}),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["cents"],
+        [],
+        count_alias="cnt",
+    )
+    h = hist.to_arrow_refs()
+    t = pa.concat_tables(ray.get(h))  # ~|distinct| rows, tiny by design
+    t = t.sort_by("cents")
+    vals = t["cents"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(t["cnt"].to_numpy(zero_copy_only=False))
+    n = int(cum[-1]) if len(cum) else 0
+
+    def pick(q: float) -> int:
+        idx = int(np.ceil(n * q)) - 1  # quantile_disc rank
+        return int(vals[np.searchsorted(cum, idx, side="right")])
+
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "p50_cents": pa.array([pick(0.5)], pa.int64()),
+            "p90_cents": pa.array([pick(0.9)], pa.int64()),
+            "p99_cents": pa.array([pick(0.99)], pa.int64()),
+        }
+    )
 
 
 def q_semi_join_active(sf_dir: str):
