@@ -91,7 +91,10 @@ def events_to_state(
     st_schema = state_schema(spec, evolved)
     key_cols = spec.key_cols
     group = group.combine_chunks()
-    deleted = pc.equal(group[spec.op_col], "DELETE")
+    # null-safe: a null op is an upsert (the oracle's `op == "DELETE"` is
+    # False for None); a bare pc.equal would make __deleted null and the
+    # live-view filter would silently drop the row
+    deleted = pc.fill_null(pc.equal(group[spec.op_col], "DELETE"), False)
     n_deletes = pc.sum(deleted).as_py() or 0
     cols = {}
     for name in spec.canonical_cols(evolved):

@@ -104,15 +104,20 @@ def test_type_name_roundtrip():
         type_from_name("struct<broken>")
 
 
-@pytest.mark.parametrize("mode", ["rewrite", "delta"])
-def test_nested_replay_matches_oracle(ray_session, tmp_path, mode):
+@pytest.mark.parametrize(
+    "mode,exchange",
+    [("rewrite", "raycore"), ("delta", "raycore"), ("rewrite", "groupby")],
+)
+def test_nested_replay_matches_oracle(ray_session, tmp_path, mode, exchange):
     ev_dir = str(tmp_path / "events")
     _gen_events(ev_dir)
     spec = _nested_spec()
     oracle = replay_oracle(spec, ev_dir)
     assert oracle["evolved"] == (("annotations", ANNO_T),)
 
-    eng = ReplayEngine(spec, str(tmp_path / f"lake_{mode}"), state_mode=mode)
+    eng = ReplayEngine(
+        spec, str(tmp_path / f"lake_{mode}"), state_mode=mode, exchange=exchange
+    )
     eng.replay(ev_dir)
     assert eng.final_sha256() == oracle["sha256"]
     # manifest round-trip: a fresh engine reloads the nested evolved type

@@ -83,3 +83,78 @@ def test_random_stream_matches_oracle(ray_session, s):
     )
     eng.replay(ev_dir)
     assert eng.final_sha256() == oracle["sha256"], (n, n_batches, seed, mode)
+
+
+@settings(max_examples=4, deadline=None)
+@given(s=stream())
+def test_random_nested_stream_matches_oracle(ray_session, s):
+    """Same property over a spec with nested struct/list<struct> payload
+    columns (arbitrary null/empty/missing shapes at depth)."""
+    from glue_etl_pipeline_ray.spec import Rule, TableSpec, type_from_name
+
+    n, n_batches, seed = s
+    rng = np.random.default_rng(seed + 7)
+    work = f"/tmp/gepr_propn_{uuid.uuid4().hex[:12]}"
+    ev_dir = os.path.join(work, "events")
+    os.makedirs(ev_dir)
+
+    meta_t = "struct<idx:int64,tags:list<string>>"
+    spec = TableSpec(
+        name="nested_prop",
+        key_cols=("repo", "path"),
+        base_cols=(("meta", meta_t),),
+        rules=(
+            Rule("repo", "not_null"),
+            Rule("path", "not_null"),
+            Rule("op", "enum", allowed=("INSERT", "UPDATE", "DELETE")),
+        ),
+        num_buckets=4,
+    )
+
+    def meta(_):
+        r = rng.random()
+        if r < 0.25:
+            return None
+        if r < 0.4:
+            return {"idx": None, "tags": None}
+        if r < 0.55:
+            return {"idx": int(rng.integers(0, 5)), "tags": []}
+        return {
+            "idx": int(rng.integers(0, 5)),
+            "tags": [
+                None if rng.random() < 0.2 else f"t{int(x)}"
+                for x in rng.integers(0, 3, int(rng.integers(1, 4)))
+            ],
+        }
+
+    seq = rng.permutation(n).astype(np.int64)
+    t = pa.table(
+        {
+            "seq": pa.array(seq),
+            "batch_id": pa.array((seq % n_batches).astype(np.int64)),
+            "op": pa.array(
+                [rng.choice(OPS, p=[0.3, 0.4, 0.15, 0.1, 0.05]) for _ in range(n)],
+                pa.string(),
+            ),
+            "repo": pa.array(
+                [rng.choice(REPOS, p=[0.4, 0.3, 0.25, 0.05]) for _ in range(n)],
+                pa.string(),
+            ),
+            "path": pa.array(
+                [rng.choice(PATHS, p=[0.4, 0.3, 0.25, 0.05]) for _ in range(n)],
+                pa.string(),
+            ),
+            "meta": pa.array([meta(i) for i in range(n)], type_from_name(meta_t)),
+        }
+    )
+    for b in range(n_batches):
+        part = t.filter(pa.compute.equal(t["batch_id"], b))
+        pq.write_table(part, os.path.join(ev_dir, f"batch={b:05d}.parquet"))
+
+    oracle = replay_oracle(spec, ev_dir)
+    mode = "delta" if seed % 2 else "rewrite"
+    eng = ReplayEngine(
+        spec, os.path.join(work, f"lake_{mode}"), state_mode=mode, fold_threshold=2
+    )
+    eng.replay(ev_dir)
+    assert eng.final_sha256() == oracle["sha256"], (n, n_batches, seed, mode)
