@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins
         "broadcast_lookup_join": Q.q_broadcast_lookup_join,
         "anti_join_inactive": Q.q_anti_join_inactive,
+        "anti_join_bloom": Q.q_anti_join_bloom,
         "semi_join_active": Q.q_semi_join_active,
         "asof_prev_order": Q.q_asof_prev_order,
         "hash_join_orders": Q.q_hash_join_orders,
@@ -194,6 +195,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "anti_join_inactive": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+        """,
+        "anti_join_bloom": """
             SELECT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)

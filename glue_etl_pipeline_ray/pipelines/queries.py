@@ -283,27 +283,56 @@ def q_broadcast_lookup_join(sf_dir: str):
     return partial_groupby_sum(ds, ["region_name"], [], count_alias="n_customers")
 
 
-def q_anti_join_inactive(sf_dir: str):
-    """J2 analog (anti-join / set difference): customers with no event
-    activity — the two-phase Bloom + exact plan, EXACT results:
+def _anti_join_plan(sf_dir: str, use_bloom: bool):
+    """Two exact anti-join plans (customers with no event activity):
 
-    1. the build side is compressed into a ~KB Bloom filter (per-block
-       partials OR-merged, ``functions/bloom.py``) and broadcast once;
-    2. probe rows the filter rules out are *definitely* inactive (Bloom
-       has no false negatives) and stream straight to the output with
-       zero shuffle;
-    3. only the "maybe active" residual — |build-distinct| + fp x |probe|
-       rows — goes through the exact two-sided hash-partitioned
-       anti-join (one keyed shuffle over a tiny fraction of the probe).
-
-    No driver-side key collection anywhere (round 1 broadcast a
-    driver-collected key set); the shuffled volume shrinks with the fp
-    rate instead of growing with the probe side."""
-    from glue_etl_pipeline_ray.functions.bloom import bloom_from_dataset
+    - **direct**: two-sided hash-partitioned anti-join — both sides
+      shuffle once on the key, each partition task drops probe keys that
+      saw any build row. No driver-side key collection (round 1
+      broadcast a driver-collected key set).
+    - **bloom**: the build side is first compressed into a ~KB Bloom
+      filter (per-block partials OR-merged, ``functions/bloom.py``) and
+      broadcast; probe rows the filter rules out are *definitely*
+      inactive (no false negatives) and stream straight to the output
+      with ZERO shuffle; only the "maybe active" residual —
+      |build-distinct| + fp x |probe| rows — goes through the direct
+      plan. Worth its extra build pass once the probe side dwarfs the
+      build side (the 100 TB shape); at small scale direct wins.
+    """
     from glue_etl_pipeline_ray.functions.groups import grouped_apply
     from glue_etl_pipeline_ray.hashing import key_hash_u64
 
-    n_build = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    def tag(ds, col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(t[col], pa.int64()),
+                    "__side": pa.array(
+                        np.full(t.num_rows, side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        if pc.min(side).as_py() == 0:  # any build row -> key is active
+            return group.slice(0, 0).select(["c_custkey"])
+        return group.select(["c_custkey"])
+
+    build = tag(_t(sf_dir, "events", ["user_id"]), "user_id", 0)
+    probe = _t(sf_dir, "customer", ["c_custkey"])
+    if not use_bloom:
+        return grouped_apply(
+            build.union(tag(probe, "c_custkey", 1)), ["c_custkey"], anti
+        )
+
+    from glue_etl_pipeline_ray.functions.bloom import bloom_from_dataset
+
+    n_build = pq.ParquetFile(
+        os.path.join(sf_dir, "events.parquet")
+    ).metadata.num_rows
     bloom = bloom_from_dataset(
         _t(sf_dir, "events", ["user_id"]), ["user_id"],
         expected_items=n_build, fp_rate=0.01,
@@ -320,7 +349,6 @@ def q_anti_join_inactive(sf_dir: str):
 
         return f
 
-    probe = _t(sf_dir, "customer", ["c_custkey"])
     definite = probe.map_batches(split(False), batch_format="pyarrow",
                                  batch_size=None)
     residual = probe.map_batches(split(True), batch_format="pyarrow",
@@ -331,25 +359,25 @@ def q_anti_join_inactive(sf_dir: str):
         batch_format="pyarrow",
         batch_size=None,
     )
-    build = _t(sf_dir, "events", ["user_id"]).map_batches(
-        lambda t: pa.table(
-            {
-                "c_custkey": pc.cast(t["user_id"], pa.int64()),
-                "__side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
-            }
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-
-    def anti(group: pa.Table) -> pa.Table:
-        side = group["__side"]
-        if pc.min(side).as_py() == 0:  # any build row -> key is active
-            return group.slice(0, 0).select(["c_custkey"])
-        return group.select(["c_custkey"])
-
     exact_residual = grouped_apply(build.union(residual), ["c_custkey"], anti)
     return definite.union(exact_residual)
+
+
+def q_anti_join_inactive(sf_dir: str):
+    """Stats-based plan choice (parquet metadata only): the Bloom
+    prefilter pays for its extra build pass when the probe side is much
+    larger than the build side; otherwise the single-shuffle direct plan
+    wins. Both plans are exact and both stay oracle-gated
+    (``anti_join_bloom`` forces the bloom plan)."""
+    meta = lambda t: pq.ParquetFile(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet")
+    ).metadata.num_rows
+    use_bloom = meta("customer") > 4 * meta("events")
+    return _anti_join_plan(sf_dir, use_bloom=use_bloom)
+
+
+def q_anti_join_bloom(sf_dir: str):
+    return _anti_join_plan(sf_dir, use_bloom=True)
 
 
 # ========================================================== aggregations
