@@ -151,12 +151,15 @@ def _chunk_marker(out_dir: str, chunk_id: int) -> str:
 
 
 def _chunk_signature(files: list[str]) -> str:
+    """Metadata-only input fingerprint (no data read): path + size +
+    mtime per file — the same freshness contract rsync/make use."""
     import hashlib
 
     h = hashlib.sha256()
     for f in files:
+        st = os.stat(f)
         h.update(f.encode())
-        h.update(str(os.path.getsize(f)).encode())
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 
 
@@ -326,11 +329,34 @@ def run_eventfile_etl(
     if resume:
         for ci, ch in enumerate(chunks):
             mp = _chunk_marker(out_dir, ci)
-            if os.path.exists(mp):
-                with open(mp) as f:
-                    m = _json.load(f)
-                if m.get("signature") == _chunk_signature(ch):
-                    done[ci] = m
+            if not os.path.exists(mp):
+                continue
+            with open(mp) as f:
+                m = _json.load(f)
+            if m.get("signature") == _chunk_signature(ch):
+                done[ci] = m
+            else:
+                # input changed: the re-run may land in DIFFERENT
+                # partitions, so the old run's files would survive as
+                # stale data — delete everything the old marker recorded
+                # (then the marker) before re-running the chunk
+                for name, py, pm, pd_, ph in map(tuple, m.get("partitions", [])):
+                    stale = os.path.join(
+                        out_dir, name, f"year={py}", f"month={pm}",
+                        f"day={pd_}", f"hour={ph}",
+                        f"part-c{ci:05d}.parquet",
+                    )
+                    try:
+                        os.remove(stale)
+                    except FileNotFoundError:
+                        pass
+                try:
+                    os.remove(
+                        os.path.join(out_dir, "_dlq", f"part-c{ci:05d}.parquet")
+                    )
+                except FileNotFoundError:
+                    pass
+                os.remove(mp)
     refs = {
         ci: _etl_chunk.options(num_cpus=1).remote(
             ci, ch, specs, out_dir, require_source

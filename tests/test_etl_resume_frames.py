@@ -88,6 +88,38 @@ def test_resume_skips_completed_chunks(ray_session, tmp_path):
     assert c4["tables"]["SVC_EVENT"] == 31
 
 
+def test_input_change_purges_stale_partitions(ray_session, tmp_path):
+    """If a chunk's input changes AND its events move to different
+    partitions, the old run's files must not survive as stale data."""
+    import pyarrow.dataset as pads
+
+    def write_blob(day):
+        (tmp_path / "ef-000").write_text(
+            json.dumps(
+                {
+                    "id": "e0",
+                    "time": f"2022-06-{day:02d}T09:00:00Z",
+                    "detail": {"type": "EFEvaluationEvent",
+                               "evaluation": {"service": "svc", "k": 1}},
+                }
+            )
+        )
+
+    out = str(tmp_path / "out")
+    day1 = os.path.join(out, "SVC_EVENT", "**", "day=1", "*", "*.parquet")
+    write_blob(1)
+    run_eventfile_etl([str(tmp_path / "ef-000")], [_spec()], out, resume=True)
+    assert glob.glob(day1, recursive=True)
+
+    write_blob(2)  # same chunk id, event now lands on day=2
+    c = run_eventfile_etl([str(tmp_path / "ef-000")], [_spec()], out, resume=True)
+    assert c["chunks_run"] == 1
+    # the day=1 file is gone; total table content = exactly one row
+    assert not glob.glob(day1, recursive=True)
+    t = pads.dataset(os.path.join(out, "SVC_EVENT"), partitioning="hive").to_table()
+    assert t.num_rows == 1 and t["event_id"].to_pylist() == ["e0"]
+
+
 def test_png_frame_sampler_splits_on_signatures():
     from glue_etl_pipeline_ray.functions.multimodal import PngFrameSampler
     from glue_etl_pipeline_ray.functions.png import png_decode, png_encode
