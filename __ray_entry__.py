@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_bloom": Q.q_anti_join_bloom,
         "semi_join_active": Q.q_semi_join_active,
         "asof_prev_order": Q.q_asof_prev_order,
+        "asof_prev_order_sharded": Q.q_asof_prev_order_sharded,
         "hash_join_orders": Q.q_hash_join_orders,
         # aggregations / sort / limit
         "classify_counts": Q.q_classify_counts,
@@ -245,6 +246,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "asof_prev_order": """
+            SELECT a.o_orderkey,
+                   strftime(b.o_orderdate, '%Y-%m-%d') AS prev_order_date
+            FROM orders a
+            ASOF LEFT JOIN orders b
+              ON a.o_custkey = b.o_custkey AND a.o_orderdate > b.o_orderdate
+        """,
+        "asof_prev_order_sharded": """
             SELECT a.o_orderkey,
                    strftime(b.o_orderdate, '%Y-%m-%d') AS prev_order_date
             FROM orders a

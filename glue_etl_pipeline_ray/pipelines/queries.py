@@ -932,6 +932,36 @@ def q_asof_prev_order(sf_dir: str):
     return joined.map_batches(fmt, batch_format="pyarrow", batch_size=None)
 
 
+def q_asof_prev_order_sharded(sf_dir: str):
+    """Range-sharded as-of join — the mega-key path (no per-key
+    fits-one-task assumption): rows group by (key, ~90-day shard) and a
+    carry-in table of per-shard right maxima resolves cross-shard
+    matches. Same oracle as the unsharded variant."""
+    from glue_etl_pipeline_ray.functions.joins import asof_join_backward_sharded
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_r = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    joined = asof_join_backward_sharded(
+        orders,
+        orders_r,
+        by="o_custkey",
+        on="o_orderdate",
+        left_cols=["o_orderkey"],
+        right_value_col="o_orderdate",
+        out_col="prev_ts",
+        # shard width trades group count against max-group size; ~1 year
+        # keeps groups chunky at test scale while still exercising the
+        # cross-shard carry (orders span ~7 years)
+        bucket_width=365 * 24 * 3600 * 1_000_000,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        prev = pc.strftime(pc.cast(t["prev_ts"], pa.timestamp("s")), format="%Y-%m-%d")
+        return pa.table({"o_orderkey": t["o_orderkey"], "prev_order_date": prev})
+
+    return joined.map_batches(fmt, batch_format="pyarrow", batch_size=None)
+
+
 def q_hash_join_orders(sf_dir: str):
     """Large-large equi-join: orders x customer via Ray Data's native
     hash-shuffle join (both sides partitioned on the key), then a keyed
