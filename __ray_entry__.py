@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "token_stats": Q.q_token_stats,
         "quality_score": Q.q_quality,
+        "doc_repetition": Q.q_doc_repetition,
         "lang_id": Q.q_lang_id,
         # embeddings: similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
@@ -406,6 +407,22 @@ def oracle_sql() -> dict[str, str]:
                            AS n_stopwords
                 FROM documents
             )
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), bi AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+                FROM toks, UNNEST(range(1, len(t))) AS u(i)
+                WHERE len(t) >= 2
+            ), cnt AS (
+                SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(sum(c) - count(*) AS BIGINT) AS n_dup_bigrams,
+                   CAST(max(c) AS BIGINT) AS top_bigram_n
+            FROM cnt GROUP BY 1
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -51,13 +51,23 @@ class MultiTableReplayer:
             for name, (spec, flt) in tables.items()
         }
 
-    def replay(self, events_dir: str, shared_scan: bool = False) -> dict[str, dict]:
+    def replay(
+        self,
+        events_dir: str,
+        shared_scan: bool = False,
+        max_batches: int | None = None,
+    ) -> dict[str, dict]:
         """``shared_scan=True``: one map wave reads each chunk once and
         feeds every table's merge wave (read amplification 1, rewrite
         state mode only); default runs one engine pass per table (the
-        simple composition)."""
+        simple composition). ``max_batches``: per-run work budget,
+        forwarded to every engine (per-table pass mode only)."""
         if not shared_scan:
-            return {n: e.replay(events_dir) for n, e in self.engines.items()}
+            return {
+                n: e.replay(events_dir, max_batches=max_batches)
+                for n, e in self.engines.items()
+            }
+        assert max_batches is None, "max_batches requires shared_scan=False"
         return self._replay_shared(events_dir)
 
     def _replay_shared(self, events_dir: str) -> dict[str, dict]:

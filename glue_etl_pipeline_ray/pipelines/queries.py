@@ -1308,6 +1308,41 @@ def q_semi_join_active(sf_dir: str):
     return grouped_apply(build.union(probe), ["c_custkey"], semi)
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher/C4-style repetition quality signals per document: total
+    bigrams, duplicated bigrams, and the hottest bigram's count — the
+    standard filters for boilerplate/looped text in training-data
+    curation. Embarrassingly parallel (per-doc Counter inside
+    map_batches, no shuffle at all); docs with < 2 tokens drop (no
+    bigrams), matching the oracle."""
+    from collections import Counter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        ids, total, dup, top = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (text or "").split(" ")
+            if len(toks) < 2:
+                continue
+            c = Counter(zip(toks, toks[1:]))
+            n = len(toks) - 1
+            ids.append(did)
+            total.append(n)
+            dup.append(n - len(c))
+            top.append(max(c.values()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(total, pa.int64()),
+                "n_dup_bigrams": pa.array(dup, pa.int64()),
+                "top_bigram_n": pa.array(top, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=None)
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic content-hash sampling (~1/8 of documents): rows whose
     md5(text) starts below 0x20 — reproducible across runs/engines (the
