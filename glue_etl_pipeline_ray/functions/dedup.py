@@ -186,7 +186,7 @@ def minhash_lsh_pairs(
         # bounded batches: one giant input block must not serialize the
         # whole corpus through a single actor
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:

@@ -294,7 +294,9 @@ def embed_cosine_pairs(
     from glue_etl_pipeline_ray.functions.groups import grouped_apply, grouped_first
 
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
-        AddBuckets, batch_format="pyarrow", batch_size=1024, concurrency=4
+        # autoscale from 1: a fixed pool equal to the cluster size would
+        # starve the downstream shuffle tasks on small clusters
+        AddBuckets, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
     )
     pairs = grouped_apply(bucketed, ["__lsh"], bucket_pairs, min_group_size=2)
     return grouped_first(pairs, ["vec_id_a", "vec_id_b"])

@@ -486,7 +486,7 @@ def q_lang_id(sf_dir: str):
         LangId,
         batch_format="pyarrow",
         batch_size=256,  # split the single input block across the pool
-        concurrency=4,
+        concurrency=(1, 4),
     ).select_columns(["doc_id", "pred_lang"])
 
 
@@ -556,7 +556,7 @@ def q_media_decode(sf_dir: str):
         FakeMediaDecoder,
         batch_format="pyarrow",
         batch_size=256,  # binary payloads dominate memory: small batches
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return decoded.select_columns(
         ["doc_id", "n_bytes", "width", "height", "content_digest"]
@@ -597,7 +597,7 @@ def q_media_decode_real(sf_dir: str):
         synth_png_payloads, batch_format="pyarrow", batch_size=256
     )
     return binary.map_batches(
-        PngDecoder, batch_format="pyarrow", batch_size=128, concurrency=2
+        PngDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2)
     )
 
 
@@ -661,7 +661,7 @@ def q_frame_sample(sf_dir: str):
     frames = ds.map_batches(
         to_binary, batch_format="pyarrow", batch_size=None
     ).map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=2
+        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     )
 
     def meta(t: pa.Table) -> pa.Table:
@@ -998,7 +998,7 @@ def q_token_stats_bpe(sf_dir: str):
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        BpeTokenCount, batch_format="pyarrow", batch_size=512, concurrency=4
+        BpeTokenCount, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
     )
 
 
@@ -1021,10 +1021,10 @@ def q_media_resize(sf_dir: str):
 
     binary = ds.map_batches(to_binary, batch_format="pyarrow", batch_size=None)
     decoded = binary.map_batches(
-        FakeMediaDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+        FakeMediaDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     )
     return decoded.map_batches(
-        FakeResizer, batch_format="pyarrow", batch_size=256, concurrency=2
+        FakeResizer, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     )
 
 
@@ -1044,7 +1044,7 @@ def q_media_embed(sf_dir: str):
 
     frames = (
         ds.map_batches(to_binary, batch_format="pyarrow", batch_size=None)
-        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 2))
         .map_batches(embed_bytes(), batch_format="pyarrow", batch_size=256)
     )
 
