@@ -24,11 +24,22 @@ from glue_etl_pipeline_ray.hashing import table_sha256
 from glue_etl_pipeline_ray.spec import TableSpec, type_from_name, type_name
 
 
+def _resolve_path(row: dict, path: str):
+    """Dotted-path lookup mirroring the engine's struct-field resolution
+    (stages/validate._resolve_col): missing segment -> absent (None)."""
+    v = row
+    for part in path.split("."):
+        if not isinstance(v, dict):
+            return None
+        v = v.get(part)
+    return v
+
+
 def _row_errors(spec: TableSpec, row: dict) -> list[str]:
     errs = []
     op = row.get(spec.op_col)
     for r in spec.rules:
-        v = row.get(r.col)
+        v = _resolve_path(row, r.col)
         if r.kind == "not_null":
             if v is None and op not in r.nullable_for_ops:
                 errs.append(r.error)

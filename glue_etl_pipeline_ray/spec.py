@@ -83,6 +83,10 @@ OPS = ("INSERT", "UPDATE", "DELETE")
 class Rule:
     """One vectorized validation rule over a change-event column.
 
+    ``col`` may be a dotted path into nested struct columns
+    (``meta.idx``) — resolved with vectorized ``pc.struct_field`` in the
+    engine and a dict walk in the oracle (stages/validate._resolve_col).
+
     Declarative analog of a Cerberus schema entry
     (reference ``data_profiling.py:46-58`` + ``dependencies/*.json``):
 

@@ -29,11 +29,34 @@ from glue_etl_pipeline_ray.hashing import canonical_bytes
 from glue_etl_pipeline_ray.spec import Rule, TableSpec
 
 
+def _resolve_col(batch: pa.Table, path: str):
+    """Resolve a rule column, following dotted paths into struct columns
+    (``meta.idx`` — the Cerberus nested-schema analog for the columnar
+    rules). A missing top-level column, a path segment into a non-struct,
+    or an absent struct field all resolve to None (absent); a NULL parent
+    struct yields null children (vectorized struct_field semantics)."""
+    first, _, rest = path.partition(".")
+    if first not in batch.column_names:
+        return None
+    col = batch[first]
+    if not rest:
+        return col
+    for part in rest.split("."):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_struct(col.type):
+            return None
+        if col.type.get_field_index(part) < 0:
+            return None
+        col = pc.struct_field(col, part)
+    return col
+
+
 def _rule_fail_mask(rule: Rule, batch: pa.Table, op: pa.ChunkedArray) -> pa.Array | None:
     """Boolean array: True where the row FAILS this rule."""
     n = batch.num_rows
-    has_col = rule.col in batch.column_names
-    col = batch[rule.col] if has_col else None
+    col = _resolve_col(batch, rule.col)
+    has_col = col is not None
     if rule.kind == "not_null":
         isnull = pc.is_null(col) if has_col else pa.array([True] * n)
         if rule.nullable_for_ops:

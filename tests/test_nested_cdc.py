@@ -133,6 +133,37 @@ def test_nested_replay_matches_oracle(ray_session, tmp_path, mode, exchange):
     assert final["annotations"].null_count > 0
 
 
+def test_nested_path_rules(ray_session, tmp_path):
+    """Validation rules at depth (dotted paths into struct columns):
+    engine's vectorized struct_field masks == oracle's dict walk."""
+    ev_dir = str(tmp_path / "events")
+    _gen_events(ev_dir)
+    spec = TableSpec(
+        name="nested_rules",
+        key_cols=("repo", "path"),
+        base_cols=(("commit", "string"), ("meta", META_T)),
+        rules=(
+            Rule("repo", "not_null"),
+            Rule("path", "not_null"),
+            Rule("op", "enum", allowed=("INSERT", "UPDATE", "DELETE")),
+            # depth rules: meta.idx must be present (deletes exempt) and
+            # in [0, 80) when set — quarantines rows with null meta too
+            Rule("meta.idx", "not_null", nullable_for_ops=("DELETE",)),
+            Rule("meta.idx", "range", lo=0, hi=79),
+        ),
+        num_buckets=8,
+    )
+    oracle = replay_oracle(spec, ev_dir)
+    assert oracle["n_dead_lettered"] > 0  # the depth rules actually bite
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    r = eng.replay(ev_dir)
+    assert eng.final_sha256() == oracle["sha256"]
+    assert (
+        sum(s["n_dead_lettered"] for s in r["summaries"])
+        == oracle["n_dead_lettered"]
+    )
+
+
 def test_nested_crash_resume(ray_session, tmp_path):
     ev_dir = str(tmp_path / "events")
     _gen_events(ev_dir)
