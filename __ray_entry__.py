@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embed_lsh": Q.q_dedup_embed_lsh,
         # multimodal: real PNG codec + stub plumbing for the rest
         "media_decode_real": Q.q_media_decode_real,
+        "media_embed_real": Q.q_media_embed_real,
         "media_decode": Q.q_media_decode,
         "media_resize": Q.q_media_resize,
         "token_stats_bpe": Q.q_token_stats_bpe,

@@ -165,6 +165,37 @@ class PngFrameSampler:
         )
 
 
+class PngHistogramEmbedder:
+    """REAL feature-extraction stage: decode the PNG payload and emit its
+    L1-normalized RGB histogram embedding (``list<float>``, 3 x bins) —
+    the decode -> feature chain a GPU model stage replaces at scale;
+    corrupt payloads get a null feature + error."""
+
+    def __init__(self, payload_col: str = "payload", bins: int = 8):
+        from glue_etl_pipeline_ray.functions import png  # once per actor
+
+        self.payload_col, self.bins = payload_col, bins
+        self._decode = png.png_decode
+        self._embed = png.histogram_embed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, errs = [], []
+        for payload in batch[self.payload_col].to_pylist():
+            try:
+                feats.append(
+                    self._embed(self._decode(payload or b""), self.bins).tolist()
+                )
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — corrupt payload
+                feats.append(None)
+                errs.append(f"decode: {e}")
+        return (
+            batch.drop_columns([self.payload_col])
+            .append_column("feature", pa.array(feats, pa.list_(pa.float32())))
+            .append_column("error", pa.array(errs, pa.string()))
+        )
+
+
 class FrameSampler:
     """'Video' frame sampling stub: slice the payload into ``n_frames``
     equal byte windows and emit one row per sampled frame (flat_map-style

@@ -131,6 +131,25 @@ def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
 _LUMA = np.array([0.299, 0.587, 0.114])
 
 
+def histogram_embed(arr: np.ndarray, bins_per_channel: int = 8) -> np.ndarray:
+    """REAL image feature vector: per-channel intensity histograms over
+    the RGB planes, L1-normalized and concatenated (3 x bins floats) —
+    the classic color-signature embedding. Deterministic, so similarity
+    search over it is testable against a pre-encode oracle."""
+    h, w, c = arr.shape
+    rgb = arr[:, :, :3] if c >= 3 else np.repeat(arr[:, :, :1], 3, axis=2)
+    n = float(h * w)
+    # bin index = value * bins // 256 (exact integer binning)
+    feats = [
+        np.bincount(
+            (rgb[:, :, ch].ravel().astype(np.int64) * bins_per_channel) // 256,
+            minlength=bins_per_channel,
+        )
+        for ch in range(3)
+    ]
+    return (np.concatenate(feats) / n).astype(np.float32)
+
+
 def pixel_stats(arr: np.ndarray) -> dict:
     """Deterministic pixel statistics (the decode stage's feature set):
     integer-scaled so engine and oracle compare exactly."""

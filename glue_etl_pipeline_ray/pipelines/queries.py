@@ -649,6 +649,24 @@ def q_frame_sample_real(sf_dir: str):
     )
 
 
+def q_media_embed_real(sf_dir: str):
+    """REAL decode -> feature-extraction chain: PNG payloads decoded
+    natively, RGB-histogram embeddings emitted as ``list<float>`` —
+    the shape a batched GPU model stage has, with a working codec and a
+    pixel-level pytest oracle (corrupt payloads carry error instead of
+    killing the task)."""
+    from glue_etl_pipeline_ray.functions.multimodal import PngHistogramEmbedder
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    binary = ds.map_batches(
+        synth_png_payloads, batch_format="pyarrow", batch_size=256
+    )
+    return binary.map_batches(
+        PngHistogramEmbedder, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 2),
+    )
+
+
 def q_frame_sample(sf_dir: str):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 

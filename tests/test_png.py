@@ -119,6 +119,39 @@ def test_media_decode_real_matches_pixel_oracle(ray_session):
         assert int(row["pixel_sum"]) == st["pixel_sum"]
 
 
+def test_histogram_embed_exact():
+    from glue_etl_pipeline_ray.functions.png import histogram_embed
+
+    # a 2x2 image with known bin landings (bins of width 32 for bins=8)
+    arr = np.array(
+        [[[0, 255, 128], [31, 224, 128]],
+         [[32, 255, 100], [255, 0, 100]]], dtype=np.uint8
+    )
+    f = histogram_embed(arr, bins_per_channel=8)
+    assert f.shape == (24,)
+    assert abs(f.sum() - 3.0) < 1e-6  # each channel L1-normalized
+    r = f[:8]
+    assert r[0] == 0.5 and r[1] == 0.25 and r[7] == 0.25  # 0,31 | 32 | 255
+
+
+def test_media_embed_real_matches_pixel_oracle(ray_session):
+    from glue_etl_pipeline_ray.functions.png import histogram_embed
+    from glue_etl_pipeline_ray.pipelines.queries import q_media_embed_real
+
+    res = q_media_embed_real("/root/testdata/sf0.001").to_pandas()
+    assert len(res) > 0
+    for _, row in res.head(25).iterrows():
+        did = int(row["doc_id"])
+        if did % 97 == 0:
+            assert row["error"] is not None and row["feature"] is None
+            continue
+        rng = np.random.default_rng(did)
+        h, w = 8 + did % 9, 8 + (did // 3) % 9
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        expect = histogram_embed(arr)
+        assert np.allclose(np.asarray(row["feature"]), expect, atol=1e-6)
+
+
 def test_decode_real_dispatch():
     from glue_etl_pipeline_ray.functions.multimodal import decode_real
 
