@@ -195,3 +195,49 @@ def test_validator_does_not_mutate_input():
     snapshot = copy.deepcopy(doc)
     v.validate(doc)
     assert doc == snapshot
+
+
+def test_media_fixup_with_populated_index():
+    """J1/M11 with a real media list: canonical {lib}/{id}/{file} keys,
+    first match wins on duplicates, no match falls back to the raw id,
+    ADD_TAG nulls the media fields (flat_jsons.py:139-183)."""
+    from glue_etl_pipeline_ray.pipelines.event_schemas import make_media_fixup
+
+    fix = make_media_fixup(
+        "mediabucket",
+        [
+            "MYLIB/img-1/a.jpg",
+            "MYLIB/img-1/b.jpg",  # second match must lose
+            "EXTERNALLIB/img-2/c.png",
+            "junk-without-slashes",
+        ],
+    )
+
+    def ev(media_id, lib="MYLIB", typ="SEARCH_IMAGE"):
+        return {
+            "evaluation": {
+                "type": typ,
+                "payload": {"media_id": media_id, "medialib": lib,
+                            "media_type": "IMAGE", "caption": "c"},
+            }
+        }
+
+    d = fix(ev("img-1"))
+    assert d["evaluation"]["payload"]["media_id"] == "s3://mediabucket/MYLIB/img-1/a.jpg"
+    assert d["evaluation"]["payload"]["search_match"] is None
+
+    d = fix(ev("img-2", lib="EXTERNALLIB"))
+    assert d["evaluation"]["payload"]["media_id"] == "s3://mediabucket/EXTERNALLIB/img-2/c.png"
+
+    # no match: raw id kept (left-outer fallback)
+    d = fix(ev("img-404"))
+    assert d["evaluation"]["payload"]["media_id"] == "img-404"
+
+    # ADD_TAG: media fields nulled, lookup skipped entirely
+    d = fix(ev("img-1", typ="ADD_TAG"))
+    p = d["evaluation"]["payload"]
+    assert p["media_id"] is None and p["media_type"] is None and p["caption"] is None
+
+    # missing media_id/medialib: event untouched
+    d = fix({"evaluation": {"type": "PUBLISH", "payload": {"text": "t"}}})
+    assert "media_id" not in d["evaluation"]["payload"]
