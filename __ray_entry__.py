@@ -6,16 +6,21 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 40 pipelines — one per operator family from SURVEY.md
-  section 2 (flatten/validate/evolve/joins incl. as-of and hash,
-  windowed aggregates, partitioned writes) plus the training-data
-  operators (dedup exact/minhash/simhash/ngram/embedding, ANN search,
-  text analysis, multimodal chains). SURVEY.md section 8 maps each to
-  its implementation.
-- ``oracle_sql()``: DuckDB-equivalent SQL per query. Aggregates use
-  scaled-integer measures (cents / e4 / e6) so engine and oracle match
-  bit-for-bit; fuzzy operators (minhash/simhash LSH, IVF-ANN, lang-id,
-  media stubs) are genuinely non-SQL and get the rows-only check.
+- ``queries()``: 51 pipelines — one per operator family from SURVEY.md
+  section 2 (flatten/validate/evolve/joins incl. as-of [plain +
+  range-sharded], anti/semi [direct + Bloom-prefiltered], windowed
+  aggregates incl. RANGE-frame sliding windows, exact + histogram
+  quantiles, partitioned writes, nested struct/list projection) plus
+  the training-data operators (dedup exact/minhash/simhash/ngram/
+  embedding, ANN search, text analysis incl. Gopher-style repetition,
+  real-PNG multimodal chains). SURVEY.md section 8 maps each to its
+  implementation.
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (37 hash-exact).
+  Aggregates use scaled-integer measures (cents / e4 / e6) so engine
+  and oracle match bit-for-bit; fuzzy/codec operators (minhash/simhash
+  LSH, IVF-ANN, lang-id, media chains) are genuinely non-SQL and get
+  the rows-only check plus their own pytest oracles (pixel stats,
+  recall bounds, error bounds).
 """
 
 from __future__ import annotations
