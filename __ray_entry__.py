@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 51 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 53 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of [plain +
   range-sharded], anti/semi [direct + Bloom-prefiltered], windowed
   aggregates incl. RANGE-frame sliding windows, exact + histogram
@@ -15,7 +15,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
   embedding, ANN search, text analysis incl. Gopher-style repetition,
   real-PNG multimodal chains). SURVEY.md section 8 maps each to its
   implementation.
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (37 hash-exact).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (39 hash-exact).
   Aggregates use scaled-integer measures (cents / e4 / e6) so engine
   and oracle match bit-for-bit; fuzzy/codec operators (minhash/simhash
   LSH, IVF-ANN, lang-id, media chains) are genuinely non-SQL and get
@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_30m": Q.q_sliding_window_30m,
         "grouped_quantiles": Q.q_grouped_quantiles,
         "value_quantiles_hist": Q.q_value_quantiles_hist,
+        "user_event_paths": Q.q_user_event_paths,
+        "pivot_counts": Q.q_pivot_counts,
         "distinct_users_hll": Q.q_distinct_users_hll,
         # documents: dedup + text analysis
         "hash_sample": Q.q_hash_sample,
@@ -243,6 +245,24 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.99) AS p99_cents
             FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents
                   FROM events)
+        """,
+        "user_event_paths": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS event_path
+            FROM events GROUP BY 1
+        """,
+        "pivot_counts": f"""
+            SELECT user_id,
+                   {', '.join(
+                       "CAST(sum(CASE WHEN event_type = '" + c + "'"
+                       " THEN 1 ELSE 0 END) AS BIGINT) AS n_" + c
+                       for c in ('click', 'view', 'purchase', 'signup')
+                   )},
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS cents_purchase
+            FROM events GROUP BY 1
         """,
         "hash_join_orders": """
             SELECT c.c_mktsegment,

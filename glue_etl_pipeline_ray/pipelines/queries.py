@@ -1326,6 +1326,60 @@ def q_semi_join_active(sf_dir: str):
     return grouped_apply(build.union(probe), ["c_custkey"], semi)
 
 
+def q_user_event_paths(sf_dir: str):
+    """Ordered collect per key (the string_agg/collect_list family): each
+    user's event-type sequence in (ts, event_id) order, joined with '>'.
+    One hash shuffle; per-group vectorized sort + join — the
+    clickstream-path shape."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def collect(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        path = ">".join(
+            g["event_type"].take(pa.array(order, pa.int64())).to_pylist()
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "n_events": pa.array([g.num_rows], pa.int64()),
+                "event_path": pa.array([path], pa.string()),
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], collect)
+
+
+def q_pivot_counts(sf_dir: str):
+    """Pivot / conditional aggregation: per user, one count column per
+    event class — expressed as vectorized conditional partials inside
+    map_batches feeding ONE tiny keyed groupby (no per-class passes)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        cols = {"user_id": t["user_id"]}
+        for cls in EVENT_ENUM:
+            m = pc.fill_null(pc.equal(et, cls), False)
+            cols[f"n_{cls}"] = pc.cast(m, pa.int64())
+        cols["cents_purchase"] = pc.if_else(
+            pc.fill_null(pc.equal(et, "purchase"), False),
+            _cents(t["value"]),
+            pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+        )
+        return pa.table(cols)
+
+    wide = ds.map_batches(widen, batch_format="pyarrow", batch_size=None)
+    return partial_groupby_sum(
+        wide,
+        ["user_id"],
+        [f"n_{c}" for c in EVENT_ENUM] + ["cents_purchase"],
+    )
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher/C4-style repetition quality signals per document: total
     bigrams, duplicated bigrams, and the hottest bigram's count — the
