@@ -987,10 +987,15 @@ def q_hash_join_orders(sf_dir: str):
     small sides; this is the genuine all-to-all path."""
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # partition count tracks data volume (~200k rows per partition from
+    # parquet metadata), not a constant: per-partition overhead dominates
+    # small joins (8 parts measured 1.9x faster than 32 at sf0.1) while
+    # big joins need the spread
+    n_rows = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=max(8, min(256, n_rows // 200_000)),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
