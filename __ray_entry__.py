@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 53 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 54 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of [plain +
   range-sharded], anti/semi [direct + Bloom-prefiltered], windowed
   aggregates incl. RANGE-frame sliding windows, exact + histogram
@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_hist": Q.q_value_quantiles_hist,
         "user_event_paths": Q.q_user_event_paths,
         "pivot_counts": Q.q_pivot_counts,
+        "topk_users_sketch": Q.q_topk_users_sketch,
         "distinct_users_hll": Q.q_distinct_users_hll,
         # documents: dedup + text analysis
         "hash_sample": Q.q_hash_sample,

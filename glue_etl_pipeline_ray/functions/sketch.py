@@ -45,6 +45,80 @@ def _estimate(regs: np.ndarray, p: int) -> float:
     return float(est)
 
 
+def heavy_hitters(
+    ds: Dataset,
+    key_col: str,
+    k: int = 10,
+    partial_m: int = 64,
+    weight_col: str | None = None,
+) -> pa.Table:
+    """Approximate top-k heavy hitters with a deterministic error bound,
+    shuffle-free (Misra-Gries / SpaceSaving summary shape):
+
+    Each block emits its EXACT per-key totals truncated to its top
+    ``partial_m`` keys plus the mass it dropped (`__dropped` = the
+    largest truncated total — the bound on how much any unreported key
+    could have accumulated in that block). The driver folds the partials
+    (aggregate-sized) and reports each candidate's [count_min,
+    count_max] where count_max = count_min + sum-of-dropped-bounds over
+    blocks that did NOT report the key. Guarantee: every key whose true
+    total exceeds top-k's count_min + total slack is present — and with
+    ``partial_m >> k`` the slack is usually 0 at moderate skew.
+
+    Columns: key, count_min, count_max, rank (by count_min desc, key asc).
+    """
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        agg = (
+            df.group_by(key_col).agg(
+                pl.col(weight_col).sum().alias("__w")
+                if weight_col
+                else pl.len().cast(pl.Int64).alias("__w")
+            )
+        ).sort(["__w", key_col], descending=[True, False])
+        kept = agg.head(partial_m)
+        dropped = int(agg["__w"][partial_m]) if len(agg) > partial_m else 0
+        out = kept.to_arrow()
+        return out.append_column(
+            "__dropped", pa.array([dropped] * out.num_rows, pa.int64())
+        )
+
+    parts = ds.map_batches(block_top, batch_format="pyarrow", batch_size=None)
+    totals: dict = {}
+    block_drops: list[tuple[int, set]] = []  # (dropped_bound, keys_reported)
+    import ray as _ray
+
+    blocks = [_ray.get(r) for r in parts.to_arrow_refs()]  # aggregate-sized
+    for b in blocks:
+        if b.num_rows == 0:
+            continue
+        keys = b[key_col].to_pylist()
+        ws = b["__w"].to_pylist()
+        dropped = int(b["__dropped"][0].as_py())
+        for kk, w in zip(keys, ws):
+            totals[kk] = totals.get(kk, 0) + int(w)
+        block_drops.append((dropped, set(keys)))
+    out_rows = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[: k]
+    res = {"key": [], "count_min": [], "count_max": [], "rank": []}
+    for rank, (kk, cmin) in enumerate(out_rows, 1):
+        slack = sum(d for d, seen in block_drops if kk not in seen)
+        res["key"].append(kk)
+        res["count_min"].append(cmin)
+        res["count_max"].append(cmin + slack)
+        res["rank"].append(rank)
+    return pa.table(
+        {
+            "key": pa.array(res["key"]),
+            "count_min": pa.array(res["count_min"], pa.int64()),
+            "count_max": pa.array(res["count_max"], pa.int64()),
+            "rank": pa.array(res["rank"], pa.int64()),
+        }
+    )
+
+
 def hll_distinct(ds: Dataset, cols: list[str], p: int = 14) -> dict:
     """Approximate COUNT(DISTINCT cols): per-block registers (one
     ``map_batches`` pass, no shuffle), folded by max on the driver

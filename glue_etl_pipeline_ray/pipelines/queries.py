@@ -1331,6 +1331,28 @@ def q_semi_join_active(sf_dir: str):
     return grouped_apply(build.union(probe), ["c_custkey"], semi)
 
 
+def q_topk_users_sketch(sf_dir: str):
+    """Shuffle-free heavy-hitter top-k (SpaceSaving-style mergeable
+    partials with a deterministic error bound) — the sketch companion to
+    the exact `topk_users`, like HLL pairs with `distinct_users`. With
+    ``partial_m`` comfortably above the distinct-key count the bound
+    collapses to zero and the result is exact (asserted by the pytest
+    gate against the exact query)."""
+    from glue_etl_pipeline_ray.functions.sketch import heavy_hitters
+
+    ds = _t(sf_dir, "events", ["user_id", "value"]).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "cents": _cents(t["value"])}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    # partial_m above the key cardinality -> zero slack -> exact result
+    # (near-uniform keys have no true heavy hitters; on skewed data a
+    # small m suffices — bound behavior unit-tested in test_groups.py)
+    return heavy_hitters(ds, "user_id", k=10, partial_m=256, weight_col="cents")
+
+
 def q_user_event_paths(sf_dir: str):
     """Ordered collect per key (the string_agg/collect_list family): each
     user's event-type sequence in (ts, event_id) order, joined with '>'.

@@ -63,3 +63,57 @@ def test_raycore_grouped_apply_matches_dataset_path(ray_session):
     a = {r["k"]: r["s"] for r in grouped_apply(ds, ["k"], group_sum).take_all()}
     b = {r["k"]: r["s"] for r in raycore_grouped_apply(ds, ["k"], group_sum).take_all()}
     assert a == b and len(a) == len(set(t["k"].to_pylist()))
+
+
+def test_heavy_hitters_bound_and_exactness(ray_session):
+    """SpaceSaving-style sketch: with partial_m above the distinct count
+    the result equals the exact top-k; with a tight partial_m the
+    deterministic bound still holds (true count within [min, max] and no
+    qualifying key missed)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from glue_etl_pipeline_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: few heavy keys, long tail
+    keys = np.minimum(rng.zipf(1.4, 40_000), 500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
+    exact = {}
+    for kk in keys:
+        exact[int(kk)] = exact.get(int(kk), 0) + 1
+    top_exact = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    # generous partial_m: must be EXACT (zero slack)
+    wide = heavy_hitters(ds, "k", k=10, partial_m=600).to_pylist()
+    assert [(r["key"], r["count_min"]) for r in wide] == top_exact
+    assert all(r["count_max"] == r["count_min"] for r in wide)
+
+    # tight partial_m: bounds must bracket the truth for reported keys
+    tight = heavy_hitters(ds, "k", k=10, partial_m=20).to_pylist()
+    for r in tight:
+        assert r["count_min"] <= exact[r["key"]] <= r["count_max"], r
+    # every truly-heavy key (above worst-case slack) is present
+    max_slack = max(r["count_max"] - r["count_min"] for r in tight)
+    floor = min(r["count_min"] for r in tight) + max_slack
+    reported = {r["key"] for r in tight}
+    for kk, c in exact.items():
+        if c > floor:
+            assert kk in reported, (kk, c, floor)
+
+
+def test_topk_sketch_matches_exact_on_testdata(ray_session):
+    """With partial_m above the user cardinality, the sketch top-k is
+    exact: same keys, same totals, zero slack."""
+    from glue_etl_pipeline_ray.pipelines.queries import (
+        q_topk_users,
+        q_topk_users_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sk = q_topk_users_sketch(sf).to_pylist()
+    ex = q_topk_users(sf).to_pandas()
+    assert [r["key"] for r in sk] == list(ex.user_id)
+    assert [r["count_min"] for r in sk] == list(ex.total_cents)
+    assert all(r["count_max"] == r["count_min"] for r in sk)
