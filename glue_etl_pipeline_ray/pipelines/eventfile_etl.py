@@ -376,4 +376,29 @@ def run_eventfile_etl(
         counts["dead_lettered"] += o["dead_lettered"]
         for name, n in o["tables"].items():
             counts["tables"][name] += n
+    # run-level lineage manifest (A2/S8 analog of the replay engine's
+    # lineage log): per-table + DLQ tallies and the partition inventory,
+    # named by the full input signature so re-runs of identical input
+    # overwrite one deterministic file
+    import hashlib
+    import json as _json
+
+    run_sig = hashlib.sha256(
+        "".join(_chunk_signature(ch) for ch in chunks).encode()
+    ).hexdigest()[:16]
+    manifest_path = os.path.join(out_dir, "_lineage", f"run-{run_sig}.json")
+    os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+    tmp = f"{manifest_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(
+            {
+                "input_signature": run_sig,
+                "n_files": len(paths),
+                "n_chunks": len(chunks),
+                **counts,
+            },
+            f,
+            default=list,
+        )
+    os.replace(tmp, manifest_path)
     return counts

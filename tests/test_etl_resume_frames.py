@@ -156,3 +156,25 @@ def test_frame_sample_real_pipeline(ray_session):
     for _ in range(int(row["frame_idx"]) + 1):
         arr = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
     assert int(row["pixel_sum"]) == pixel_stats(arr)["pixel_sum"]
+
+
+def test_lineage_manifest_written_and_consistent(ray_session, tmp_path):
+    """The ETL writes a deterministic run-level lineage manifest whose
+    tallies match the returned counts (A2/S8 analog)."""
+    import pyarrow.dataset as pads
+
+    paths = _blobs(tmp_path, n_files=4)
+    out = str(tmp_path / "out")
+    counts = run_eventfile_etl(paths, [_spec()], out, files_per_task=2)
+    manifests = glob.glob(os.path.join(out, "_lineage", "run-*.json"))
+    assert len(manifests) == 1
+    m = json.load(open(manifests[0]))
+    assert m["tables"] == counts["tables"]
+    assert m["dead_lettered"] == counts["dead_lettered"]
+    assert m["n_files"] == 4 and m["n_chunks"] == 2
+    # manifest tallies match what's actually on disk
+    t = pads.dataset(os.path.join(out, "SVC_EVENT"), partitioning="hive").to_table()
+    assert t.num_rows == m["tables"]["SVC_EVENT"]
+    # identical rerun overwrites the same manifest (no proliferation)
+    run_eventfile_etl(paths, [_spec()], out, files_per_task=2)
+    assert len(glob.glob(os.path.join(out, "_lineage", "run-*.json"))) == 1
