@@ -45,6 +45,140 @@ def _estimate(regs: np.ndarray, p: int) -> float:
     return float(est)
 
 
+class KLLSketch:
+    """Mergeable KLL quantile sketch (Karnin-Lang-Liberty, FOCS 2016) for
+    unbounded / float domains — the documented scale path behind the
+    exact value-histogram quantiles (which require a bounded integer
+    domain). Rank error is O(1/k) of n with high probability; k=256
+    gives well under 1% in practice.
+
+    Level ``i`` holds items of weight ``2**i``; level capacities decay
+    geometrically (c = 2/3) from ``k`` at the top. A full level is
+    sorted and every other item (alternating offset — the deterministic
+    coin used by Greenwald-Khanna-style implementations, chosen here so
+    Ray task retries reproduce byte-identical partials) is promoted to
+    the next level. Each block builds a partial over its rows in ONE
+    vectorized append (no per-item inserts); partials serialize to a few
+    KB and fold on the driver — the same shuffle-free mergeable-sketch
+    shape as :func:`hll_distinct`."""
+
+    _C = 2.0 / 3.0
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._coin = 0
+
+    def _capacity(self, level: int) -> int:
+        depth = len(self.levels) - 1 - level
+        return max(2, int(np.ceil(self.k * self._C**depth)))
+
+    def _compress(self) -> None:
+        while True:
+            lvl = next(
+                (
+                    i
+                    for i, arr in enumerate(self.levels)
+                    if len(arr) > self._capacity(i)
+                ),
+                None,
+            )
+            if lvl is None:
+                return
+            arr = np.sort(self.levels[lvl])
+            # weight conservation: an odd item stays behind (promoting it
+            # would create or destroy one unit of level-lvl weight)
+            leftover = arr[-1:] if len(arr) % 2 else np.empty(0, np.float64)
+            arr = arr[: len(arr) - len(leftover)]
+            off = self._coin
+            self._coin ^= 1
+            promoted = arr[off::2]
+            self.levels[lvl] = leftover
+            if lvl + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[lvl + 1] = np.concatenate(
+                [self.levels[lvl + 1], promoted]
+            )
+
+    def update(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for i, arr in enumerate(other.levels):
+            if len(arr):
+                self.levels[i] = np.concatenate([self.levels[i], arr])
+        self._compress()
+
+    @property
+    def n(self) -> int:
+        return int(sum(len(a) << i for i, a in enumerate(self.levels)))
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            return float("nan")
+        items = np.concatenate([a for a in self.levels if len(a)])
+        weights = np.concatenate(
+            [np.full(len(a), 1 << i, np.int64) for i, a in enumerate(self.levels) if len(a)]
+        )
+        order = np.argsort(items, kind="stable")
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        target = q * cum[-1]
+        return float(items[np.searchsorted(cum, target, side="left").clip(0, len(items) - 1)])
+
+    def serialize(self) -> tuple[list[int], bytes]:
+        return (
+            [len(a) for a in self.levels],
+            b"".join(np.ascontiguousarray(a).tobytes() for a in self.levels),
+        )
+
+    @classmethod
+    def deserialize(cls, lens: list[int], blob: bytes, k: int = 256) -> "KLLSketch":
+        sk = cls(k)
+        flat = np.frombuffer(blob, np.float64)
+        sk.levels, pos = [], 0
+        for ln in lens:
+            sk.levels.append(flat[pos : pos + ln].copy())
+            pos += ln
+        if not sk.levels:
+            sk.levels = [np.empty(0, np.float64)]
+        return sk
+
+
+def kll_quantiles(
+    ds: Dataset, col: str, qs: list[float], k: int = 256
+) -> dict:
+    """Approximate quantiles of ``ds[col]`` via per-block KLL partials
+    (one ``map_batches`` pass, NO shuffle) folded on the driver — each
+    partial is O(k log(n/k)) floats regardless of block size, so the
+    reduce stays trivial at 10^10 rows. Returns
+    ``{"n": int, "quantiles": {q: value}}``."""
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        sk = KLLSketch(k)
+        sk.update(batch[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        lens, blob = sk.serialize()
+        return pa.table(
+            {
+                "lens": pa.array([lens], pa.list_(pa.int64())),
+                "vals": pa.array([blob], pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(block_sketch, batch_format="pyarrow", batch_size=None)
+    merged = KLLSketch(k)
+    for row in parts.take_all():  # aggregate-sized: one ~KB row per block
+        merged.merge(KLLSketch.deserialize(list(row["lens"]), row["vals"], k))
+    return {"n": merged.n, "quantiles": {q: merged.quantile(q) for q in qs}}
+
+
 def heavy_hitters(
     ds: Dataset,
     key_col: str,

@@ -153,6 +153,42 @@ def q_cdc_dead_letter(sf_dir: str):
     return flagged.select_columns(["event_id", "error"])
 
 
+def q_event_audit(sf_dir: str):
+    """Per-event audit stream (M14, the round-2 gap): one record per
+    event — PASS or FAIL — with the joined error string, the analog of
+    the reference's PROFILER line per event
+    (``data_profiling.py:180-189``: ``EventId|HasPassed|...|Errors``,
+    parsed into ES docs by ``process_logs.py:140-190``). Same vectorized
+    rule kernel as the dead-letter query, ``invalid_only=False`` so
+    clean events get audit rows too. Zero shuffle."""
+    spec = TableSpec(
+        name="events_audit",
+        key_cols=("event_id",),
+        base_cols=(),
+        rules=(
+            Rule("event_type", "enum", allowed=EVENT_ENUM),
+            Rule("value", "range", lo=0.0, hi=90.0),
+        ),
+    )
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    audited = ds.map_batches(
+        make_flag_fn(spec, invalid_only=False),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "passed": pc.cast(pc.is_null(t["error"]), pa.int64()),
+                "error": pc.fill_null(t["error"], ""),
+            }
+        )
+
+    return audited.map_batches(fmt, batch_format="pyarrow", batch_size=None)
+
+
 # ============================================= flatten / project / normalize
 
 
@@ -728,22 +764,28 @@ def q_str_list_promote(sf_dir: str):
     ``props`` JSON is parsed (genuinely — ``json.loads`` per row, the
     only faithful decode for a union-typed field) and its ``k`` value is
     re-shaped into the reference's wire forms (list / bare scalar /
-    literal "null" depending on the parsed value), then promoted by the
-    generic kernel. The oracle derives the expected OUTPUTS from the raw
-    ``props`` column via ``json_extract`` + CASE — it does not reuse the
-    promotion logic."""
+    literal "null"), then promoted by the generic kernel. The wire SHAPE
+    is selected by the first hex digit of ``md5(props)`` — a content
+    hash each side computes independently (hashlib here, DuckDB ``md5``
+    in the oracle), so the oracle's CASE cannot share the synthesis
+    arithmetic; it states the contract over the raw column."""
+    import hashlib
     import json
 
     ds = _t(sf_dir, "events", ["event_id", "props"])
 
     def promote(t: pa.Table) -> pa.Table:
-        ks = [json.loads(p)["k"] for p in t["props"].to_pylist()]
+        props = t["props"].to_pylist()
+        ks = [json.loads(p)["k"] for p in props]
         # the union-typed wire value, as the reference receives it
         # (flat_jsons.py:113-136: query may arrive as list, scalar string,
-        # or the literal string "null")
+        # or the literal string "null"); shape chosen by content hash
+        sels = [
+            int(hashlib.md5(p.encode()).hexdigest()[0], 16) % 3 for p in props
+        ]
         raw = [
-            [f"k{k}", "x"] if k % 3 == 0 else (f"k{k}" if k % 3 == 1 else "null")
-            for k in ks
+            [f"k{k}", "x"] if s == 0 else (f"k{k}" if s == 1 else "null")
+            for k, s in zip(ks, sels)
         ]
         tags = promote_union_column(raw)
         return pa.table(
@@ -1291,6 +1333,33 @@ def q_value_quantiles_hist(sf_dir: str):
             "p50_cents": pa.array([pick(0.5)], pa.int64()),
             "p90_cents": pa.array([pick(0.9)], pa.int64()),
             "p99_cents": pa.array([pick(0.99)], pa.int64()),
+        }
+    )
+
+
+def q_value_quantiles_sketch(sf_dir: str):
+    """Global approximate quantiles via the mergeable KLL sketch — the
+    scale path for UNBOUNDED / float domains where the exact
+    value-histogram (``q_value_quantiles_hist``) doesn't apply: one
+    ``map_batches`` pass emits an O(k log n)-float partial per block,
+    the driver folds them, NO shuffle at any size. Rows-only gate; the
+    rank-error bound vs the exact path is asserted in
+    tests/test_sketch_kll.py."""
+    from glue_etl_pipeline_ray.functions.sketch import kll_quantiles
+
+    ds = _t(sf_dir, "events", ["value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"cents": _cents(t["value"])}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    res = kll_quantiles(cents, "cents", [0.5, 0.9, 0.99], k=256)
+    return pa.table(
+        {
+            "n": pa.array([res["n"]], pa.int64()),
+            "p50_cents": pa.array([int(res["quantiles"][0.5])], pa.int64()),
+            "p90_cents": pa.array([int(res["quantiles"][0.9])], pa.int64()),
+            "p99_cents": pa.array([int(res["quantiles"][0.99])], pa.int64()),
         }
     )
 

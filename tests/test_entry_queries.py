@@ -78,6 +78,23 @@ def test_oracle_sql_keys_subset_of_queries():
     assert len(sqls) >= 15
 
 
+def test_oracle_backed_queries_come_first():
+    """The driver's correctness gate checks the first 50 entries of
+    queries() in dict order — every oracle-backed query must sit inside
+    that window, ahead of the no-oracle tail (VERDICT r2 item 2)."""
+    names = list(entry.queries())
+    backed = set(entry.oracle_sql())
+    last_backed = max(i for i, n in enumerate(names) if n in backed)
+    first_unbacked = min(
+        (i for i, n in enumerate(names) if n not in backed), default=len(names)
+    )
+    assert last_backed < first_unbacked, (
+        f"oracle-backed query at position {last_backed} follows a "
+        f"no-oracle query at {first_unbacked}"
+    )
+    assert last_backed < 50
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_duckdb(con, name):
     mine = _canon(_to_pandas(entry.queries()[name](SF)))

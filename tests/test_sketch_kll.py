@@ -1,0 +1,87 @@
+"""KLL quantile sketch: weight conservation, merge = single-sketch
+equivalence class, and the rank-error bound vs exact quantiles — the
+unit oracle for the rows-only `value_quantiles_sketch` query (VERDICT r2
+item 6: the documented sketch for unbounded/float domains, implemented)."""
+
+import numpy as np
+import pytest
+
+from glue_etl_pipeline_ray.functions.sketch import KLLSketch, kll_quantiles
+
+K = 256
+# empirical bound for k=256 with margin; theory is O(1/k) w.h.p.
+EPS = 0.01
+
+
+def _rank_error(sk: KLLSketch, data: np.ndarray, q: float) -> float:
+    # with ties a value occupies a rank INTERVAL [left, right]; the
+    # sketch is correct if q falls within eps of that interval
+    est = sk.quantile(q)
+    srt = np.sort(data)
+    lo = np.searchsorted(srt, est, side="left") / len(data)
+    hi = np.searchsorted(srt, est, side="right") / len(data)
+    return max(lo - q, q - hi, 0.0)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "zipf_heavy"])
+def test_kll_rank_error_bound(dist):
+    rng = np.random.default_rng(7)
+    n = 200_000
+    if dist == "uniform":
+        data = rng.uniform(-1e6, 1e6, n)
+    elif dist == "lognormal":
+        data = rng.lognormal(0, 3, n)  # unbounded float domain
+    else:
+        data = rng.zipf(1.3, n).astype(np.float64)  # heavy tail, many ties
+    sk = KLLSketch(K)
+    for chunk in np.array_split(data, 64):  # streaming block updates
+        sk.update(chunk)
+    assert sk.n == n  # weight conserved through every compaction
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        assert _rank_error(sk, data, q) <= EPS, (dist, q)
+
+
+def test_kll_merge_matches_single_sketch_bound():
+    """Partials merged across 32 'blocks' obey the same bound as one
+    sketch — the property the driver-side fold relies on."""
+    rng = np.random.default_rng(11)
+    data = rng.normal(0, 1, 150_000)
+    merged = KLLSketch(K)
+    for chunk in np.array_split(data, 32):
+        part = KLLSketch(K)
+        part.update(chunk)
+        lens, blob = part.serialize()  # round-trip the wire format
+        merged.merge(KLLSketch.deserialize(lens, blob, K))
+    assert merged.n == len(data)
+    for q in (0.05, 0.5, 0.95):
+        assert _rank_error(merged, data, q) <= EPS
+
+
+def test_kll_deterministic_partials():
+    """Identical input -> byte-identical partial (Ray task retries must
+    reproduce the same block sketch for idempotent folds)."""
+    data = np.random.default_rng(3).exponential(5.0, 50_000)
+    a, b = KLLSketch(K), KLLSketch(K)
+    a.update(data)
+    b.update(data)
+    la, ba = a.serialize()
+    lb, bb = b.serialize()
+    assert la == lb and ba == bb
+
+
+def test_kll_quantiles_over_dataset(ray_session):
+    """End-to-end over a ray.data.Dataset: sketch path vs exact numpy
+    quantiles on the same rows (the 'against the exact histogram path'
+    comparison at sf-test scale, where exact is computable)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(2, 1.5, 60_000)
+    ds = rd.from_items([{"v": float(x)} for x in vals], override_num_blocks=16)
+    res = kll_quantiles(ds, "v", [0.5, 0.9, 0.99], k=K)
+    assert res["n"] == len(vals)
+    srt = np.sort(vals)
+    for q, est in res["quantiles"].items():
+        lo = np.searchsorted(srt, est, side="left") / len(vals)
+        hi = np.searchsorted(srt, est, side="right") / len(vals)
+        assert max(lo - q, q - hi, 0.0) <= EPS, q
