@@ -110,6 +110,22 @@ def classify(detail: dict) -> tuple[str | None, str | None]:
 _PART_COLS = ("year", "month", "day", "hour")
 _DLQ_SCHEMA = pa.schema([("__raw", pa.string()), ("__error", pa.string())])
 
+# per-event audit record — the reference's PROFILER line
+# (data_profiling.py:180-189: EventId|HasPassed|EventFile|ServiceName|
+# ServiceType|Errors, parsed to ES docs by process_logs.py:140-190);
+# one row per event, PASS or FAIL, written per chunk with the same
+# idempotent part-c{chunk} naming as the data files
+_AUDIT_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.string()),
+        ("event_file", pa.string()),
+        ("service", pa.string()),
+        ("kind", pa.string()),
+        ("passed", pa.bool_()),
+        ("error", pa.string()),
+    ]
+)
+
 
 def _parse_times(values: list) -> np.ndarray | None:
     """ISO-8601 parse tolerant of fractional seconds / offsets; returns
@@ -179,12 +195,32 @@ def _etl_chunk(
     by_key = {(s.service, s.kind): s for s in specs}
     rows: dict[str, list[dict]] = {s.name: [] for s in specs}
     dlq: list[tuple[str, str]] = []
+    audit: list[dict] = []  # one record per event, pass or fail (M14)
+    audit_idx: dict[str, list[int]] = {s.name: [] for s in specs}
+
+    def _audit_row(
+        fname: str, ev: dict | None, service, kind, passed: bool, error
+    ) -> int:
+        audit.append(
+            {
+                "event_id": None if ev is None else ev.get("id"),
+                "event_file": fname,
+                "service": service,
+                "kind": kind,
+                "passed": passed,
+                "error": error,
+            }
+        )
+        return len(audit) - 1
 
     for path in files:
+        fname = os.path.basename(path)
         with open(path, "rb") as f:
             content = f.read().decode("utf-8", "replace")
         events, bad_spans = split_concat_json(content)
-        dlq.extend((span, "decode") for span in bad_spans)
+        for span in bad_spans:
+            dlq.append((span, "decode"))
+            _audit_row(fname, None, None, None, False, "decode")
         for ev in events:
             if (
                 require_source is not None
@@ -193,23 +229,31 @@ def _etl_chunk(
                 # the reference silently drops these (data_profiling.py:154-157);
                 # we keep the everything-lands-somewhere invariant
                 dlq.append((str(ev)[:200], "source"))
+                _audit_row(fname, ev, None, None, False, "source")
                 continue
             detail = ev.get("detail")
             if not isinstance(detail, dict):
                 dlq.append((str(ev)[:200], "required"))
+                _audit_row(fname, ev, None, None, False, "required")
                 continue
             service, kind = classify(detail)
             spec = by_key.get((service, kind))
             if spec is None:
                 dlq.append((str(ev)[:200], "unroutable"))
+                _audit_row(fname, ev, service, kind, False, "unroutable")
                 continue
             if spec.validator is not None:
                 ok, errs = spec.validator.validate(ev)
                 if not ok:
                     dlq.append((str(ev)[:200], f"validation: {errs[0]}"))
+                    _audit_row(
+                        fname, ev, service, kind, False,
+                        f"validation: {errs[0]}",
+                    )
                     continue
             elif any(not ev.get(r) for r in spec.required):
                 dlq.append((str(ev)[:200], "required"))
+                _audit_row(fname, ev, service, kind, False, "required")
                 continue
             for fx in spec.fixups:
                 detail = fx(detail)
@@ -222,6 +266,10 @@ def _etl_chunk(
             if "date_time" in names and "date_time" not in flat:
                 flat["date_time"] = ev.get("time")
             rows[spec.name].append(flat)
+            # tentative pass; an unparseable event time flips it below
+            audit_idx[spec.name].append(
+                _audit_row(fname, ev, service, kind, True, None)
+            )
 
     counts: dict[str, int] = {}
     partitions: set[tuple] = set()
@@ -235,6 +283,9 @@ def _etl_chunk(
         if len(bad):
             for i in bad:
                 dlq.append((str(table_rows[i])[:200], "time"))
+                ai = audit_idx[spec.name][i]
+                audit[ai]["passed"] = False
+                audit[ai]["error"] = "time"
             keep = np.flatnonzero(ymdh[:, 0] >= 0)
             table_rows = [table_rows[i] for i in keep]
             ymdh = ymdh[keep]
@@ -273,9 +324,15 @@ def _etl_chunk(
                 }
             ),
         )
+    if audit:
+        _write_atomic(
+            os.path.join(out_dir, "_audit", f"part-c{chunk_id:05d}.parquet"),
+            pa.Table.from_pylist(audit, schema=_AUDIT_SCHEMA),
+        )
     result = {
         "tables": counts,
         "dead_lettered": len(dlq),
+        "audited": len(audit),
         "partitions": sorted(partitions),
     }
     # completion marker LAST (after every output rename): its existence
@@ -350,12 +407,13 @@ def run_eventfile_etl(
                         os.remove(stale)
                     except FileNotFoundError:
                         pass
-                try:
-                    os.remove(
-                        os.path.join(out_dir, "_dlq", f"part-c{ci:05d}.parquet")
-                    )
-                except FileNotFoundError:
-                    pass
+                for side in ("_dlq", "_audit"):
+                    try:
+                        os.remove(
+                            os.path.join(out_dir, side, f"part-c{ci:05d}.parquet")
+                        )
+                    except FileNotFoundError:
+                        pass
                 os.remove(mp)
     refs = {
         ci: _etl_chunk.options(num_cpus=1).remote(
@@ -368,12 +426,14 @@ def run_eventfile_etl(
     counts: dict = {
         "tables": {s.name: 0 for s in specs},
         "dead_lettered": 0,
+        "audited": 0,
         "partitions": sorted({p for o in outs for p in map(tuple, o["partitions"])}),
         "chunks_skipped": len(done),
         "chunks_run": len(refs),
     }
     for o in outs:
         counts["dead_lettered"] += o["dead_lettered"]
+        counts["audited"] += o.get("audited", 0)
         for name, n in o["tables"].items():
             counts["tables"][name] += n
     # run-level lineage manifest (A2/S8 analog of the replay engine's

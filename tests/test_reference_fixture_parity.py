@@ -100,6 +100,44 @@ def test_all_six_tables_routed(etl_out):
     assert counts["dead_lettered"] == 50
 
 
+def test_per_event_audit_stream(etl_out):
+    """M14 (VERDICT r2 item 5): one structured audit record per event —
+    pass or fail — the analog of the reference's per-event PROFILER line
+    (``data_profiling.py:180-189``) / ES docs (``process_logs.py:140-190``,
+    sample ``data_observability/data/es_logs.jsonl``). The 7 fixture
+    blobs hold 111 events: 61 pass, 30 dirty (validation), 20
+    unknown-service."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out, counts = etl_out
+    parts = sorted(glob.glob(str(out / "_audit" / "part-c*.parquet")))
+    assert len(parts) > 1  # per-chunk files, idempotent naming
+    t = pads.dataset(parts).to_table()
+    assert t.num_rows == 111 == counts["audited"]
+    passed = t.filter(pc.field("passed"))
+    failed = t.filter(pc.invert(pc.field("passed")))
+    assert passed.num_rows == 61
+    errors = failed["error"].to_pylist()
+    assert sum(e == "unroutable" for e in errors) == 20  # unknown service
+    assert sum(e.startswith("validation: ") for e in errors) == 30
+    # every record names its event and source file (auditors ask "what
+    # happened to event X in file Y")
+    assert t.filter(pc.is_null(t["event_id"])).num_rows == 0
+    assert t.filter(pc.is_null(t["event_file"])).num_rows == 0
+    # per-table pass tallies match the routed counts exactly
+    for spec_name, n in counts["tables"].items():
+        service, _, kind = spec_name.rpartition("_")
+        kind_full = {"EVENT": "event", "PRED": "prediction"}[kind]
+        got = passed.filter(
+            pc.and_(
+                pc.equal(passed["service"], service.lower()),
+                pc.equal(passed["kind"], kind_full),
+            )
+        ).num_rows
+        assert got == n, (spec_name, got, n)
+
+
 def test_rerun_is_idempotent(etl_out):
     """Deterministic chunk -> file naming: re-running over the same input
     rewrites identical files (no append duplication — ref hazard 2.9)."""
