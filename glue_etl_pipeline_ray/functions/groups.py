@@ -23,44 +23,12 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+# collision_runs is shared with the replay merge path (stages/merge.py)
+# and the exchange combiner (stages/exchange.py) — one guard, three users
+from glue_etl_pipeline_ray.hashing import collision_runs as _collision_runs
 from glue_etl_pipeline_ray.hashing import key_hash_u64
 
 _PART_COL = "__part"
-
-
-def _collision_runs(part, keys, starts, ends) -> set[int] | None:
-    """Find hash runs whose rows do NOT all share the same real key.
-
-    Group identity below is a 64-bit key hash; two distinct keys that
-    collide would silently merge (wrong dedup/session/top-k output). This
-    vectorized guard — one take+equal per key column per partition —
-    costs ~nothing and returns the (vanishingly rare) run indices that
-    need a real-key sub-split. Returns None when every run is clean.
-    The replay merge path (stages/merge.py) instead documents the
-    collision odds and skips the check: see hashing.key_hash_u64."""
-    import pyarrow.compute as pc
-
-    sizes = ends - starts
-    if int(sizes.max(initial=0)) <= 1:
-        return None
-    ok = np.ones(int(ends[-1]) if len(ends) else 0, bool)
-    idx_arr = pa.array(np.repeat(starts, sizes), pa.int64())
-    try:
-        for k in keys:
-            col = part[k]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            ref = col.take(idx_arr)
-            eq = pc.or_kleene(
-                pc.equal(col, ref), pc.and_(pc.is_null(col), pc.is_null(ref))
-            )
-            ok &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
-    except pa.ArrowNotImplementedError:  # non-comparable key type
-        return None
-    if ok.all():
-        return None
-    bad = np.flatnonzero(~ok)
-    return set((np.searchsorted(starts, bad, side="right") - 1).tolist())
 
 
 def _true_key_groups(sl: pa.Table, keys: list[str]):

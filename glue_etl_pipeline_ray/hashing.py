@@ -32,10 +32,12 @@ def key_hash_u64(*cols: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
 
     Per-column SipHash (pandas) mixed with a golden-ratio multiply —
     no row-wise string concatenation (the naive join was the hot spot
-    of every map task). Stable across processes/runs; collision odds
-    within a 32k-row chunk ~1e-11 (and the merge stage re-checks
-    nothing: a collision would conflate two keys, which at 10^10 events
-    is ~1e-5 end-to-end — accepted and documented)."""
+    of every map task). Stable across processes/runs. A hash collision
+    between two distinct live keys would conflate them, so every LWW
+    survivor selection (merge.lww_state, exchange._validate_reduce_slice,
+    groups.grouped_apply) runs the vectorized real-key collision guard
+    (:func:`collision_runs` / :func:`guarded_last_per_key`) and sub-splits
+    the vanishingly rare colliding run by actual key values."""
     h: np.ndarray | None = None
     mult = np.uint64(0x9E3779B97F4A7C15)
     for c in cols:
@@ -49,6 +51,74 @@ def key_hash_u64(*cols: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
 
 def bucket_of(num_buckets: int, *cols) -> np.ndarray:
     return (key_hash_u64(*cols) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def collision_runs(part: pa.Table, keys, starts: np.ndarray, ends: np.ndarray):
+    """Find hash runs whose rows do NOT all share the same real key.
+
+    Group identity upstream is a 64-bit key hash; two distinct keys that
+    collide would silently merge (wrong upsert/dedup/top-k output). This
+    vectorized guard — one take+equal per key column — costs ~nothing and
+    returns the (vanishingly rare) run indices that need a real-key
+    sub-split. Returns None when every run is clean."""
+    sizes = ends - starts
+    if int(sizes.max(initial=0)) <= 1:
+        return None
+    ok = np.ones(int(ends[-1]) if len(ends) else 0, bool)
+    idx_arr = pa.array(np.repeat(starts, sizes), pa.int64())
+    try:
+        for k in keys:
+            col = part[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ref = col.take(idx_arr)
+            eq = pc.or_kleene(
+                pc.equal(col, ref), pc.and_(pc.is_null(col), pc.is_null(ref))
+            )
+            ok &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+    except pa.ArrowNotImplementedError:  # non-comparable key type
+        return None
+    if ok.all():
+        return None
+    bad = np.flatnonzero(~ok)
+    return set((np.searchsorted(starts, bad, side="right") - 1).tolist())
+
+
+def guarded_last_per_key(
+    t: pa.Table, key_cols, kh: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Indices (into ``t``) of the max-``seq`` survivor per REAL key.
+
+    ``order`` must sort rows so that equal-``kh`` rows are contiguous and
+    ``seq``-ascending within the run (any ``np.lexsort`` with seq as the
+    innermost key and kh among the outer keys qualifies). The last row of
+    each run is the hash-level survivor; multi-row runs are verified
+    against the real key columns and a colliding run is sub-split per
+    actual key, keeping each key's own max-seq row. Output preserves
+    ``order``'s relative ordering (deterministic)."""
+    khs = kh[order]
+    n = len(khs)
+    last = np.r_[khs[1:] != khs[:-1], True]
+    starts = np.flatnonzero(np.r_[True, khs[1:] != khs[:-1]])
+    ends = np.r_[starts[1:], n]
+    if int((ends - starts).max(initial=0)) <= 1:
+        return order[last]
+    key_cols = list(key_cols)
+    key_sorted = t.select(key_cols).take(pa.array(order, pa.int64()))
+    bad = collision_runs(key_sorted, key_cols, starts, ends)
+    if not bad:
+        return order[last]
+    pick = last.copy()
+    for r in sorted(bad):  # colliding runs are tiny and ~never occur
+        s, e = int(starts[r]), int(ends[r])
+        sl = key_sorted.slice(s, e - s)
+        best: dict = {}
+        for i, rk in enumerate(zip(*(sl[c].to_pylist() for c in key_cols))):
+            best[rk] = i  # seq-ascending within the run: later wins
+        pick[s:e] = False
+        for i in best.values():
+            pick[s + i] = True
+    return order[pick]
 
 
 def _col_to_str(col: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -42,7 +42,7 @@ import ray
 from glue_etl_pipeline_ray.spec import TableSpec
 from glue_etl_pipeline_ray.stages.evolve import make_evolve_fn
 from glue_etl_pipeline_ray.stages.merge import merge_bucket_table
-from glue_etl_pipeline_ray.hashing import key_hash_u64
+from glue_etl_pipeline_ray.hashing import guarded_last_per_key, key_hash_u64
 from glue_etl_pipeline_ray.stages.partial import BUCKET_COL
 from glue_etl_pipeline_ray.stages.validate import ValidateFn
 
@@ -142,10 +142,11 @@ def _validate_reduce_slice(
     kh = key_hash_u64(*(t[k] for k in spec.key_cols))
     seq = t[spec.seq_col].to_numpy(zero_copy_only=False)
     bucket = (kh % np.uint64(spec.num_buckets)).astype(np.int64)
+    # bucket = kh % B, so equal-kh rows stay contiguous under the
+    # bucket-major sort; runs detected on kh alone are exact. Survivor
+    # selection is collision-guarded against the real key columns.
     order = np.lexsort((seq, kh, bucket))
-    khs = kh[order]
-    last = np.r_[khs[1:] != khs[:-1], True]
-    chosen = order[last]
+    chosen = guarded_last_per_key(t, spec.key_cols, kh, order)
     t = t.take(chosen)
     bucket_chosen = bucket[chosen]
     t = t.append_column(BUCKET_COL, pa.array(bucket_chosen, pa.int64()))

@@ -116,10 +116,13 @@ def lww_state(
 ) -> pa.Table:
     """Fold state tables to one row per key by max ``__seq`` — one payload
     copy (the take); row order = key-hash ascending (deterministic; the
-    oracle comparison key-sorts the assembled live table anyway)."""
+    oracle comparison key-sorts the assembled live table anyway).
+    Survivor selection is collision-guarded: multi-row hash runs are
+    verified against the real key columns and the vanishingly rare
+    colliding run is sub-split per actual key (hashing.guarded_last_per_key)."""
     import numpy as np
 
-    from glue_etl_pipeline_ray.hashing import key_hash_u64
+    from glue_etl_pipeline_ray.hashing import guarded_last_per_key, key_hash_u64
 
     st_schema = state_schema(spec, evolved)
     tables = [conform(t, st_schema) for t in tables]
@@ -127,9 +130,8 @@ def lww_state(
     kh = key_hash_u64(*(combined[k] for k in spec.key_cols))
     seqs = combined[SEQ_COL].to_numpy(zero_copy_only=False)
     order = np.lexsort((seqs, kh))
-    khs = kh[order]
-    last = np.r_[khs[1:] != khs[:-1], True]
-    return combined.take(order[last]).cast(st_schema)
+    chosen = guarded_last_per_key(combined, spec.key_cols, kh, order)
+    return combined.take(chosen).cast(st_schema)
 
 
 # State/delta files are written+re-read every touched batch (rewrite mode

@@ -60,3 +60,49 @@ def test_canonical_bytes_sorting_and_nulls():
 def test_empty_table_hash():
     t = pa.table({"k": pa.array([], pa.string())})
     assert canonical_bytes(t, ["k"]) == b""
+
+
+def test_guarded_last_per_key_clean_and_colliding():
+    """lww survivor selection: the fast path picks max-seq per hash run;
+    a fabricated hash collision between two real keys must sub-split."""
+    import numpy as np
+
+    from glue_etl_pipeline_ray.hashing import guarded_last_per_key
+
+    t = pa.table(
+        {"k": ["a", "a", "b", "c"], "seq": [1, 5, 3, 2], "v": [10, 11, 12, 13]}
+    )
+    seq = np.array([1, 5, 3, 2])
+
+    # clean case: distinct hashes per key
+    kh = np.array([7, 7, 8, 9], dtype=np.uint64)
+    chosen = guarded_last_per_key(t, ["k"], kh, np.lexsort((seq, kh)))
+    out = t.take(chosen)
+    assert sorted(zip(out["k"].to_pylist(), out["v"].to_pylist())) == [
+        ("a", 11), ("b", 12), ("c", 13)
+    ]
+
+    # collision: keys "a" and "b" share hash 7 — without the guard, "b"
+    # (seq 3) would be conflated into "a"'s run and lose to seq 5
+    kh2 = np.array([7, 7, 7, 9], dtype=np.uint64)
+    chosen2 = guarded_last_per_key(t, ["k"], kh2, np.lexsort((seq, kh2)))
+    out2 = t.take(chosen2)
+    assert sorted(zip(out2["k"].to_pylist(), out2["v"].to_pylist())) == [
+        ("a", 11), ("b", 12), ("c", 13)
+    ]
+
+
+def test_guarded_last_per_key_null_keys():
+    import numpy as np
+
+    from glue_etl_pipeline_ray.hashing import guarded_last_per_key
+
+    t = pa.table(
+        {"k": pa.array([None, "x", None], pa.string()), "seq": [1, 2, 3]}
+    )
+    seq = np.array([1, 2, 3])
+    # null key and "x" fabricated into one hash run: must not conflate
+    kh = np.array([5, 5, 5], dtype=np.uint64)
+    chosen = guarded_last_per_key(t, ["k"], kh, np.lexsort((seq, kh)))
+    out = t.take(chosen)
+    assert sorted(out["seq"].to_pylist()) == [2, 3]
