@@ -5,12 +5,15 @@ Semantics: for every left row, attach the right row with the greatest
 the same ``by`` key — i.e. ``ASOF JOIN`` with ``direction=backward``.
 
 Ray-native composition (no raw actors needed): tag both sides, conform to
-a shared schema, union, ONE hash shuffle on the ``by`` key via
-``grouped_apply``, then a vectorized sort + ``np.searchsorted`` per key
-group. Partitioning assumption (documented per the custom-operator rule):
-all rows of one ``by`` key fit in one group task — the same assumption as
-any per-key window; a pathological mega-key would need range-sharding the
-right side with boundary replication, which this corpus does not need.
+a shared schema, union, ONE hash shuffle on the ``by`` key (or (key,
+time-shard) in the sharded variant), then ONE fully vectorized kernel per
+partition: lexsort + segment-cummax last-right carry-forward — zero
+per-key Python calls. Partitioning assumption (documented per the
+custom-operator rule): the plain variant needs all rows of one ``by``
+key inside one partition task (size ``num_partitions`` to the data); the
+sharded variant drops even that — a pathological mega-key splits across
+time shards with a broadcast binary-searched carry table resolving
+cross-shard matches.
 """
 
 from __future__ import annotations
@@ -19,8 +22,6 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-
-from glue_etl_pipeline_ray.functions.groups import grouped_apply
 
 _SIDE = "__side"
 
@@ -49,10 +50,23 @@ def asof_join_backward(
     right_value_col: str,
     out_col: str,
     strict: bool = True,
+    num_partitions: int = 64,
 ) -> Dataset:
     """Left as-of join: ``left.on``'s nearest strictly-smaller ``right.on``
     per ``by`` key; ``right_value_col`` (from the matched right row) is
-    emitted as ``out_col`` (null when no match)."""
+    emitted as ``out_col`` (null when no match).
+
+    One hash partition on ``by`` + a fully vectorized partition kernel:
+    sort by (key-hash, on, side), segment-cummax the last right index
+    forward (round 3: replaces the per-key Python group calls, which
+    dominated at 10^5 keys). Key identity inside a partition is the
+    64-bit hash, verified by the real-key collision guard; a colliding
+    run falls back to a per-true-key walk (vanishingly rare)."""
+    from glue_etl_pipeline_ray.hashing import (
+        bucket_of,
+        collision_runs,
+        key_hash_u64,
+    )
 
     # resolve types driver-side: Dataset handles must not leak into UDFs
     ls = left.schema()
@@ -60,6 +74,7 @@ def asof_join_backward(
     rs = right.schema()
     rv_type = dict(zip(rs.names, rs.types))[right_value_col]
     left_types = {c: left_all[c] for c in left_cols}
+    _PART = "__part"
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in left_cols}
@@ -67,6 +82,7 @@ def asof_join_backward(
         cols[on] = t[on]
         cols["__rv"] = pa.nulls(t.num_rows, rv_type)
         cols[_SIDE] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols[_PART] = pa.array(bucket_of(num_partitions, t[by]), pa.int64())
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -76,37 +92,105 @@ def asof_join_backward(
         cols[on] = t[on]
         cols["__rv"] = t[right_value_col]
         cols[_SIDE] = pa.array(np.ones(n, np.int8))
+        cols[_PART] = pa.array(bucket_of(num_partitions, t[by]), pa.int64())
         return pa.table(cols)
 
     lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
     rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
     both = lt.union(rt)
 
-    def join_group(g: pa.Table) -> pa.Table:
+    def _locf_vals(onv, sides, seg_start_of_row, rv_np):
+        """Last-right-carried-forward over pre-sorted rows: returns the
+        matched right value per LEFT row (None when no earlier right in
+        the segment). Row arrays must already be (segment, on, side)-
+        sorted with segment starts given per row."""
+        n = len(onv)
+        is_r = sides == 1
+        ridx = np.where(is_r, np.arange(n), -1)
+        cm = np.maximum.accumulate(ridx)
+        valid = cm >= seg_start_of_row
+        lpos = np.flatnonzero(~is_r)
+        vals = np.empty(len(lpos), object)
+        vals[:] = None
+        hit = valid[lpos]
+        vals[hit] = rv_np[cm[lpos[hit]]]
+        return lpos, vals
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_PART]).combine_chunks()
+        n = g.num_rows
         side = g[_SIDE].to_numpy(zero_copy_only=False)
-        onv = g[on].to_numpy(zero_copy_only=False)
-        is_r = side == 1
-        r_on = onv[is_r]
-        rv = g["__rv"].to_numpy(zero_copy_only=False)[is_r]
-        order = np.argsort(r_on, kind="stable")
-        r_on, rv = r_on[order], rv[order]
-        l_idx = np.flatnonzero(~is_r)
-        if len(l_idx) == 0:
+        if n == 0 or not (side == 0).any():
             return pa.table(
                 {
                     **{c: g[c].take(pa.array([], pa.int64())) for c in left_cols},
-                    out_col: pa.array([], g["__rv"].type),
+                    out_col: pa.array([], rv_type),
                 }
             )
-        l_on = onv[l_idx]
-        pos = np.searchsorted(r_on, l_on, side="left" if strict else "right") - 1
-        matched = pos >= 0
-        vals = np.where(matched, rv[np.maximum(pos, 0)], None)
-        out = {c: g[c].take(pa.array(l_idx, pa.int64())) for c in left_cols}
-        out[out_col] = pa.array(vals.tolist(), g["__rv"].type)
+        onv = g[on].to_numpy(zero_copy_only=False)
+        kh = key_hash_u64(g[by])
+        skey = side if strict else (1 - side)
+        order = np.lexsort((skey, onv, kh))
+        khs, sides = kh[order], side[order]
+        new_grp = np.r_[True, khs[1:] != khs[:-1]]
+        gstarts = np.flatnonzero(new_grp)
+        gends = np.r_[gstarts[1:], n]
+        key_sorted = g.select([by]).take(pa.array(order, pa.int64()))
+        bad = collision_runs(key_sorted, [by], gstarts, gends)
+        gstart_of_row = np.repeat(gstarts, gends - gstarts)
+        rv_np = g["__rv"].take(pa.array(order, pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        lpos, vals = _locf_vals(onv[order], sides, gstart_of_row, rv_np)
+        if bad:  # re-resolve colliding runs per TRUE key (tiny, rare)
+            run_of_lpos = np.searchsorted(gstarts, lpos, side="right") - 1
+            for r in sorted(bad):
+                s, e = int(gstarts[r]), int(gends[r])
+                sl_keys = key_sorted.slice(s, e - s)
+                sub = {}
+                for i, rk in enumerate(
+                    zip(*(sl_keys[c].to_pylist() for c in [by]))
+                ):
+                    sub.setdefault(rk, []).append(i)
+                fix: dict[int, object] = {}
+                for idxs in sub.values():
+                    best = None
+                    for i in idxs:
+                        if sides[s + i] == 1:
+                            best = rv_np[s + i]
+                        else:
+                            fix[s + i] = best
+                for j in np.flatnonzero(run_of_lpos == r):
+                    vals[j] = fix.get(int(lpos[j]))
+        orig_left = pa.array(order[lpos], pa.int64())
+        out = {c: g[c].take(orig_left) for c in left_cols}
+        out[out_col] = pa.array(vals.tolist(), rv_type)
         return pa.table(out)
 
-    return grouped_apply(both, [by], join_group)
+    return both.groupby(_PART).map_groups(join_partition, batch_format="pyarrow")
+
+
+def _carry_lookup(qk: np.ndarray, qb: np.ndarray, ent) -> np.ndarray:
+    """Vectorized carry-in resolution: for each query (key, shard), the
+    value of the latest right row in any STRICTLY EARLIER shard of that
+    key, or None. ``ent`` is the broadcast (uk, ub, comp_ent, ent_k,
+    ent_rv): per-(key, shard) right maxima sorted by (key, shard), with
+    a rank-composite ``comp_ent`` (key-rank * (len(ub)+1) + shard-rank,
+    strictly increasing) so one ``np.searchsorted`` resolves the whole
+    query batch — no per-row Python, no dict broadcast."""
+    uk, ub, comp_ent, ent_k, ent_rv = ent
+    comp_q = np.searchsorted(uk, qk) * np.int64(len(ub) + 1) + np.searchsorted(
+        ub, qb
+    )
+    j = np.searchsorted(comp_ent, comp_q, side="left") - 1
+    jj = np.maximum(j, 0)
+    # the found entry must belong to the SAME key (an insertion point at a
+    # key boundary lands on the previous key's last shard otherwise)
+    ok = (j >= 0) & (ent_k[jj] == qk)
+    out = np.empty(len(qk), object)
+    out[:] = None
+    out[ok] = ent_rv[jj[ok]]
+    return out
 
 
 def asof_join_backward_sharded(
@@ -117,26 +201,31 @@ def asof_join_backward_sharded(
     left_cols: list[str],
     right_value_col: str,
     out_col: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
     strict: bool = True,
+    num_partitions: int = 64,
 ) -> Dataset:
     """Range-sharded as-of join — the mega-key path.
 
     Same semantics as :func:`asof_join_backward`, but no key ever needs
-    to fit in one task: rows are grouped by ``(by, floor(on / width))``
+    to fit in one task: rows are bucketed by ``(by, floor(on / width))``
     so a hot key splits across time shards. A left row's match can
     precede its shard, so a **carry-in** is precomputed: pass 1 reduces
     the right side to one (max ``on``, value) row per (key, shard) —
-    thousands of tiny rows, not data rows — pass 2 prefix-maxes them
-    per key into a broadcast {(key, shard) -> latest right row at or
-    before the shard start}, and the final grouped join falls back to
-    the carry when a shard has no earlier right row. Three waves, one
-    full-data shuffle (the (key, shard) groupby); the carry table is the
-    only driver-side materialization and is aggregate-sized.
+    aggregate-sized, not data rows — broadcast as SORTED ARRAYS and
+    binary-searched per left row (:func:`_carry_lookup`). The join is
+    ONE hash partition on (key, shard) plus a fully vectorized partition
+    kernel: sort by (key, shard, on, side) and segment-cummax the last
+    right index forward — no per-(key, shard) Python group calls (the
+    round-2 profile showed those dominating at fine shards).
 
     ``on`` must be numeric/datetime64-comparable; ``bucket_width`` is in
-    the raw units of ``on`` (e.g. us for timestamps). ``by`` must be an
-    integer key in this variant (the carry index is keyed on int64)."""
+    the raw units of ``on`` (e.g. us for timestamps). ``bucket_width=None``
+    derives it from right-side stats (one cheap extra scan of the ``on``
+    column): span / clip(n_right / 64k, 64, 4096) shards, so the max rows
+    per (key, shard) group stays bounded even if ONE key owns every row.
+    ``by`` must be an integer key in this variant (the carry index is
+    keyed on int64)."""
     import ray
 
     ls = left.schema()
@@ -144,13 +233,34 @@ def asof_join_backward_sharded(
     rs = right.schema()
     rv_type = dict(zip(rs.names, rs.types))[right_value_col]
     left_types = {c: left_all[c] for c in left_cols}
-    width = np.int64(bucket_width)
 
     def _on_i64(col) -> np.ndarray:
         v = col.to_numpy(zero_copy_only=False)
         if np.issubdtype(v.dtype, np.datetime64):
             v = v.astype("datetime64[us]").astype(np.int64)
         return v.astype(np.int64)
+
+    if bucket_width is None:
+        def on_stats(t: pa.Table) -> pa.Table:
+            v = _on_i64(t[on])
+            return pa.table(
+                {
+                    "mn": pa.array([int(v.min()) if len(v) else None], pa.int64()),
+                    "mx": pa.array([int(v.max()) if len(v) else None], pa.int64()),
+                    "n": pa.array([len(v)], pa.int64()),
+                }
+            )
+
+        srows = right.select_columns([on]).map_batches(
+            on_stats, batch_format="pyarrow", batch_size=None
+        ).take_all()  # one tiny row per block — aggregate-sized
+        mns = [r["mn"] for r in srows if r["mn"] is not None]
+        mxs = [r["mx"] for r in srows if r["mx"] is not None]
+        n_right = sum(r["n"] for r in srows)
+        span = (max(mxs) - min(mns) + 1) if mns else 1
+        shards = int(np.clip(n_right // 65536, 64, 4096))
+        bucket_width = max(1, span // shards)
+    width = np.int64(bucket_width)
 
     # ---- pass 1: per (key, shard) right-side maximum (tiny output)
     def right_max(t: pa.Table) -> pa.Table:
@@ -186,86 +296,101 @@ def asof_join_backward_sharded(
     k, b, o = k[order], b[order], o[order]
     rv = agg["__rv"].take(pa.array(order, pa.int64()))
     last = np.r_[(k[1:] != k[:-1]) | (b[1:] != b[:-1]), True]
-    k, b, o, rv = k[last], b[last], o[last], rv.filter(pa.array(last))
-    carry: dict[tuple[int, int], tuple[int, object]] = {}
-    prev_key = None
-    best = None  # (on, value) of latest right row seen so far for key
-    for i in range(len(k)):
-        if k[i] != prev_key:
-            prev_key, best = k[i], None
-        if best is not None:
-            carry[(int(k[i]), int(b[i]))] = best
-        best = (int(o[i]), rv[i].as_py())
-    # carry for shards that have LEFT rows but no right rows at all is
-    # resolved per group below via a bucket-range walk over key_maxima
-    key_maxima: dict[int, list[tuple[int, int, object]]] = {}
-    for i in range(len(k)):
-        key_maxima.setdefault(int(k[i]), []).append(
-            (int(b[i]), int(o[i]), rv[i].as_py())
-        )
-    carry_ref = ray.put(key_maxima)
+    ent_k, ent_b = k[last], b[last]
+    ent_rv = rv.filter(pa.array(last)).to_numpy(zero_copy_only=False)
+    # within a key, the per-shard max `on` is monotone in shard id, so
+    # "latest right row in any earlier shard" = the LAST maxima entry
+    # with shard < query shard — resolvable by binary search alone. Keep
+    # the maxima as sorted rank-composite arrays (all vectorized; the
+    # round-2 per-row Python carry walk + dict-of-lists broadcast is gone).
+    uk = ent_k[np.r_[True, ent_k[1:] != ent_k[:-1]]] if len(ent_k) else ent_k
+    ub = np.unique(ent_b)
+    comp_ent = np.searchsorted(uk, ent_k) * np.int64(len(ub) + 1) + np.searchsorted(
+        ub, ent_b
+    )
+    carry_ref = ray.put((uk, ub, comp_ent, ent_k, ent_rv))
 
-    # ---- pass 2: tag + union + (key, shard) groupby + local asof
+    # ---- pass 2: tag + union + hash partition on (key, shard) + one
+    # fully vectorized kernel per PARTITION (not per group). Partition
+    # identity uses the real (key, shard) values inside the kernel, so
+    # no hash-collision exposure either.
+    from glue_etl_pipeline_ray.hashing import bucket_of
+
+    _PART = "__part"
+
     def tag_left(t: pa.Table) -> pa.Table:
         onv = _on_i64(t[on])
+        bkt = pa.array(onv // width, pa.int64())
         cols = {c: t[c] for c in left_cols}
         cols[by] = t[by]
         cols["__on"] = pa.array(onv, pa.int64())
-        cols["__bucket"] = pa.array(onv // width, pa.int64())
+        cols["__bucket"] = bkt
         cols["__rv"] = pa.nulls(t.num_rows, rv_type)
         cols[_SIDE] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols[_PART] = pa.array(bucket_of(num_partitions, t[by], bkt), pa.int64())
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
         onv = _on_i64(t[on])
+        bkt = pa.array(onv // width, pa.int64())
         cols = {c: pa.nulls(n, left_types[c]) for c in left_cols}
         cols[by] = t[by]
         cols["__on"] = pa.array(onv, pa.int64())
-        cols["__bucket"] = pa.array(onv // width, pa.int64())
+        cols["__bucket"] = bkt
         cols["__rv"] = t[right_value_col]
         cols[_SIDE] = pa.array(np.ones(n, np.int8))
+        cols[_PART] = pa.array(bucket_of(num_partitions, t[by], bkt), pa.int64())
         return pa.table(cols)
 
     lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
     rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
     both = lt.union(rt)
 
-    def join_group(g: pa.Table) -> pa.Table:
-        maxima = _get_broadcast(carry_ref)
-        side = g[_SIDE].to_numpy(zero_copy_only=False)
+    def join_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_PART]).combine_chunks()
+        n = g.num_rows
+        k = g[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["__bucket"].to_numpy(zero_copy_only=False)
         onv = g["__on"].to_numpy(zero_copy_only=False)
-        is_r = side == 1
-        r_on = onv[is_r]
-        rv = g["__rv"].to_numpy(zero_copy_only=False)[is_r]
-        order = np.argsort(r_on, kind="stable")
-        r_on, rv = r_on[order], rv[order]
-        l_idx = np.flatnonzero(~is_r)
-        if len(l_idx) == 0:
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        if n == 0 or not (side == 0).any():
             return pa.table(
                 {
                     **{c: g[c].take(pa.array([], pa.int64())) for c in left_cols},
                     out_col: pa.array([], rv_type),
                 }
             )
-        # carry-in: latest right row in any EARLIER shard of this key
-        key = int(g[by][0].as_py())
-        bucket = int(g["__bucket"][0].as_py())
-        fallback = None
-        for mb, _, mv in maxima.get(key, []):
-            if mb < bucket:
-                fallback = mv
-            else:
-                break
-        l_on = onv[l_idx]
-        pos = np.searchsorted(r_on, l_on, side="left" if strict else "right") - 1
-        matched = pos >= 0
-        if len(r_on):
-            vals = np.where(matched, rv[np.maximum(pos, 0)], fallback)
-        else:
-            vals = np.full(len(l_idx), fallback, dtype=object)
-        out = {c: g[c].take(pa.array(l_idx, pa.int64())) for c in left_cols}
+        # strict: lefts sort BEFORE rights at equal `on` (an equal-on
+        # right must not match); non-strict: rights first so it does
+        skey = side if strict else (1 - side)
+        order = np.lexsort((skey, onv, b, k))
+        ks, bs, sides = k[order], b[order], side[order]
+        is_r = sides == 1
+        # last-right-carried-forward within each (key, shard) segment:
+        # cummax of right positions; a carried index from an earlier
+        # segment is < this row's segment start, hence invalid
+        ridx = np.where(is_r, np.arange(n), -1)
+        cm = np.maximum.accumulate(ridx)
+        new_grp = np.r_[True, (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])]
+        gstarts = np.flatnonzero(new_grp)
+        gstart_of_row = np.repeat(gstarts, np.diff(np.r_[gstarts, n]))
+        valid = cm >= gstart_of_row
+        lpos = np.flatnonzero(~is_r)
+        rv_np = g["__rv"].take(pa.array(order, pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        vals = np.empty(len(lpos), object)
+        vals[:] = None
+        hit = valid[lpos]
+        vals[hit] = rv_np[cm[lpos[hit]]]
+        miss = ~hit
+        if miss.any():  # no in-shard right row before this left row
+            ent = _get_broadcast(carry_ref)
+            vals[miss] = _carry_lookup(ks[lpos[miss]], bs[lpos[miss]], ent)
+        orig_left = pa.array(order[lpos], pa.int64())
+        out = {c: g[c].take(orig_left) for c in left_cols}
         out[out_col] = pa.array(vals.tolist(), rv_type)
         return pa.table(out)
 
-    return grouped_apply(both, [by, "__bucket"], join_group)
+    return both.groupby(_PART).map_groups(join_partition, batch_format="pyarrow")

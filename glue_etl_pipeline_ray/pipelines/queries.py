@@ -1009,10 +1009,10 @@ def q_asof_prev_order_sharded(sf_dir: str):
         left_cols=["o_orderkey"],
         right_value_col="o_orderdate",
         out_col="prev_ts",
-        # shard width trades group count against max-group size; ~1 year
-        # keeps groups chunky at test scale while still exercising the
-        # cross-shard carry (orders span ~7 years)
-        bucket_width=365 * 24 * 3600 * 1_000_000,
+        # width derived from right-side stats (span / >=64 shards): the
+        # ~7-year order span shards to ~40-day buckets at sf0.1, plenty
+        # of cross-shard carry traffic
+        bucket_width=None,
     )
 
     def fmt(t: pa.Table) -> pa.Table:

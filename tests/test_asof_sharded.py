@@ -41,7 +41,7 @@ def _fixture():
     return left, right
 
 
-@pytest.mark.parametrize("width", [1_000, 50_000, 10_000_000])
+@pytest.mark.parametrize("width", [1_000, 50_000, 10_000_000, None])
 def test_sharded_equals_unsharded(ray_session, width):
     left, right = _fixture()
     base = (
