@@ -199,6 +199,27 @@ class ReplayEngine:
         evolved = self.ckpt.evolved
         inflight: list[dict] = []
         summaries: list[dict] = []
+        # delta-mode background compaction: fold tasks overlap the map and
+        # reduce waves (an LSM compacts in the background; the round-2 sync
+        # fold was ~20% of wall as a serial pipeline barrier). At most one
+        # fold in flight per bucket; results are harvested non-blocking at
+        # each drain and blocking at the end of the run.
+        fold_pending: list[tuple[list, dict, dict]] = []
+        folding: set[int] = set()
+
+        def harvest_folds(block: bool) -> None:
+            nonlocal fold_pending
+            keep = []
+            for refs, folds, old_bases in fold_pending:
+                if not block:
+                    _, rem = ray.wait(refs, num_returns=len(refs), timeout=0)
+                    if rem:
+                        keep.append((refs, folds, old_bases))
+                        continue
+                ray.get(refs)
+                self._apply_fold_results(folds, old_bases)
+                folding.difference_update(folds)
+            fold_pending = keep
 
         def drain_one() -> None:
             fl = inflight.pop(0)
@@ -222,14 +243,24 @@ class ReplayEngine:
             if self.state_mode == "delta":
                 # compact buckets whose delta chains grew past threshold;
                 # delta-mode merges never read state, so folding is safe
-                # concurrently with in-flight batches
+                # concurrently with in-flight batches — submit and move on
+                harvest_folds(block=False)
+                # per-bucket threshold jitter desynchronizes compaction: on
+                # a fresh lake every chain hits the base threshold at the
+                # SAME batch, and a 64-bucket fold storm competing with the
+                # in-flight waves beats the box harder than the serial fold
+                # it replaced. Jittered cadences (threshold..2*threshold-1
+                # by bucket) keep folds a steady trickle forever.
+                ft = self.fold_threshold
                 over = {
                     b: d
                     for b, d in self.ckpt.bucket_deltas.items()
-                    if len(d["deltas"]) >= self.fold_threshold
+                    if len(d["deltas"]) >= ft + (b % ft)
+                    and b not in folding
                 }
                 if over:
-                    self._fold_buckets(over)
+                    folding.update(over)
+                    fold_pending.append(self._submit_folds(over))
 
         for bid, files in pending:
             # schema-evolution discovery from footers (no data read), in order
@@ -266,6 +297,7 @@ class ReplayEngine:
                 drain_one()
         while inflight:
             drain_one()
+        harvest_folds(block=True)
         return summaries
 
     # ------------------------------------------------- groupby (per batch)
@@ -377,11 +409,15 @@ class ReplayEngine:
         return summary
 
     # -------------------------------------------------- delta-mode folding
-    def _fold_buckets(
+    def _submit_folds(
         self, targets: dict[int, dict], min_retained_seq: int | None = "keep"
-    ) -> int:
-        """Compact delta chains: fold base+deltas into a new base at the
-        current watermark, update the manifest, delete folded files.
+    ) -> tuple[list, dict, dict]:
+        """Submit fold tasks WITHOUT blocking: fold base+deltas into a new
+        base at the current watermark. Returns ``(refs, folds, old_bases)``
+        for :meth:`_apply_fold_results` once the refs resolve. The chain
+        snapshot in ``targets`` is taken at submit time — deltas committed
+        afterwards have versions > the watermark captured here, so the new
+        base plus the remaining chain stays a correct LWW prefix.
         ``min_retained_seq="keep"`` keeps all tombstones (safe default
         during replay); None/int follows :meth:`compact` semantics."""
         wm = self.ckpt.watermark
@@ -411,32 +447,47 @@ class ReplayEngine:
             )
             for b, d in targets.items()
         ]
-        ray.get(refs)
         folds = {
             b: {"base": wm, "folded_deltas": list(d["deltas"])}
             for b, d in targets.items()
         }
         old_bases = {b: d["base"] for b, d in targets.items()}
+        return refs, folds, old_bases
+
+    def _apply_fold_results(self, folds: dict[int, dict], old_bases: dict) -> None:
+        """Record completed folds in the manifest, then GC the folded
+        files. Crash before this point only leaves orphan base files
+        (never dangling pointers); :meth:`gc_orphans` reclaims them."""
         self.ckpt.apply_folds(folds)
         if not self.gc_old_versions:
             # keep folded files on disk: time-travel reads rebuild any
             # as-of state from the full delta chain in the lineage log
-            return len(targets)
+            return
         # GC post-commit: folded deltas + superseded bases
         from glue_etl_pipeline_ray.stages.merge import delta_name
 
-        for b, d in targets.items():
-            for v in d["deltas"]:
+        for b, f in folds.items():
+            for v in f["folded_deltas"]:
                 try:
                     os.remove(os.path.join(self.lake_dir, delta_name(b, v)))
                 except FileNotFoundError:
                     pass
             ob = old_bases[b]
-            if ob is not None and ob != wm:
+            if ob is not None and ob != f["base"]:
                 try:
                     os.remove(os.path.join(self.lake_dir, part_name(b, ob)))
                 except FileNotFoundError:
                     pass
+
+    def _fold_buckets(
+        self, targets: dict[int, dict], min_retained_seq: int | None = "keep"
+    ) -> int:
+        """Synchronous fold (explicit :meth:`compact` / time-travel paths);
+        the replay loop uses the submit/apply halves to overlap folding
+        with in-flight batches."""
+        refs, folds, old_bases = self._submit_folds(targets, min_retained_seq)
+        ray.get(refs)
+        self._apply_fold_results(folds, old_bases)
         return len(targets)
 
     # ------------------------------------------------------------- orphan GC
