@@ -27,7 +27,15 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0:
+            # Ray's to_pandas drops columns when every block is empty;
+            # rebuild the frame from the Dataset schema so an empty
+            # result still compares by column names
+            sch = res.schema()
+            if sch is not None:
+                df = pd.DataFrame({n: pd.Series(dtype="object") for n in sch.names})
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
