@@ -225,10 +225,16 @@ class ReplayEngine:
             fl = inflight.pop(0)
             outs = ray.get(fl["merge_refs"])
             records = [r for o in outs for r in o["records"]]
-            new_versions: dict[int, int] = {}
+            new_versions: dict[int, object] = {}
             for o in outs:
                 for rec in o["records"]:
-                    new_versions[rec["bucket"]] = rec["version"]
+                    # delta group-file records carry the exchange group id;
+                    # their chain pointer is the [version, group] pair
+                    new_versions[rec["bucket"]] = (
+                        [rec["version"], rec["group"]]
+                        if "group" in rec
+                        else rec["version"]
+                    )
             summaries.append(
                 self._finish_batch(
                     fl["batch_id"],
@@ -463,19 +469,39 @@ class ReplayEngine:
             # keep folded files on disk: time-travel reads rebuild any
             # as-of state from the full delta chain in the lineage log
             return
-        # GC post-commit: folded deltas + superseded bases
-        from glue_etl_pipeline_ray.stages.merge import delta_name
+        # GC post-commit: folded deltas + superseded bases. Per-bucket
+        # delta files die with their bucket's fold; a group delta file is
+        # shared by every bucket in its exchange group (buckets fold on
+        # jittered cadences), so it is removed only once NO remaining
+        # chain references its (version, group).
+        from glue_etl_pipeline_ray.stages.merge import delta_name, gdelta_name
 
+        folded_group_files: set[tuple[int, int]] = set()
         for b, f in folds.items():
-            for v in f["folded_deltas"]:
+            for ent in f["folded_deltas"]:
+                if isinstance(ent, (list, tuple)):
+                    folded_group_files.add((int(ent[0]), int(ent[1])))
+                    continue
                 try:
-                    os.remove(os.path.join(self.lake_dir, delta_name(b, v)))
+                    os.remove(os.path.join(self.lake_dir, delta_name(b, ent)))
                 except FileNotFoundError:
                     pass
             ob = old_bases[b]
             if ob is not None and ob != f["base"]:
                 try:
                     os.remove(os.path.join(self.lake_dir, part_name(b, ob)))
+                except FileNotFoundError:
+                    pass
+        if folded_group_files:
+            still_referenced = {
+                (int(ent[0]), int(ent[1]))
+                for d in self.ckpt.bucket_deltas.values()
+                for ent in d["deltas"]
+                if isinstance(ent, (list, tuple))
+            }
+            for v, g in folded_group_files - still_referenced:
+                try:
+                    os.remove(os.path.join(self.lake_dir, gdelta_name(g, v)))
                 except FileNotFoundError:
                     pass
 
@@ -500,17 +526,22 @@ class ReplayEngine:
         referenced = {
             part_name(b, v) for b, v in self.ckpt.bucket_versions.items()
         }
-        from glue_etl_pipeline_ray.stages.merge import delta_name
+        from glue_etl_pipeline_ray.stages.merge import delta_name, gdelta_name
 
         for b, d in self.ckpt.bucket_deltas.items():
             if d["base"] is not None:
                 referenced.add(part_name(b, d["base"]))
-            referenced.update(delta_name(b, v) for v in d["deltas"])
+            for ent in d["deltas"]:
+                referenced.add(
+                    gdelta_name(int(ent[1]), int(ent[0]))
+                    if isinstance(ent, (list, tuple))
+                    else delta_name(b, ent)
+                )
         wm = self.ckpt.watermark
-        pat = re.compile(r"(?:part|delta)-(\d+)-v(\d+)\.parquet$")
+        pat = re.compile(r"(?:part|delta|gdelta)-(\d+)-v(\d+)\.parquet$")
         n = 0
         for f in glob.glob(os.path.join(self.lake_dir, "part-*.parquet")) + glob.glob(
-            os.path.join(self.lake_dir, "delta-*.parquet")
+            os.path.join(self.lake_dir, "*delta-*.parquet")
         ):
             name = os.path.basename(f)
             m = pat.match(name)
@@ -608,16 +639,25 @@ class ReplayEngine:
 
     def _state_files(self, as_of: int | None = None) -> list[str]:
         if self.state_mode == "delta":
-            from glue_etl_pipeline_ray.stages.merge import delta_name
+            from glue_etl_pipeline_ray.stages.merge import (
+                delta_entry_version,
+                delta_name,
+                gdelta_name,
+            )
 
             out = []
+            seen_g: set[str] = set()
             for b, d in sorted(self.ckpt.bucket_deltas.items()):
                 if d["base"] is not None:
                     out.append(os.path.join(self.lake_dir, part_name(b, d["base"])))
-                out += [
-                    os.path.join(self.lake_dir, delta_name(b, v))
-                    for v in sorted(d["deltas"])
-                ]
+                for ent in sorted(d["deltas"], key=delta_entry_version):
+                    if isinstance(ent, (list, tuple)):
+                        name = gdelta_name(int(ent[1]), int(ent[0]))
+                        if name not in seen_g:
+                            seen_g.add(name)
+                            out.append(os.path.join(self.lake_dir, name))
+                    else:
+                        out.append(os.path.join(self.lake_dir, delta_name(b, ent)))
             return out
         versions = (
             self.ckpt.bucket_versions if as_of is None else self.versions_as_of(as_of)
@@ -635,7 +675,10 @@ class ReplayEngine:
         only caches, so replaying every delta <= as_of is exact."""
         from glue_etl_pipeline_ray.stages.merge import read_bucket_state
 
-        spec, evolved = self.spec, self.ckpt.evolved
+        spec = self.spec
+        evolved = (
+            self.ckpt.evolved if as_of is None else self.ckpt.evolved_as_of(as_of)
+        )
         cols = spec.canonical_cols(evolved)
 
         if as_of is None:
@@ -646,11 +689,20 @@ class ReplayEngine:
         else:
             from glue_etl_pipeline_ray.state.lineage import read_lineage
 
-            chains: dict[int, list[int]] = {}
+            from glue_etl_pipeline_ray.stages.merge import delta_entry_version
+
+            chains: dict[int, list] = {}
             for rec in read_lineage(self.lake_dir):
                 if rec.get("kind") == "bucket" and rec["batch_id"] <= as_of:
-                    chains.setdefault(rec["bucket"], []).append(rec["version"])
-            pointers = [(b, None, sorted(vs)) for b, vs in sorted(chains.items())]
+                    chains.setdefault(rec["bucket"], []).append(
+                        [rec["version"], rec["group"]]
+                        if "group" in rec
+                        else rec["version"]
+                    )
+            pointers = [
+                (b, None, sorted(vs, key=delta_entry_version))
+                for b, vs in sorted(chains.items())
+            ]
 
         @ray.remote
         def live_bucket(lake_dir, b, base, deltas):
@@ -664,8 +716,12 @@ class ReplayEngine:
 
     def final_dataset(self, as_of: int | None = None) -> "ray.data.Dataset":
         """Live table as a streaming Dataset (scale path). ``as_of``:
-        committed batch id for a time-travel snapshot."""
-        evolved = self.ckpt.evolved
+        committed batch id for a time-travel snapshot — returned with the
+        schema the table had THEN (an evolution after ``as_of`` does not
+        leak null-backfilled columns into history)."""
+        evolved = (
+            self.ckpt.evolved if as_of is None else self.ckpt.evolved_as_of(as_of)
+        )
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
         if self.state_mode == "delta":
@@ -698,13 +754,19 @@ class ReplayEngine:
                 raise NotImplementedError(
                     "delta-mode time travel requires gc_old_versions=False"
                 )
-            ev = self.ckpt.evolved
+            ev = (
+                self.ckpt.evolved
+                if as_of is None
+                else self.ckpt.evolved_as_of(as_of)
+            )
             parts = ray.get(self._delta_live_refs(as_of))
             if not parts:
                 return self.spec.canonical_schema(ev).empty_table()
             out = pa.concat_tables(parts)
             return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
-        evolved = self.ckpt.evolved
+        evolved = (
+            self.ckpt.evolved if as_of is None else self.ckpt.evolved_as_of(as_of)
+        )
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
         parts = []

@@ -241,13 +241,19 @@ def _delta_group(
     evolved: tuple[tuple[str, str], ...],
     lake_dir: str,
     batch_id: int,
+    group_id: int,
     *slices: pa.Table,
 ) -> dict:
-    """state_mode="delta" reduce: write each sink bucket's batch rows as a
-    delta file. No prior-state read -> no cross-batch chaining needed;
-    every batch's reduce wave runs fully independently."""
+    """state_mode="delta" reduce: write this exchange group's batch rows
+    as ONE group delta file (a row group per touched sink bucket). No
+    prior-state read -> no cross-batch chaining needed; every batch's
+    reduce wave runs fully independently, and files per batch stay
+    O(num_exchange) — independent of the sink bucket count."""
     _pin_intraop_threads()
-    from glue_etl_pipeline_ray.stages.merge import write_delta_bucket
+    from glue_etl_pipeline_ray.stages.merge import (
+        events_to_state,
+        write_delta_group,
+    )
 
     live = [s for s in slices if s.num_rows]
     if not live:
@@ -257,16 +263,15 @@ def _delta_group(
     order = np.argsort(b, kind="stable")
     t = t.take(order)
     bs = b[order]
-    records = []
+    # events_to_state is a 1:1 row transform, so one vectorized call over
+    # the whole group keeps the bucket run boundaries valid
+    state_t, _ = events_to_state(spec, evolved, t)
     starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
     ends = np.r_[starts[1:], len(bs)]
-    for s, e in zip(starts, ends):
-        records.append(
-            write_delta_bucket(
-                spec, evolved, lake_dir, batch_id, int(bs[s]),
-                t.slice(int(s), int(e - s)),
-            )
-        )
+    records = write_delta_group(
+        spec, evolved, lake_dir, batch_id, group_id,
+        state_t, bs[starts], starts, ends,
+    )
     return {"records": records}
 
 
@@ -406,6 +411,7 @@ def submit_batch(
                 evolved,
                 lake_dir,
                 batch_id,
+                g,
                 *(map_refs[m][g] for m in range(len(map_refs))),
             )
             for g in range(num_exchange)

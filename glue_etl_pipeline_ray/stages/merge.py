@@ -74,6 +74,23 @@ def delta_name(bucket: int, version: int) -> str:
     return f"delta-{bucket:05d}-v{version:05d}.parquet"
 
 
+def gdelta_name(group: int, version: int) -> str:
+    """Group-level LSM delta file: ONE file per (exchange group, batch)
+    holding every touched sink bucket's rows as its own bucket-sorted
+    parquet ROW GROUP. Files per batch = num_exchange (~cluster cores),
+    independent of ``num_buckets`` (2^16 at 100 TB) — the same
+    object-count independence the rewrite exchange has; per-bucket
+    random access stays O(1) via the footer's bucket -> row-group map
+    (:data:`GDELTA_META_KEY`), so folds read only their bucket's bytes.
+    Chain pointers for these files are ``[version, group]`` pairs in the
+    checkpoint manifest (plain ints keep meaning per-bucket
+    ``delta-*`` files, so both layouts read back)."""
+    return f"gdelta-{group:05d}-v{version:05d}.parquet"
+
+
+GDELTA_META_KEY = b"gepr_bucket_rowgroups"
+
+
 def part_name(bucket: int, version: int) -> str:
     """Versioned state-file name: bucket b after batch v. Deterministic,
     so a re-run of an uncommitted batch overwrites its own orphans —
@@ -229,16 +246,99 @@ def write_delta_bucket(
     }
 
 
+def write_delta_group(
+    spec: TableSpec,
+    evolved: tuple[tuple[str, str], ...],
+    lake_dir: str,
+    batch_id: int,
+    group_id: int,
+    state_t: pa.Table,
+    buckets,
+    starts,
+    ends,
+) -> list[dict]:
+    """``state_mode="delta"`` sink, group-file layout: append this
+    exchange group's batch rows as ONE ``gdelta-{group}-v{batch}`` file
+    with one row group per touched sink bucket. ``state_t`` is the
+    :func:`events_to_state` output for the whole group, already
+    bucket-sorted; ``buckets[i]`` with ``starts[i]:ends[i]`` delimit
+    bucket *i*'s run. Returns one lineage record per bucket (with the
+    ``group`` id the chain pointer needs). O(batch) per batch, and
+    O(num_exchange) files per batch instead of O(touched buckets)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(lake_dir, gdelta_name(group_id, batch_id))
+    mapping = {str(int(b)): i for i, b in enumerate(buckets)}
+    state_t = state_t.replace_schema_metadata(
+        {GDELTA_META_KEY: json.dumps(mapping).encode()}
+    )
+    schema = state_t.schema
+    tmp = f"{path}.tmp.{os.getpid()}"
+    records = []
+    with pq.ParquetWriter(tmp, schema, compression=STATE_COMPRESSION) as w:
+        for i, b in enumerate(buckets):
+            s, e = int(starts[i]), int(ends[i])
+            sl = state_t.slice(s, e - s)
+            # one write_table call = one row group (slice sizes are far
+            # below parquet's default row-group cap)
+            w.write_table(sl, row_group_size=max(1, e - s))
+            n_del = pc.sum(sl[DELETED_COL]).as_py() or 0
+            records.append(
+                {
+                    "bucket": int(b),
+                    "version": batch_id,
+                    "group": group_id,
+                    "batch_id": batch_id,
+                    "n_events": e - s,
+                    "n_upserts": (e - s) - n_del,
+                    "n_deletes": n_del,
+                    "n_live": -1,
+                    "n_tombstones": -1,
+                    "sha256": "",
+                }
+            )
+    os.replace(tmp, path)
+    return records
+
+
+def read_gdelta_bucket(
+    lake_dir: str, group: int, version: int, bucket: int
+) -> pa.Table | None:
+    """Read ONE bucket's rows out of a group delta file via the footer's
+    bucket -> row-group map (column-pruned random access; no scan of the
+    other buckets' row groups). None when the bucket wrote no rows in
+    that batch."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(lake_dir, gdelta_name(group, version)))
+    meta = (pf.schema_arrow.metadata or {}).get(GDELTA_META_KEY)
+    idx = json.loads(meta).get(str(int(bucket))) if meta else None
+    if idx is None:
+        return None
+    return pf.read_row_groups([idx])
+
+
+def delta_entry_version(ent) -> int:
+    """Chain entries are plain ints (per-bucket ``delta-*`` files) or
+    ``[version, group]`` pairs (group ``gdelta-*`` files)."""
+    return ent if isinstance(ent, int) else int(ent[0])
+
+
 def read_bucket_state(
     spec: TableSpec,
     evolved: tuple[tuple[str, str], ...],
     lake_dir: str,
     base_version: int | None,
-    delta_versions: list[int],
+    delta_versions: list,
     bucket: int,
 ) -> pa.Table:
     """Fold a delta-mode bucket (base + ordered deltas) to its current
-    state rows."""
+    state rows. Chain entries may be per-bucket versions (int) or
+    ``[version, group]`` group-file pointers — both fold identically."""
     import pyarrow.parquet as pq
 
     tables = []
@@ -246,10 +346,15 @@ def read_bucket_state(
         tables.append(
             pq.read_table(os.path.join(lake_dir, part_name(bucket, base_version)))
         )
-    for v in sorted(delta_versions):
-        tables.append(
-            pq.read_table(os.path.join(lake_dir, delta_name(bucket, v)))
-        )
+    for ent in sorted(delta_versions, key=delta_entry_version):
+        if isinstance(ent, int):
+            tables.append(
+                pq.read_table(os.path.join(lake_dir, delta_name(bucket, ent)))
+            )
+        else:
+            t = read_gdelta_bucket(lake_dir, int(ent[1]), int(ent[0]), bucket)
+            if t is not None:
+                tables.append(t)
     if not tables:
         return state_schema(spec, evolved).empty_table()
     return lww_state(spec, evolved, tables)

@@ -69,6 +69,18 @@ class CheckpointManager:
     def is_committed(self, batch_id: int) -> bool:
         return batch_id in self.committed
 
+    def evolved_as_of(self, batch_id: int) -> tuple[tuple[str, str], ...]:
+        """Schema registry as of a committed batch (time travel reads
+        return the schema the table HAD then, not today's): the
+        ``evolved`` list logged in the latest batch summary at or before
+        ``batch_id``."""
+        best_k, best = -1, ()
+        for k, s in self._m.get("batches", {}).items():
+            ki = int(k)
+            if best_k < ki <= batch_id and "evolved" in s:
+                best_k, best = ki, s["evolved"]
+        return tuple((n, t) for n, t in best)
+
     def append_deltas(self, new_deltas: dict[int, int]) -> None:
         """Record batch deltas (called inside commit_batch via
         new_deltas=)."""
@@ -93,12 +105,19 @@ class CheckpointManager:
 
     def apply_folds(self, folds: dict[int, dict]) -> None:
         """Atomically record compaction results: ``bucket -> {"base":
-        new_base_version, "folded_deltas": [...]}``."""
+        new_base_version, "folded_deltas": [...]}``. Chain entries may be
+        ints (per-bucket delta files) or ``[version, group]`` pairs
+        (group delta files) — normalized to tuples for the set compare."""
+
+        def _key(v):
+            return tuple(v) if isinstance(v, (list, tuple)) else v
+
         bd = self._m.setdefault("bucket_deltas", {})
         for b, f in folds.items():
             ent = bd.setdefault(str(b), {"base": None, "deltas": []})
             ent["base"] = f["base"]
-            ent["deltas"] = [v for v in ent["deltas"] if v not in set(f["folded_deltas"])]
+            folded = {_key(v) for v in f["folded_deltas"]}
+            ent["deltas"] = [v for v in ent["deltas"] if _key(v) not in folded]
         self._write(self._m)
 
     def commit_batch(

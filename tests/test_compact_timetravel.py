@@ -65,6 +65,25 @@ def test_time_travel_matches_prefix_oracle(tmp_path):
     assert eng.final_sha256(as_of=3) == eng.final_sha256()
 
 
+def test_time_travel_returns_historical_schema(tmp_path):
+    """A snapshot BEFORE a schema evolution must come back with the
+    schema the table had then — not today's columns null-backfilled."""
+    meta = _gen(tmp_path, n_batches=6, evolve_from_batch=4, seed=31)
+    spec = repo_file_spec(num_buckets=16)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"), gc_old_versions=False)
+    eng.replay(meta["events_dir"])
+    assert eng.ckpt.evolved  # evolution really happened
+
+    prefix = tmp_path / "prefix" / "events"
+    os.makedirs(prefix)
+    for b in range(4):
+        name = f"batch={b:05d}.parquet"
+        shutil.copy(os.path.join(meta["events_dir"], name), prefix / name)
+    oracle = replay_oracle(spec, str(prefix))
+    assert eng.final_sha256(as_of=3) == oracle["sha256"]
+    assert eng.final_table(as_of=3).schema.names == oracle["table"].schema.names
+
+
 def test_gc_orphans_removes_crash_leftovers(tmp_path):
     meta = _gen(tmp_path, n_batches=4)
     spec = repo_file_spec(num_buckets=16)

@@ -57,9 +57,14 @@ def child(n_tasks: int, cpus: int, ev_dir: str) -> None:
 
     @ray.remote(num_cpus=1)
     def reduce_task(chunk, dlq, out_dir, task_id):
-        """One delta-sink work unit: map body + per-bucket delta writes."""
+        """One delta-sink work unit: map body + the group delta-file
+        write (one row group per touched bucket — the production
+        ``_delta_group`` body)."""
         _pin_intraop_threads()
-        from glue_etl_pipeline_ray.stages.merge import write_delta_bucket
+        from glue_etl_pipeline_ray.stages.merge import (
+            events_to_state,
+            write_delta_group,
+        )
 
         t0 = time.perf_counter()
         parts = [pq.ParquetFile(f).read_row_groups(rgs) for f, rgs in chunk]
@@ -74,12 +79,12 @@ def child(n_tasks: int, cpus: int, ev_dir: str) -> None:
         bs = b[order]
         lake = os.path.join(out_dir, f"t{task_id:04d}")
         os.makedirs(lake, exist_ok=True)
+        state_t, _ = events_to_state(spec, (), t)
         starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
         ends = np.r_[starts[1:], len(bs)]
-        for s, e in zip(starts, ends):
-            write_delta_bucket(
-                spec, (), lake, 0, int(bs[s]), t.slice(int(s), int(e - s))
-            )
+        write_delta_group(
+            spec, (), lake, 0, task_id, state_t, bs[starts], starts, ends
+        )
         dt = time.perf_counter() - t0
         shutil.rmtree(lake, ignore_errors=True)
         return dt
@@ -110,11 +115,15 @@ def child(n_tasks: int, cpus: int, ev_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     # ---- build one real 8-deep delta-chain lake for the fold probe
-    # (written once by a mini delta replay over the first 8 chunks)
-    from glue_etl_pipeline_ray.stages.merge import delta_name, write_delta_bucket
+    # (written once, group-file layout — the production sink's shape)
+    from glue_etl_pipeline_ray.stages.merge import (
+        events_to_state,
+        write_delta_group,
+    )
 
     chain_lake = os.path.join(out_dir, "chain_lake")
     os.makedirs(chain_lake, exist_ok=True)
+    chain_of: dict[int, list] = {}
     for v, chunk in enumerate(chunks[:8]):
         parts = [pq.ParquetFile(f).read_row_groups(rgs) for f, rgs in chunk]
         t = parts[0] if len(parts) == 1 else pa.concat_tables(
@@ -125,26 +134,14 @@ def child(n_tasks: int, cpus: int, ev_dir: str) -> None:
         order = np.argsort(b, kind="stable")
         sl = sl.take(order)
         bs = b[order]
-        import numpy as _np
-
-        starts = _np.flatnonzero(_np.r_[True, bs[1:] != bs[:-1]])
-        ends = _np.r_[starts[1:], len(bs)]
-        for s, e in zip(starts, ends):
-            write_delta_bucket(
-                spec, (), chain_lake, v, int(bs[s]), sl.slice(int(s), int(e - s))
-            )
-    buckets_with_chains = sorted(
-        {int(f.split("-")[1]) for f in os.listdir(chain_lake)
-         if f.startswith("delta-")}
-    )
-    chain_of = {
-        b: sorted(
-            int(f.split("-v")[1].split(".")[0])
-            for f in os.listdir(chain_lake)
-            if f.startswith(f"delta-{b:05d}-")
-        )
-        for b in buckets_with_chains
-    }
+        state_t, _ = events_to_state(spec, (), sl)
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], len(bs)]
+        for rec in write_delta_group(
+            spec, (), chain_lake, v, 0, state_t, bs[starts], starts, ends
+        ):
+            chain_of.setdefault(rec["bucket"], []).append([v, 0])
+    buckets_with_chains = sorted(chain_of)
 
     results = {}
     for name, mk in (
