@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- oracle-backed (hash-exact vs DuckDB) ----
         # CDC / engine core
         "cdc_lww_upsert": Q.q_cdc_lww_upsert,
+        "cdc_change_feed": Q.q_cdc_change_feed,
         "cdc_dead_letter": Q.q_cdc_dead_letter,
         # flatten / project / normalize / evolve
         "flatten_project_json": Q.q_flatten_project_json,
@@ -143,6 +144,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_change_feed": """
+            -- net insert/update/delete set between the batch<=1 and
+            -- batch<=3 LWW snapshots of the derived change stream
+            -- (batch = event_id % 4, seq = event_id, error -> DELETE)
+            WITH cdc AS (
+                SELECT CAST(user_id AS VARCHAR) AS user_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS value_cents,
+                       event_id AS seq, event_id % 4 AS batch,
+                       (event_type = 'error') AS is_del
+                FROM events
+            ),
+            snap_old AS (
+                SELECT user_id, event_type, value_cents FROM (
+                    SELECT *, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY seq DESC) rn
+                    FROM cdc WHERE batch <= 1
+                ) WHERE rn = 1 AND NOT is_del
+            ),
+            snap_new AS (
+                SELECT user_id, event_type, value_cents FROM (
+                    SELECT *, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY seq DESC) rn
+                    FROM cdc WHERE batch <= 3
+                ) WHERE rn = 1 AND NOT is_del
+            )
+            SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+                   CASE WHEN n.user_id IS NULL THEN o.event_type
+                        ELSE n.event_type END AS event_type,
+                   CASE WHEN n.user_id IS NULL THEN o.value_cents
+                        ELSE n.value_cents END AS value_cents,
+                   CASE WHEN o.user_id IS NULL THEN 'insert'
+                        WHEN n.user_id IS NULL THEN 'delete'
+                        ELSE 'update' END AS change_type
+            FROM snap_new n FULL OUTER JOIN snap_old o
+              ON n.user_id = o.user_id
+            WHERE o.user_id IS NULL OR n.user_id IS NULL
+               OR n.event_type IS DISTINCT FROM o.event_type
+               OR n.value_cents IS DISTINCT FROM o.value_cents
         """,
         "cdc_dead_letter": f"""
             SELECT event_id,

@@ -134,6 +134,24 @@ def q_cdc_lww_upsert(sf_dir: str) -> pa.Table:
     return eng.final_table()
 
 
+def q_cdc_change_feed(sf_dir: str) -> pa.Table:
+    """Change data feed (Delta-Lake ``table_changes`` analog): replay the
+    derived 4-batch change stream with history retained, then emit the
+    NET insert/update/delete set between the batch-1 and batch-3
+    snapshots. Shuffle-free: both snapshots share the sink's bucket
+    layout, one diff task per bucket (stages/merge.py snapshot_diff)."""
+    work = tempfile.mkdtemp(prefix="gepr_cdf_")
+    ev_dir = _events_as_cdc(sf_dir, work, n_batches=4)
+    eng = ReplayEngine(
+        user_state_spec(), os.path.join(work, "lake"), gc_old_versions=False
+    )
+    eng.replay(ev_dir)
+    feed = eng.changes_table(1, 3)
+    return feed.rename_columns(
+        [c if c != "_change_type" else "change_type" for c in feed.schema.names]
+    )
+
+
 def q_cdc_dead_letter(sf_dir: str):
     """Dead-letter routing as a query: rows failing the event rules, with
     the engine's error strings (M3/M4 analog, fixing B2: nothing drops)."""

@@ -714,6 +714,117 @@ class ReplayEngine:
             for b, base, deltas in pointers
         ]
 
+    # -------------------------------------------------- change data feed
+    def _changes_refs(self, from_batch: int, to_batch: int) -> list:
+        """One Ray task per bucket: diff the two snapshots of that bucket
+        (both snapshots share the sink's bucket layout, so the whole feed
+        is shuffle-free). Requires ``gc_old_versions=False`` history."""
+        from glue_etl_pipeline_ray.stages.merge import (
+            read_bucket_state,
+            snapshot_diff,
+        )
+
+        if not (-1 <= from_batch < to_batch <= self.ckpt.watermark):
+            raise ValueError(
+                f"need -1 <= from_batch < to_batch <= watermark "
+                f"({from_batch}, {to_batch}, wm={self.ckpt.watermark})"
+            )
+        if self.gc_old_versions:
+            raise NotImplementedError(
+                "change feed requires gc_old_versions=False (history)"
+            )
+        spec = self.spec
+        ev_to = self.ckpt.evolved_as_of(to_batch)
+
+        if self.state_mode == "delta":
+            from glue_etl_pipeline_ray.stages.merge import delta_entry_version
+            from glue_etl_pipeline_ray.state.lineage import read_lineage
+
+            chains: dict[int, list] = {}
+            for rec in read_lineage(self.lake_dir):
+                if rec.get("kind") == "bucket" and rec["batch_id"] <= to_batch:
+                    chains.setdefault(rec["bucket"], []).append(
+                        [rec["version"], rec["group"]]
+                        if "group" in rec
+                        else rec["version"]
+                    )
+            pointers = [
+                (
+                    b,
+                    [e for e in vs if delta_entry_version(e) <= from_batch],
+                    sorted(vs, key=delta_entry_version),
+                )
+                for b, vs in sorted(chains.items())
+            ]
+
+            @ray.remote
+            def diff_bucket_delta(lake_dir, b, old_chain, new_chain):
+                old = read_bucket_state(spec, ev_to, lake_dir, None, old_chain, b)
+                new = read_bucket_state(spec, ev_to, lake_dir, None, new_chain, b)
+                return snapshot_diff(
+                    spec,
+                    ev_to,
+                    old.filter(pc.invert(old[DELETED_COL])),
+                    new.filter(pc.invert(new[DELETED_COL])),
+                )
+
+            return [
+                diff_bucket_delta.remote(self.lake_dir, b, oc, nc)
+                for b, oc, nc in pointers
+            ]
+
+        v_old = self.versions_as_of(from_batch) if from_batch >= 0 else {}
+        v_new = self.versions_as_of(to_batch)
+        st = state_schema(spec, ev_to)
+
+        @ray.remote
+        def diff_bucket(lake_dir, b, vo, vn):
+            def live(v):
+                if v is None:
+                    return st.empty_table()
+                t = conform(pq.read_table(os.path.join(lake_dir, part_name(b, v))), st)
+                return t.filter(pc.invert(t[DELETED_COL]))
+
+            return snapshot_diff(spec, ev_to, live(vo), live(vn))
+
+        buckets = sorted(set(v_old) | set(v_new))
+        return [
+            diff_bucket.remote(self.lake_dir, b, v_old.get(b), v_new.get(b))
+            for b in buckets
+        ]
+
+    def changes_dataset(
+        self, from_batch: int, to_batch: int
+    ) -> "ray.data.Dataset":
+        """Change data feed (like Delta Lake ``table_changes``): the NET
+        row-level changes between two committed snapshots as a streaming
+        Dataset — one ``insert``/``update``/``delete`` row per key whose
+        LWW winner differs, in the ``to`` snapshot's schema plus
+        ``_change_type``. ``from_batch=-1`` diffs against the empty
+        table. Shuffle-free: both snapshots share the bucket layout."""
+        from glue_etl_pipeline_ray.stages.merge import CHANGE_TYPE_COL
+
+        refs = self._changes_refs(from_batch, to_batch)
+        if not refs:
+            sch = self.spec.canonical_schema(
+                self.ckpt.evolved_as_of(to_batch)
+            ).append(pa.field(CHANGE_TYPE_COL, pa.string()))
+            return ray.data.from_arrow(sch.empty_table())
+        return ray.data.from_arrow_refs(refs)
+
+    def changes_table(self, from_batch: int, to_batch: int) -> pa.Table:
+        """Driver-side change feed (test/oracle path only)."""
+        from glue_etl_pipeline_ray.stages.merge import CHANGE_TYPE_COL
+
+        parts = ray.get(self._changes_refs(from_batch, to_batch))
+        sch = self.spec.canonical_schema(
+            self.ckpt.evolved_as_of(to_batch)
+        ).append(pa.field(CHANGE_TYPE_COL, pa.string()))
+        if not parts:
+            return sch.empty_table()
+        out = pa.concat_tables(parts)
+        return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
+
     def final_dataset(self, as_of: int | None = None) -> "ray.data.Dataset":
         """Live table as a streaming Dataset (scale path). ``as_of``:
         committed batch id for a time-travel snapshot — returned with the

@@ -360,6 +360,136 @@ def read_bucket_state(
     return lww_state(spec, evolved, tables)
 
 
+CHANGE_TYPE_COL = "_change_type"
+
+
+def _col_neq(a, b) -> np.ndarray:
+    """Null-safe per-row inequality; nested types fall back to a Python
+    compare (pc.not_equal has no list/struct kernel)."""
+    import numpy as np
+
+    try:
+        an, bn = pc.is_null(a), pc.is_null(b)
+        neq = pc.or_(
+            pc.xor(an, bn),
+            pc.fill_null(pc.not_equal(a, b), False),
+        )
+        return neq.to_numpy(zero_copy_only=False)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+        av, bv = a.to_pylist(), b.to_pylist()
+        return np.array([x != y for x, y in zip(av, bv)], bool)
+
+
+def snapshot_diff(
+    spec: TableSpec,
+    evolved_to: tuple[tuple[str, str], ...],
+    old_live: pa.Table,
+    new_live: pa.Table,
+) -> pa.Table:
+    """Change data feed kernel: net row-level changes between two LIVE
+    snapshots of ONE bucket (both sides share the bucket layout, so the
+    whole feed needs no shuffle — one task per bucket).
+
+    Emits one row per key whose LWW winner differs: ``insert`` (key only
+    in new), ``delete`` (key only in old — the pre-image row), ``update``
+    (both, payload differs — the post-image row), with the ``to``
+    snapshot's schema plus :data:`CHANGE_TYPE_COL`. Vectorized: one
+    key-hash lexsort, run boundaries, column-wise null-safe compares;
+    hash-colliding runs are re-resolved per true key (collision guard)."""
+    import numpy as np
+
+    from glue_etl_pipeline_ray.hashing import collision_runs, key_hash_u64
+
+    schema = spec.canonical_schema(evolved_to)
+    cols = list(schema.names)
+    key_cols = list(spec.key_cols)
+    out_schema = schema.append(pa.field(CHANGE_TYPE_COL, pa.string()))
+
+    old_live = conform(old_live, schema)
+    new_live = conform(new_live, schema)
+    no, nn = old_live.num_rows, new_live.num_rows
+    if no == 0 and nn == 0:
+        return out_schema.empty_table()
+    comb = pa.concat_tables([old_live, new_live]).combine_chunks()
+    side = np.r_[np.zeros(no, np.int8), np.ones(nn, np.int8)]
+    kh = key_hash_u64(*(comb[k] for k in key_cols))
+    order = np.lexsort((side, kh))
+    khs, sides = kh[order], side[order]
+    n = len(order)
+    new_run = np.r_[True, khs[1:] != khs[:-1]]
+    starts = np.flatnonzero(new_run)
+    ends = np.r_[starts[1:], n]
+    sizes = ends - starts
+    key_sorted = comb.select(key_cols).take(pa.array(order, pa.int64()))
+    bad = collision_runs(key_sorted, key_cols, starts, ends) or set()
+
+    emit_idx: list[np.ndarray] = []
+    emit_type: list[np.ndarray] = []
+    clean = np.ones(len(starts), bool)
+    if bad:
+        clean[sorted(bad)] = False
+    # singles: a run of one row is a pure insert (side 1) or delete (side 0)
+    singles = clean & (sizes == 1)
+    spos = starts[singles]
+    if len(spos):
+        emit_idx.append(order[spos])
+        emit_type.append(
+            np.where(sides[spos] == 1, "insert", "delete").astype(object)
+        )
+    # pairs: old+new -> update iff any payload column differs
+    pairs = clean & (sizes == 2)
+    ppos = starts[pairs]
+    if len(ppos):
+        i_old, i_new = order[ppos], order[ppos + 1]
+        # a clean size-2 run is one old + one new (each side holds at most
+        # one live row per key); sides are lexsorted so old comes first
+        both = (sides[ppos] == 0) & (sides[ppos + 1] == 1)
+        io, iu = i_old[both], i_new[both]
+        if len(io):
+            oi, ni = pa.array(io, pa.int64()), pa.array(iu, pa.int64())
+            neq = np.zeros(len(io), bool)
+            for c in cols:
+                if c in key_cols:
+                    continue
+                neq |= _col_neq(comb[c].take(oi), comb[c].take(ni))
+            upd = iu[neq]
+            if len(upd):
+                emit_idx.append(upd)
+                emit_type.append(np.full(len(upd), "update", object))
+        # same-side size-2 runs only occur under a missed collision (the
+        # guard catches them) — nothing to do here
+    # colliding runs: per-true-key fallback (vanishingly rare)
+    for r in sorted(bad):
+        s, e = int(starts[r]), int(ends[r])
+        rows: dict[tuple, dict[int, int]] = {}
+        sl = key_sorted.slice(s, e - s)
+        for i, tk in enumerate(zip(*(sl[c].to_pylist() for c in key_cols))):
+            rows.setdefault(tk, {})[int(sides[s + i])] = int(order[s + i])
+        for tk, by_side in rows.items():
+            if 0 in by_side and 1 in by_side:
+                oi = pa.array([by_side[0]], pa.int64())
+                ni = pa.array([by_side[1]], pa.int64())
+                if any(
+                    _col_neq(comb[c].take(oi), comb[c].take(ni))[0]
+                    for c in cols
+                    if c not in key_cols
+                ):
+                    emit_idx.append(np.array([by_side[1]]))
+                    emit_type.append(np.array(["update"], object))
+            elif 1 in by_side:
+                emit_idx.append(np.array([by_side[1]]))
+                emit_type.append(np.array(["insert"], object))
+            else:
+                emit_idx.append(np.array([by_side[0]]))
+                emit_type.append(np.array(["delete"], object))
+    if not emit_idx:
+        return out_schema.empty_table()
+    idx = np.concatenate(emit_idx)
+    ct = np.concatenate(emit_type)
+    out = comb.take(pa.array(idx, pa.int64()))
+    return out.append_column(CHANGE_TYPE_COL, pa.array(ct.tolist(), pa.string()))
+
+
 def make_merge_fn(
     spec: TableSpec,
     evolved: tuple[tuple[str, str], ...],
