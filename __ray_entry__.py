@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC / engine core
         "cdc_lww_upsert": Q.q_cdc_lww_upsert,
         "cdc_change_feed": Q.q_cdc_change_feed,
+        "cdc_incremental_view": Q.q_cdc_incremental_view,
         "cdc_dead_letter": Q.q_cdc_dead_letter,
         # flatten / project / normalize / evolve
         "flatten_project_json": Q.q_flatten_project_json,
@@ -183,6 +184,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.user_id IS NULL OR n.user_id IS NULL
                OR n.event_type IS DISTINCT FROM o.event_type
                OR n.value_cents IS DISTINCT FROM o.value_cents
+        """,
+        "cdc_incremental_view": """
+            -- the incrementally-maintained view must equal a direct
+            -- aggregate over the final (batch<=3) LWW live snapshot
+            WITH cdc AS (
+                SELECT CAST(user_id AS VARCHAR) AS user_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS value_cents,
+                       event_id AS seq, event_id % 4 AS batch,
+                       (event_type = 'error') AS is_del
+                FROM events
+            ),
+            snap_new AS (
+                SELECT user_id, event_type, value_cents FROM (
+                    SELECT *, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY seq DESC) rn
+                    FROM cdc WHERE batch <= 3
+                ) WHERE rn = 1 AND NOT is_del
+            )
+            SELECT event_type, count(*) AS n_rows,
+                   sum(value_cents) AS sum_value_cents
+            FROM snap_new GROUP BY event_type
         """,
         "cdc_dead_letter": f"""
             SELECT event_id,

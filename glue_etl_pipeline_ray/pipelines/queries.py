@@ -152,6 +152,28 @@ def q_cdc_change_feed(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_incremental_view(sf_dir: str) -> pa.Table:
+    """Incremental materialized-view maintenance: bootstrap a grouped
+    COUNT/SUM view from the batch-1 snapshot, replay two more batches,
+    then REFRESH it by folding only the change data feed (pre/post-image
+    pairs) — the view never re-reads the final snapshot, yet must equal
+    an aggregate computed directly over it (pipelines/ivm.py)."""
+    from glue_etl_pipeline_ray.pipelines.ivm import MaterializedView
+
+    work = tempfile.mkdtemp(prefix="gepr_ivm_")
+    ev_dir = _events_as_cdc(sf_dir, work, n_batches=4)
+    eng = ReplayEngine(
+        user_state_spec(), os.path.join(work, "lake"), gc_old_versions=False
+    )
+    eng.replay(ev_dir, max_batches=2)
+    view = MaterializedView(
+        eng, "by_type", ["event_type"], sum_cols=["value_cents"]
+    )
+    view.refresh()  # bootstrap at watermark 1
+    eng.replay(ev_dir)  # batches 2-3
+    return view.refresh()  # incremental fold of changes(1, 3) only
+
+
 def q_cdc_dead_letter(sf_dir: str):
     """Dead-letter routing as a query: rows failing the event rules, with
     the engine's error strings (M3/M4 analog, fixing B2: nothing drops)."""

@@ -715,7 +715,9 @@ class ReplayEngine:
         ]
 
     # -------------------------------------------------- change data feed
-    def _changes_refs(self, from_batch: int, to_batch: int) -> list:
+    def _changes_refs(
+        self, from_batch: int, to_batch: int, update_preimages: bool = False
+    ) -> list:
         """One Ray task per bucket: diff the two snapshots of that bucket
         (both snapshots share the sink's bucket layout, so the whole feed
         is shuffle-free). Requires ``gc_old_versions=False`` history."""
@@ -766,6 +768,7 @@ class ReplayEngine:
                     ev_to,
                     old.filter(pc.invert(old[DELETED_COL])),
                     new.filter(pc.invert(new[DELETED_COL])),
+                    update_preimages=update_preimages,
                 )
 
             return [
@@ -785,7 +788,10 @@ class ReplayEngine:
                 t = conform(pq.read_table(os.path.join(lake_dir, part_name(b, v))), st)
                 return t.filter(pc.invert(t[DELETED_COL]))
 
-            return snapshot_diff(spec, ev_to, live(vo), live(vn))
+            return snapshot_diff(
+                spec, ev_to, live(vo), live(vn),
+                update_preimages=update_preimages,
+            )
 
         buckets = sorted(set(v_old) | set(v_new))
         return [
@@ -794,17 +800,20 @@ class ReplayEngine:
         ]
 
     def changes_dataset(
-        self, from_batch: int, to_batch: int
+        self, from_batch: int, to_batch: int, update_preimages: bool = False
     ) -> "ray.data.Dataset":
         """Change data feed (like Delta Lake ``table_changes``): the NET
         row-level changes between two committed snapshots as a streaming
         Dataset — one ``insert``/``update``/``delete`` row per key whose
         LWW winner differs, in the ``to`` snapshot's schema plus
         ``_change_type``. ``from_batch=-1`` diffs against the empty
-        table. Shuffle-free: both snapshots share the bucket layout."""
+        table. Shuffle-free: both snapshots share the bucket layout.
+        ``update_preimages=True`` splits each update into an
+        ``update_preimage`` + ``update_postimage`` pair (the Delta-Lake
+        CDF convention; what incremental view maintenance consumes)."""
         from glue_etl_pipeline_ray.stages.merge import CHANGE_TYPE_COL
 
-        refs = self._changes_refs(from_batch, to_batch)
+        refs = self._changes_refs(from_batch, to_batch, update_preimages)
         if not refs:
             sch = self.spec.canonical_schema(
                 self.ckpt.evolved_as_of(to_batch)

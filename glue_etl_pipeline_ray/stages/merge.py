@@ -385,6 +385,7 @@ def snapshot_diff(
     evolved_to: tuple[tuple[str, str], ...],
     old_live: pa.Table,
     new_live: pa.Table,
+    update_preimages: bool = False,
 ) -> pa.Table:
     """Change data feed kernel: net row-level changes between two LIVE
     snapshots of ONE bucket (both sides share the bucket layout, so the
@@ -395,7 +396,12 @@ def snapshot_diff(
     (both, payload differs — the post-image row), with the ``to``
     snapshot's schema plus :data:`CHANGE_TYPE_COL`. Vectorized: one
     key-hash lexsort, run boundaries, column-wise null-safe compares;
-    hash-colliding runs are re-resolved per true key (collision guard)."""
+    hash-colliding runs are re-resolved per true key (collision guard).
+
+    ``update_preimages=True`` emits updates as a pre/post pair —
+    ``update_preimage`` (old row) + ``update_postimage`` (new row), the
+    Delta-Lake CDF convention — which is what incremental view
+    maintenance needs to retract the old contribution."""
     import numpy as np
 
     from glue_etl_pipeline_ray.hashing import collision_runs, key_hash_u64
@@ -454,8 +460,18 @@ def snapshot_diff(
                 neq |= _col_neq(comb[c].take(oi), comb[c].take(ni))
             upd = iu[neq]
             if len(upd):
-                emit_idx.append(upd)
-                emit_type.append(np.full(len(upd), "update", object))
+                if update_preimages:
+                    emit_idx.append(io[neq])
+                    emit_type.append(
+                        np.full(int(neq.sum()), "update_preimage", object)
+                    )
+                    emit_idx.append(upd)
+                    emit_type.append(
+                        np.full(len(upd), "update_postimage", object)
+                    )
+                else:
+                    emit_idx.append(upd)
+                    emit_type.append(np.full(len(upd), "update", object))
         # same-side size-2 runs only occur under a missed collision (the
         # guard catches them) — nothing to do here
     # colliding runs: per-true-key fallback (vanishingly rare)
@@ -474,8 +490,14 @@ def snapshot_diff(
                     for c in cols
                     if c not in key_cols
                 ):
-                    emit_idx.append(np.array([by_side[1]]))
-                    emit_type.append(np.array(["update"], object))
+                    if update_preimages:
+                        emit_idx.append(np.array([by_side[0]]))
+                        emit_type.append(np.array(["update_preimage"], object))
+                        emit_idx.append(np.array([by_side[1]]))
+                        emit_type.append(np.array(["update_postimage"], object))
+                    else:
+                        emit_idx.append(np.array([by_side[1]]))
+                        emit_type.append(np.array(["update"], object))
             elif 1 in by_side:
                 emit_idx.append(np.array([by_side[1]]))
                 emit_type.append(np.array(["insert"], object))
