@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_upsert": Q.q_cdc_lww_upsert,
         "cdc_change_feed": Q.q_cdc_change_feed,
         "cdc_incremental_view": Q.q_cdc_incremental_view,
+        "cdc_replicate": Q.q_cdc_replicate,
         "cdc_dead_letter": Q.q_cdc_dead_letter,
         # flatten / project / normalize / evolve
         "flatten_project_json": Q.q_flatten_project_json,
@@ -135,6 +136,20 @@ def oracle_sql() -> dict[str, str]:
     enum = "('click', 'view', 'purchase', 'signup')"
     return {
         "cdc_lww_upsert": f"""
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_replicate": f"""
+            -- the CDF-replicated downstream lake must equal the LWW
+            -- snapshot (same contract as cdc_lww_upsert)
             SELECT CAST(user_id AS VARCHAR) AS user_id,
                    event_type,
                    CAST(round(value * 100) AS BIGINT) AS value_cents

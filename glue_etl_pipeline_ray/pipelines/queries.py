@@ -174,6 +174,31 @@ def q_cdc_incremental_view(sf_dir: str) -> pa.Table:
     return view.refresh()  # incremental fold of changes(1, 3) only
 
 
+def q_cdc_replicate(sf_dir: str) -> pa.Table:
+    """CDF-driven downstream sync: replay the derived change stream into
+    a source lake in two stages, replicating the NET changes into a
+    second lake (different bucket count) after each stage via the change
+    feed only. The replica's live table must equal the LWW snapshot —
+    i.e. the feed is a complete delta (pipelines/replicate.py)."""
+    from glue_etl_pipeline_ray.pipelines.replicate import replicate
+
+    work = tempfile.mkdtemp(prefix="gepr_repl_")
+    ev_dir = _events_as_cdc(sf_dir, work, n_batches=4)
+    src = ReplayEngine(
+        user_state_spec(), os.path.join(work, "src"), gc_old_versions=False
+    )
+    import dataclasses
+
+    dst_spec = dataclasses.replace(user_state_spec(), num_buckets=8)
+    dst = ReplayEngine(dst_spec, os.path.join(work, "dst"))
+    staging = os.path.join(work, "staging")
+    src.replay(ev_dir, max_batches=2)
+    replicate(src, dst, staging)
+    src.replay(ev_dir)
+    replicate(src, dst, staging)
+    return dst.final_table()
+
+
 def q_cdc_dead_letter(sf_dir: str):
     """Dead-letter routing as a query: rows failing the event rules, with
     the engine's error strings (M3/M4 analog, fixing B2: nothing drops)."""
