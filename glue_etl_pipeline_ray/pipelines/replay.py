@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 import re
 
 import pyarrow as pa
@@ -181,6 +182,50 @@ class ReplayEngine:
             "watermark": self.ckpt.watermark,
             "summaries": summaries,
         }
+
+    def follow(
+        self,
+        events_dir: str,
+        poll_interval_s: float = 1.0,
+        stop_file: str | None = None,
+        idle_timeout_s: float | None = None,
+        on_commit=None,
+    ) -> dict:
+        """Continuous ingestion: tail ``events_dir`` and replay new batch
+        files as they land — the streaming analog of the reference's
+        scheduled workflow trigger (``deployments/main.tf:203-226``
+        re-runs the whole DAG on a cron; here the commit gate makes each
+        poll an idempotent incremental run, so polling IS streaming).
+
+        Producers must land batch files atomically (write to a temp name,
+        then rename into place) — the same convention the engine's own
+        sinks use; a half-written parquet would otherwise be read mid-copy.
+
+        Stops when ``stop_file`` exists AND everything pending has been
+        applied (drain-then-stop, so a stop marker racing a final batch
+        loses), or when ``idle_timeout_s`` passes with no new work.
+        ``on_commit(summary_dict)`` runs after each non-empty cycle —
+        e.g. to refresh MaterializedViews or replicate downstream.
+        Returns the accumulated run summary."""
+        applied: list[int] = []
+        last_progress = time.monotonic()
+        while True:
+            s = self.replay(events_dir)
+            if s["applied_batches"]:
+                applied.extend(s["applied_batches"])
+                last_progress = time.monotonic()
+                if on_commit is not None:
+                    on_commit(s)
+                continue  # drain back-to-back arrivals without sleeping
+            if stop_file is not None and os.path.exists(stop_file):
+                break
+            if (
+                idle_timeout_s is not None
+                and time.monotonic() - last_progress >= idle_timeout_s
+            ):
+                break
+            time.sleep(poll_interval_s)
+        return {"applied_batches": applied, "watermark": self.ckpt.watermark}
 
     # ------------------------------------------------- raycore (pipelined)
     def _replay_pipelined(
