@@ -82,4 +82,14 @@ def replicate(src, dst, staging_dir: str) -> dict:
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).write_parquet(batch_dir)
-    return dst.replay(staging_dir)
+    summary = dst.replay(staging_dir)
+    # GC staged syncs the replica has durably committed (keep the one in
+    # flight; a crash before this point just leaves them for next time)
+    import glob
+    import re
+
+    for d in glob.glob(os.path.join(staging_dir, "batch=*")):
+        m = re.search(r"batch=(\d+)$", d)
+        if m and dst.ckpt.is_committed(int(m.group(1))):
+            shutil.rmtree(d, ignore_errors=True)
+    return summary

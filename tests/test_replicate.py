@@ -46,6 +46,11 @@ def test_incremental_replication_reaches_src_sha(ray_session, tmp_path, dst_mode
     assert s3["applied_batches"] == []
     assert dst.final_sha256() == src.final_sha256()
 
+    # committed staged syncs are garbage-collected
+    import glob
+    import os
+    assert glob.glob(os.path.join(staging, "batch=*")) == []
+
 
 def test_replication_resumes_after_crash_between_stage_and_commit(
     ray_session, tmp_path
