@@ -100,6 +100,7 @@ class ReplayEngine:
         state_mode: str = "rewrite",
         fold_threshold: int = 8,
         event_filter=None,
+        retain_batches: int | None = None,
     ):
         """``exchange``: "raycore" (default) = pipelined map-side-partition
         shuffle on Ray core (stages/exchange.py); "groupby" = pure Dataset
@@ -113,13 +114,34 @@ class ReplayEngine:
         files with NO prior-state read — O(batch) per batch, mandatory
         when state >> batch (the 10^10-event regime); reads fold
         base+deltas and buckets exceeding ``fold_threshold`` deltas are
-        compacted in the background of the commit loop."""
+        compacted in the background of the commit loop.
+
+        ``retain_batches``: bounded history (the Delta-Lake retention
+        model, the 10^10-scale middle ground between eager GC and
+        keep-everything): superseded state files stay readable until the
+        watermark passes them by N batches, so time travel and the change
+        feed work for any ``as_of >= watermark - N`` while storage stays
+        O(state + N batches of churn). Consumers (views, replicas) must
+        sync at least every N batches. Rewrite mode only."""
         if exchange not in ("raycore", "groupby"):
             raise ValueError(f"unknown exchange mode: {exchange}")
         if state_mode not in ("rewrite", "delta"):
             raise ValueError(f"unknown state mode: {state_mode}")
         if state_mode == "delta" and exchange == "groupby":
             raise ValueError("state_mode='delta' requires exchange='raycore'")
+        if retain_batches is not None:
+            if retain_batches < 1:
+                raise ValueError("retain_batches must be >= 1")
+            if state_mode != "rewrite":
+                raise ValueError(
+                    "retain_batches is rewrite-mode only (delta mode keeps "
+                    "history with gc_old_versions=False)"
+                )
+            if not gc_old_versions:
+                raise ValueError(
+                    "retain_batches needs gc_old_versions=True (with GC "
+                    "off, everything is retained already)"
+                )
         self.spec = spec
         self.lake_dir = lake_dir
         self.compute_bucket_hash = compute_bucket_hash
@@ -128,6 +150,7 @@ class ReplayEngine:
         self.num_exchange = num_exchange
         self.window = max(1, window)
         self.gc_old_versions = gc_old_versions
+        self.retain_batches = retain_batches
         self.state_mode = state_mode
         self.fold_threshold = max(1, fold_threshold)
         self.event_filter = event_filter
@@ -450,6 +473,22 @@ class ReplayEngine:
         # time-travel reads are wanted (gc_old_versions=False).
         if not self.gc_old_versions:
             return summary
+        if self.retain_batches is not None:
+            # bounded retention: record superseded files, delete only the
+            # ones every snapshot inside the window has outgrown
+            retired = [
+                [b, v_old, batch_id]
+                for b, v_new in new_versions.items()
+                if (v_old := old_versions.get(b)) is not None and v_old != v_new
+            ]
+            self.ckpt.retire_versions(retired)
+            horizon = self.ckpt.watermark - self.retain_batches
+            for b, v_old, _at in self.ckpt.purge_retired(horizon):
+                try:
+                    os.remove(os.path.join(self.lake_dir, part_name(b, v_old)))
+                except FileNotFoundError:
+                    pass
+            return summary
         for b, v_new in new_versions.items():
             v_old = old_versions.get(b)
             if v_old is not None and v_old != v_new:
@@ -759,13 +798,37 @@ class ReplayEngine:
             for b, base, deltas in pointers
         ]
 
+    def _require_history(self, as_of: int) -> None:
+        """Raise unless the ``as_of`` snapshot is reconstructible under
+        the retention policy: always with ``gc_old_versions=False``;
+        inside the trailing window with ``retain_batches=N`` (a purge only
+        removes files whose successor is at or below the horizon, so any
+        snapshot at or above it still resolves — see ``purge_retired``)."""
+        if not self.gc_old_versions:
+            return
+        if as_of >= self.ckpt.watermark:
+            return  # the current snapshot needs no history
+        if self.retain_batches is not None:
+            horizon = self.ckpt.watermark - self.retain_batches
+            if as_of >= horizon:
+                return
+            raise ValueError(
+                f"as_of={as_of} is outside the retention window "
+                f"(horizon={horizon}, retain_batches={self.retain_batches})"
+            )
+        raise NotImplementedError(
+            "history reads require gc_old_versions=False or retain_batches=N"
+        )
+
     # -------------------------------------------------- change data feed
     def _changes_refs(
         self, from_batch: int, to_batch: int, update_preimages: bool = False
     ) -> list:
         """One Ray task per bucket: diff the two snapshots of that bucket
         (both snapshots share the sink's bucket layout, so the whole feed
-        is shuffle-free). Requires ``gc_old_versions=False`` history."""
+        is shuffle-free). Requires retained history: either
+        ``gc_old_versions=False`` or both batches inside the
+        ``retain_batches`` window."""
         from glue_etl_pipeline_ray.stages.merge import (
             read_bucket_state,
             snapshot_diff,
@@ -776,10 +839,9 @@ class ReplayEngine:
                 f"need -1 <= from_batch < to_batch <= watermark "
                 f"({from_batch}, {to_batch}, wm={self.ckpt.watermark})"
             )
-        if self.gc_old_versions:
-            raise NotImplementedError(
-                "change feed requires gc_old_versions=False (history)"
-            )
+        self._require_history(to_batch)
+        if from_batch >= 0:
+            self._require_history(from_batch)
         spec = self.spec
         ev_to = self.ckpt.evolved_as_of(to_batch)
 
@@ -900,6 +962,8 @@ class ReplayEngine:
                     self.spec.canonical_schema(evolved).empty_table()
                 )
             return ray.data.from_arrow_refs(refs)
+        if as_of is not None:
+            self._require_history(as_of)
         files = self._state_files(as_of)
         if not files:
             return ray.data.from_arrow(self.spec.canonical_schema(evolved).empty_table())
@@ -934,6 +998,8 @@ class ReplayEngine:
         )
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
+        if as_of is not None:
+            self._require_history(as_of)
         parts = []
         for f in self._state_files(as_of):
             t = conform(pq.read_table(f), st)

@@ -142,6 +142,31 @@ class CheckpointManager:
             self.append_deltas(new_deltas)
         self._write(m)
 
+    def retire_versions(self, retired: list[list[int]]) -> None:
+        """Bounded-retention bookkeeping: superseded state files recorded
+        as ``[bucket, old_version, superseded_at_batch]`` instead of being
+        deleted eagerly; they stay readable for time travel / change feeds
+        until :meth:`purge_retired`'s horizon passes them."""
+        if retired:
+            self._m.setdefault("retired", []).extend(
+                [int(b), int(v), int(at)] for b, v, at in retired
+            )
+            self._write(self._m)
+
+    def purge_retired(self, horizon: int) -> list[list[int]]:
+        """Pop and return the retired entries whose SUCCESSOR version is
+        at or below ``horizon`` — any snapshot as-of >= horizon resolves
+        to a newer file, so these are safe to delete. The manifest is
+        rewritten first; a crash between the write and the deletes only
+        leaks files (never dangles a pointer)."""
+        kept, purged = [], []
+        for ent in self._m.get("retired", []):
+            (purged if ent[2] <= horizon else kept).append(ent)
+        if purged:
+            self._m["retired"] = kept
+            self._write(self._m)
+        return purged
+
     def _write(self, m: dict) -> None:
         os.makedirs(self.dir, exist_ok=True)
         tmp = f"{self.path}.tmp.{os.getpid()}"
