@@ -110,6 +110,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings: exact similarity
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "dedup_embed_cosine": Q.q_dedup_embed_cosine,
+        # round-3 additions (all hash-exact)
+        "dedup_clusters": Q.q_dedup_clusters,
+        "pii_redact": Q.q_pii_redact,
+        "lag_lead": Q.q_lag_lead,
+        "range_band_join": Q.q_range_band_join,
+        "rollup_agg": Q.q_rollup_agg,
+        "grouped_mode": Q.q_grouped_mode,
         # ---- no-oracle tail (non-SQL: sketches, LSH, codecs; each has
         # its own pytest oracle — recall / error bounds / pixel stats) ----
         "topk_users_sketch": Q.q_topk_users_sketch,
@@ -510,6 +517,98 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.doc_id_a
             JOIN sizes sb ON sb.doc_id = p.doc_id_b
             WHERE 5 * p.inter >= 4 * (sa.size + sb.size - p.inter)
+        """,
+        "dedup_clusters": """
+            -- connected components over the exact Jaccard>=0.8 duplicate
+            -- graph (same pairs CTE as dedup_ngram_jaccard); component
+            -- label = min reachable doc_id
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3
+                UNION
+                SELECT doc_id, array_to_string(t, ' ') AS shingle
+                FROM toks WHERE len(t) < 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id
+            ), cand AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                   AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), dup AS (
+                SELECT c.da, c.db FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.da
+                JOIN sizes sb ON sb.doc_id = c.db
+                WHERE 5 * c.inter >= 4 * (sa.size + sb.size - c.inter)
+            ), edges AS (
+                SELECT da AS a, db AS b FROM dup
+                UNION SELECT db, da FROM dup
+            ), reach(node, r) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach
+                JOIN edges e ON reach.r = e.a
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(least(node, min(r)) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "pii_redact": """
+            SELECT c_custkey,
+                   regexp_replace(c_name, '[0-9]+', '<NUMID>', 'g')
+                       AS c_name_redacted,
+                   CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT)
+                       AS n_numid
+            FROM customer
+        """,
+        "lag_lead": """
+            SELECT event_id, user_id,
+                   LAG(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS prev_cents,
+                   LEAD(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS next_cents
+            FROM events
+        """,
+        "range_band_join": """
+            SELECT e.event_id, CAST(b.band_id AS BIGINT) AS band_id,
+                   CAST(round(e.value * 100) AS BIGINT) AS value_cents
+            FROM events e
+            JOIN (VALUES (0, 0, 1500), (1, 1500, 3000), (2, 3000, 4500),
+                         (3, 4500, 6000), (4, 6000, 7500), (5, 7500, 9100))
+                 AS b(band_id, lo, hi)
+              ON round(e.value * 100) >= b.lo
+             AND round(e.value * 100) < b.hi
+        """,
+        "rollup_agg": """
+            SELECT CAST(year(ts) AS BIGINT) AS year,
+                   CAST(month(ts) AS BIGINT) AS month,
+                   count(*) AS n_events,
+                   CAST(sum(round(value * 100)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+            UNION ALL
+            SELECT CAST(year(ts) AS BIGINT), -1, count(*),
+                   CAST(sum(round(value * 100)) AS BIGINT)
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT -1, -1, count(*),
+                   CAST(sum(round(value * 100)) AS BIGINT)
+            FROM events
+        """,
+        "grouped_mode": """
+            SELECT user_id, mode_type, n FROM (
+                SELECT user_id, event_type AS mode_type,
+                       count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC,
+                                                   event_type ASC) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents

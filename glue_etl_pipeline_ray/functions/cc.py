@@ -1,0 +1,174 @@
+"""Connected components over a duplicate-pair edge list.
+
+Dedup pair generators (``functions/dedup.py``) emit *pairs*; production
+dedup needs *clusters* — every doc labeled with the id of its duplicate
+group so one canonical representative can be kept (reference analog:
+the per-file processed-set keeps exactly one copy of each event file,
+``update_workflow_properties.py:141-151``; this is the key-level
+generalization over a similarity graph).
+
+Component label = the MINIMUM node id in the component (deterministic,
+order-independent — the same commutative-reduce discipline as the LWW
+merge). Two execution paths, equal by construction and by test:
+
+- **Driver fold** (default below ``driver_threshold`` edges): the edge
+  list is the *output* of a dedup pass — aggregate-sized relative to the
+  corpus (25 pairs for 500 docs at sf0.01). Vectorized numpy hash-min:
+  per round, every node takes the min label across its incident edges
+  (``np.minimum.at``) and then pointer-jumps (``lab = lab[lab]``), so
+  rounds are O(log diameter), each a few array kernels. No Python loop
+  over edges.
+- **Distributed rounds** (above the threshold): the classic MapReduce
+  hash-min / label-propagation iteration (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14): labels live in a
+  Dataset; each round hash-joins labels onto edges and takes a
+  ``groupby(node).min(label)`` — O(component diameter) rounds, the
+  right bound for dedup graphs whose components are near-cliques
+  (diameter 1-2; add a label-table self-join pointer jump if ever used
+  on long-path graphs). Labels only ever decrease, so ``sum(label)``
+  is a strict monotone — convergence is detected by an aggregate,
+  never by materializing the label table on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+
+def _edges_to_numpy(edges: Dataset, src_col: str, dst_col: str):
+    refs = edges.select_columns([src_col, dst_col]).to_arrow_refs()
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return np.array([], np.int64), np.array([], np.int64)
+    t = pa.concat_tables(tabs)
+    return (
+        t[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+
+
+def _cc_numpy(src: np.ndarray, dst: np.ndarray) -> pa.Table:
+    """Vectorized hash-min with pointer jumping over the compacted node
+    index space. Labels are indices into the sorted-unique node array,
+    so min index == min node id."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    u, v = inv[: len(src)], inv[len(src):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        emin = np.minimum(lab[u], lab[v])
+        np.minimum.at(new, u, emin)
+        np.minimum.at(new, v, emin)
+        new = np.minimum(new, new[new])  # pointer jump
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # full path compression (hash-min can leave 2-hop chains at exit)
+    while True:
+        jumped = lab[lab]
+        if np.array_equal(jumped, lab):
+            break
+        lab = jumped
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array(nodes[lab], pa.int64()),
+        }
+    )
+
+
+def _cc_distributed(
+    edges: Dataset, src_col: str, dst_col: str, max_rounds: int,
+    num_partitions: int = 16,
+) -> Dataset:
+    def symmetrize(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[src_col], pa.int64())
+        d = pc.cast(t[dst_col], pa.int64())
+        return pa.concat_tables(
+            [
+                pa.table({"node": s, "nbr": d}),
+                pa.table({"node": d, "nbr": s}),
+            ]
+        ).combine_chunks()
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    # init: label(node) = min(node, min neighbor) — one groupby
+    labels = (
+        sym.union(
+            sym.map_batches(
+                lambda t: pa.table({"node": t["node"], "nbr": t["node"]}),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("node")
+        .aggregate(Min("nbr", alias_name="label"))
+    ).materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    for _ in range(max_rounds):
+        # propagate each node's current label across its edges: one hash
+        # join (labels onto edge endpoints) + one groupby-min
+        prop = sym.join(
+            labels.map_batches(
+                lambda t: pa.table({"jn": t["node"], "label": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("nbr",),
+            right_on=("jn",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(prop)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def connected_components(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = 5_000_000,
+    max_rounds: int = 50,
+) -> Dataset:
+    """Label every node of the pair graph with the min node id of its
+    component. Returns a Dataset ``(node:int64, component:int64)`` —
+    nodes not present in any edge are their own (implicit) singleton
+    components and are not emitted.
+
+    ``driver_threshold`` bounds the audited driver materialization: a
+    5M-edge list is two 40 MB int64 arrays — aggregate-sized output of a
+    dedup pass, NOT the corpus. Larger graphs take the distributed
+    hash-min rounds (one join + one groupby-min per round).
+    """
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_edges <= driver_threshold:
+        src, dst = _edges_to_numpy(edges, src_col, dst_col)
+        return ray.data.from_arrow(_cc_numpy(src, dst))
+    return _cc_distributed(edges, src_col, dst_col, max_rounds)

@@ -128,6 +128,46 @@ def hash_token(w: str) -> int:
     return h
 
 
+# PII-style redaction patterns (RE2 syntax — pyarrow's regex engine IS
+# RE2, and DuckDB's regexp_replace is RE2 too, so the oracle runs the
+# byte-identical pattern). EMAIL/PHONE are the canonical pair; the
+# correctness gate exercises NUMID because the synthetic corpus carries
+# digit-run identifiers (TPC-H ``Customer#000000042``) but no emails.
+REDACT_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9\-. ]{7,}[0-9]",
+    "NUMID": r"[0-9]+",
+}
+
+
+def redact(
+    batch: pa.Table,
+    text_col: str,
+    patterns: dict[str, str],
+    count_cols: bool = True,
+) -> pa.Table:
+    """Vectorized PII redaction: each pattern's matches are replaced by
+    ``<LABEL>`` via ``pc.replace_substring_regex`` (RE2 kernels — no
+    Python loop). Optionally emits ``n_<label>`` match-count columns,
+    each counted on the text as that pattern sees it. Patterns are
+    applied in dict order and later patterns see earlier replacements,
+    so a span never double-counts — order sensitive patterns (PHONE
+    before NUMID) accordingly."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    out = batch
+    for label, pat in patterns.items():
+        if count_cols:
+            out = out.append_column(
+                f"n_{label.lower()}",
+                pc.cast(pc.count_substring_regex(col, pat), pa.int64()),
+            )
+        col = pc.replace_substring_regex(col, pat, f"<{label}>")
+    idx = out.schema.get_field_index(text_col)
+    return out.set_column(idx, f"{text_col}_redacted", col)
+
+
 BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
 

@@ -1593,3 +1593,206 @@ def q_hash_sample(sf_dir: str):
         return t.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(sample, batch_format="pyarrow", batch_size=None)
+
+# ==================================================== round-3 additions
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    exact n-gram-Jaccard duplicate graph; every clustered doc labeled
+    with the min doc_id of its component (the canonical representative a
+    keep-one dedup would retain). Pairs are the aggregate-sized OUTPUT
+    of the dedup pass, so the component fold is a vectorized numpy
+    hash-min below the audited threshold and MapReduce-style distributed
+    label-propagation rounds above it (functions/cc.py)."""
+    from glue_etl_pipeline_ray.functions.cc import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), tau_num=4, tau_den=5
+    )
+    comp = connected_components(pairs, "doc_id_a", "doc_id_b")
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["node"], "cluster_id": t["component"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_pii_redact(sf_dir: str):
+    """PII-style redaction over a string column: digit-run identifiers
+    replaced by ``<NUMID>`` with per-row match counts — pure RE2 kernels
+    (``pc.replace_substring_regex`` / ``count_substring_regex``), no
+    Python loop; zero shuffle. EMAIL/PHONE patterns ship in
+    ``functions/text.REDACT_PATTERNS``; the gate exercises NUMID because
+    the synthetic corpus has digit identifiers but no emails."""
+    from glue_etl_pipeline_ray.functions.text import redact
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(
+        lambda t: redact(t, "c_name", {"NUMID": r"[0-9]+"}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def q_lag_lead(sf_dir: str):
+    """LAG/LEAD window functions: each event's previous and next value
+    (in cents) within its user's event_id order — one hash shuffle on
+    the key, vectorized shift per group, NULL at the partition edges."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def shift(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(eid, kind="stable")
+        cents = (
+            np.round(g["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)[order]
+        )
+        n = len(cents)
+        prev = np.roll(cents, 1)
+        nxt = np.roll(cents, -1)
+        edge_first = np.zeros(n, bool)
+        edge_last = np.zeros(n, bool)
+        if n:
+            edge_first[0] = True
+            edge_last[n - 1] = True
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": g["user_id"].take(pa.array(order)),
+                "prev_cents": pa.array(prev, pa.int64(), mask=edge_first),
+                "next_cents": pa.array(nxt, pa.int64(), mask=edge_last),
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], shift)
+
+
+# value bands in integer cents: [lo, hi) — a literal broadcast table,
+# mirrored by the oracle's VALUES list
+VALUE_BANDS_CENTS = (
+    (0, 0, 1500),
+    (1, 1500, 3000),
+    (2, 3000, 4500),
+    (3, 4500, 6000),
+    (4, 6000, 7500),
+    (5, 7500, 9100),
+)
+
+
+def q_range_band_join(sf_dir: str):
+    """Broadcast RANGE join (non-equi): assign each event to the value
+    band whose [lo, hi) interval contains it. The band table is tiny and
+    sorted, so the join is a per-batch ``np.searchsorted`` against the
+    broadcast bound arrays — zero shuffle, no per-row loop; out-of-band
+    rows drop (inner-join semantics). The general pattern for joining a
+    stream against reference intervals (rate tiers, time buckets, IP
+    ranges) without an all-to-all exchange."""
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+    los = np.array([b[1] for b in VALUE_BANDS_CENTS], np.int64)
+    his = np.array([b[2] for b in VALUE_BANDS_CENTS], np.int64)
+    ids = np.array([b[0] for b in VALUE_BANDS_CENTS], np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        slot = np.searchsorted(los, cents, side="right") - 1
+        ok = (slot >= 0) & (cents < his[np.clip(slot, 0, len(his) - 1)])
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()).filter(
+                    pa.array(ok)
+                ),
+                "band_id": pa.array(ids[slot[ok]], pa.int64()),
+                "value_cents": pa.array(cents[ok], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def q_rollup_agg(sf_dir: str):
+    """ROLLUP / multi-level aggregate: (year, month), (year), and grand
+    totals from ONE pass — per-block partials are pre-combined inside
+    map_batches, and the coarser levels are folded from the finest
+    level's aggregate-sized partials on the driver (never a second scan,
+    never a second shuffle). Sentinel -1 marks rolled-up levels so the
+    grouping columns stay non-null int64."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        yr = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        mo = ts.astype(np.int64) % 12 + 1
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ym = yr * 100 + mo
+        uniq, inv = np.unique(ym, return_inverse=True)
+        return pa.table(
+            {
+                "ym": pa.array(uniq, pa.int64()),
+                "n": pa.array(np.bincount(inv), pa.int64()),
+                "cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # aggregate-sized: one row per (block, month)
+    ym = np.array([r["ym"] for r in parts], np.int64)
+    n = np.array([r["n"] for r in parts], np.int64)
+    cents = np.array([r["cents"] for r in parts], np.int64)
+    uniq, inv = np.unique(ym, return_inverse=True)
+    n_m = np.bincount(inv, weights=n).astype(np.int64)
+    c_m = np.bincount(inv, weights=cents).astype(np.int64)
+    yrs, yinv = np.unique(uniq // 100, return_inverse=True)
+    n_y = np.bincount(yinv, weights=n_m).astype(np.int64)
+    c_y = np.bincount(yinv, weights=c_m).astype(np.int64)
+    year_col = np.concatenate([uniq // 100, yrs, [-1]])
+    month_col = np.concatenate(
+        [uniq % 100, np.full(len(yrs), -1), [-1]]
+    )
+    return pa.table(
+        {
+            "year": pa.array(year_col, pa.int64()),
+            "month": pa.array(month_col, pa.int64()),
+            "n_events": pa.array(
+                np.concatenate([n_m, n_y, [n_m.sum()]]), pa.int64()
+            ),
+            "sum_value_cents": pa.array(
+                np.concatenate([c_m, c_y, [c_m.sum()]]), pa.int64()
+            ),
+        }
+    )
+
+
+def q_grouped_mode(sf_dir: str):
+    """Per-key MODE with a deterministic tie-break (most frequent
+    event_type per user; ties -> lexicographically smallest type): one
+    hash shuffle, per-group ``np.unique`` counting — the categorical
+    argmax aggregate SQL spells as row_number-over-count."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def mode(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(et, return_counts=True)
+        best = int(np.argmax(counts))  # first max = smallest type (sorted)
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "mode_type": pa.array([str(vals[best])], pa.string()),
+                "n": pa.array([int(counts[best])], pa.int64()),
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], mode)
