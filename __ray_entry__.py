@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": Q.q_grouped_mode,
         # ---- no-oracle tail (non-SQL: sketches, LSH, codecs; each has
         # its own pytest oracle — recall / error bounds / pixel stats) ----
+        "embed_kmeans": Q.q_embed_kmeans,
+        "dedup_semantic": Q.q_dedup_semantic,
+        "sequence_pack": Q.q_sequence_pack,
         "topk_users_sketch": Q.q_topk_users_sketch,
         "distinct_users_hll": Q.q_distinct_users_hll,
         "value_quantiles_sketch": Q.q_value_quantiles_sketch,

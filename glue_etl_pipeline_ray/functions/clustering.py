@@ -1,0 +1,174 @@
+"""Distributed embedding clustering + semantic dedup (SemDeDup-style).
+
+- ``kmeans``: full-dataset Lloyd's iterations, Ray-Data-first — each
+  iteration is ONE ``map_batches`` pass emitting per-centroid partial
+  sums (k x d per block, aggregate-sized), folded on the driver into
+  the next centroid matrix. No shuffle at all; the only driver-side
+  state is the k x d centroid matrix (the same partial/fold discipline
+  as the sketches and heavy-hitters). Seeded sample init via
+  ``similarity.build_centroids`` keeps it deterministic.
+- ``semantic_dedup``: the SemDeDup recipe (Abbas et al., 2023,
+  arXiv:2303.09540 — public): cluster the corpus, then WITHIN each
+  cluster drop items whose cosine similarity to an already-kept item
+  exceeds a threshold, keeping the lowest id (deterministic greedy).
+  The within-cluster pass is a ``grouped_apply`` over the cluster id —
+  one hash shuffle; per-cluster work is a (|c| x |c|) matmul, bounded
+  by the cluster size (pick k so corpus/k fits a task; the paper uses
+  the same bound)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from glue_etl_pipeline_ray.functions.similarity import (
+    _batch_matrix,
+    _normalize,
+    build_centroids,
+)
+
+
+def kmeans(
+    ds: Dataset,
+    n_clusters: int = 10,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[np.ndarray, Dataset, list[float]]:
+    """Lloyd's k-means over the full dataset (cosine / spherical).
+
+    Returns ``(centroids, assignments, objective_per_iter)`` where
+    ``assignments`` is a streaming Dataset ``(id, cluster, sim)`` and
+    the objective is mean cosine similarity to the assigned centroid
+    (monotone non-decreasing under spherical Lloyd's).
+    """
+    cent = build_centroids(ds, n_clusters, vec_col, seed=seed, init="greedy")
+    objective: list[float] = []
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            sims = m @ c.T
+            assign = sims.argmax(axis=1)
+            k, d = c.shape
+            sums = np.zeros((k, d))
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            simsum = np.bincount(
+                assign, weights=sims[np.arange(len(m)), assign], minlength=k
+            )
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k), pa.int64()),
+                    "count": pa.array(counts, pa.int64()),
+                    "sim_sum": pa.array(simsum, pa.float64()),
+                    "vec_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).take_all()  # aggregate-sized: k rows per block
+        k, d = cent.shape
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, np.int64)
+        simsum = 0.0
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["vec_sum"])
+            counts[r["cluster"]] += r["count"]
+            simsum += r["sim_sum"]
+        n = counts.sum()
+        objective.append(float(simsum / max(n, 1)))
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = _normalize(cent)
+
+    final_ref = ray.put(cent)
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = m @ c.T
+        a = sims.argmax(axis=1)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "cluster": pa.array(a, pa.int64()),
+                "sim": pa.array(sims[np.arange(len(m)), a], pa.float64()),
+            }
+        )
+
+    assignments = ds.map_batches(
+        assign_out, batch_format="pyarrow", batch_size=None
+    )
+    return cent, assignments, objective
+
+
+def semantic_dedup(
+    ds: Dataset,
+    n_clusters: int = 10,
+    threshold: float = 0.99,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> Dataset:
+    """SemDeDup: drop embeddings nearly identical (cosine >= threshold)
+    to a kept item in the SAME k-means cluster; keep the lowest id of
+    each near-dup chain. Returns ``(id, cluster, keep)`` for every row.
+
+    Cross-cluster near-dups are missed by construction (the paper's
+    trade-off) — raise ``n_clusters`` quality via ``iters``, not by
+    shrinking clusters below near-dup diameter."""
+    cent, _, _ = kmeans(ds, n_clusters, iters, vec_col, id_col, seed)
+    ref = ray.put(cent)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        a = (m @ c.T).argmax(axis=1)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "cluster": pa.array(a, pa.int64()),
+                vec_col: batch[vec_col],
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        m = _normalize(_batch_matrix(g, vec_col))[order]
+        ids_s = ids[order]
+        n = len(ids_s)
+        sims = m @ m.T
+        keep = np.ones(n, bool)
+        for i in range(n):  # greedy by ascending id; O(|c|) rounds of
+            if not keep[i]:  # vectorized row suppression
+                continue
+            keep[(sims[i] >= threshold) & (np.arange(n) > i)] = False
+        return pa.table(
+            {
+                id_col: pa.array(ids_s, pa.int64()),
+                "cluster": pa.array(
+                    np.full(n, g["cluster"][0].as_py()), pa.int64()
+                ),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    return grouped_apply(tagged, ["cluster"], dedup_cluster)

@@ -100,14 +100,30 @@ def build_centroids(
     sample_limit: int = 10_000,
     iters: int = 5,
     seed: int = 42,
+    init: str = "random",
 ) -> np.ndarray:
     """Deterministic coarse k-means over a bounded sample (Lloyd, few
     iterations, seeded init). The sample is the only driver-side
-    materialization; assignment streams."""
+    materialization; assignment streams. ``init="greedy"`` uses
+    farthest-first traversal (deterministic k-means++: first point
+    seeded-random, each next = the sample point with max min-distance
+    to chosen centroids) — immune to two seeds landing in one natural
+    cluster, which plain random init cannot recover from (a Lloyd
+    centroid that loses all members never moves again)."""
     sample = ds.limit(sample_limit).to_pandas()
     m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
-    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    k = min(n_centroids, len(m))
+    if init == "greedy":
+        chosen = [int(rng.integers(len(m)))]
+        min_sim = m @ m[chosen[0]]
+        while len(chosen) < k:
+            nxt = int(np.argmin(min_sim))  # farthest = lowest cosine
+            chosen.append(nxt)
+            min_sim = np.maximum(min_sim, m @ m[nxt])
+        cent = m[chosen].copy()
+    else:
+        cent = m[rng.choice(len(m), size=k, replace=False)]
     for _ in range(iters):
         assign = (m @ cent.T).argmax(axis=1)
         for c in range(cent.shape[0]):

@@ -1796,3 +1796,49 @@ def q_grouped_mode(sf_dir: str):
         )
 
     return grouped_apply(ds, ["user_id"], mode)
+
+
+def q_embed_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the embedding column: each
+    Lloyd iteration is ONE map_batches pass emitting k x d partial sums
+    (aggregate-sized), folded on the driver — no shuffle. Gate: pytest
+    asserts the objective is monotone and assignments deterministic
+    (tests/test_clustering_pack.py)."""
+    from glue_etl_pipeline_ray.functions.clustering import kmeans
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assignments, _ = kmeans(ds, n_clusters=10, iters=5)
+    return assignments
+
+
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup (cluster -> within-cluster cosine prune, keep lowest
+    id): the embedding-space near-dup pass used for training-data
+    curation. Gate: pytest plants exact-duplicate vectors and asserts
+    exactly one survivor per group."""
+    from glue_etl_pipeline_ray.functions.clustering import semantic_dedup
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(ds, n_clusters=10, threshold=0.995)
+
+
+def q_sequence_pack(sf_dir: str):
+    """LLM sequence packing: documents greedily packed (FFD) into
+    512-token sequences, deterministic under any parallelism via fixed
+    hash shards. Gate: pytest asserts exactly-once packing, capacity
+    respected, determinism (tests/test_clustering_pack.py)."""
+    from glue_etl_pipeline_ray.functions.pack import pack_sequences
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(toks, batch_format="pyarrow", batch_size=None)
+    return pack_sequences(counted, capacity=512)

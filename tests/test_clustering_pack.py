@@ -1,0 +1,145 @@
+"""Pytest oracles for the no-SQL round-3 operators: distributed
+k-means (monotone objective, determinism), SemDeDup semantic dedup
+(planted duplicates -> one survivor), and sequence packing
+(exactly-once, capacity, determinism, oversize flagging)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from glue_etl_pipeline_ray.functions.clustering import kmeans, semantic_dedup
+from glue_etl_pipeline_ray.functions.pack import pack_sequences, packing_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_ds():
+    return rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def test_kmeans_objective_monotone_and_deterministic(ray_session):
+    _, assign1, obj = kmeans(_emb_ds(), n_clusters=8, iters=6)
+    # spherical Lloyd's: mean cosine to assigned centroid never decreases
+    for a, b in zip(obj, obj[1:]):
+        assert b >= a - 1e-9, obj
+    assert obj[-1] > obj[0] - 1e-9
+    _, assign2, _ = kmeans(_emb_ds(), n_clusters=8, iters=6)
+    m1 = {r["vec_id"]: r["cluster"] for r in assign1.take_all()}
+    m2 = {r["vec_id"]: r["cluster"] for r in assign2.take_all()}
+    assert m1 == m2
+    n = rd.read_parquet(f"{SF}/embeddings.parquet").count()
+    assert len(m1) == n  # every vector assigned exactly once
+
+
+def test_kmeans_separable_blobs_recovered(ray_session):
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)) * 10
+    vecs, truth = [], []
+    for i in range(400):
+        c = i % 4
+        vecs.append((centers[c] + rng.normal(size=16) * 0.05).tolist())
+        truth.append(c)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    _, assign, _ = kmeans(ds, n_clusters=4, iters=8)
+    got = {r["vec_id"]: r["cluster"] for r in assign.take_all()}
+    # clusters must be a relabeling of the ground truth
+    mapping = {}
+    for vid, cl in got.items():
+        t = truth[vid]
+        assert mapping.setdefault(t, cl) == cl, "blob split across clusters"
+    assert len(set(mapping.values())) == 4
+
+
+def test_semantic_dedup_planted_duplicates(ray_session):
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(50, 8))
+    vecs, ids = [], []
+    vid = 0
+    dup_groups = []
+    for i in range(50):
+        group = [vid]
+        vecs.append(base[i].tolist())
+        vid += 1
+        if i < 10:  # plant 2 exact dups of the first 10 vectors
+            for _ in range(2):
+                group.append(vid)
+                vecs.append(base[i].tolist())
+                vid += 1
+            dup_groups.append(group)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = semantic_dedup(ds, n_clusters=5, threshold=0.999)
+    rows = {r["vec_id"]: r["keep"] for r in out.take_all()}
+    assert len(rows) == len(vecs)
+    for group in dup_groups:
+        kept = [g for g in group if rows[g]]
+        assert kept == [min(group)], f"group {group} kept {kept}"
+
+
+def _docs_ds(lengths):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(lengths)), pa.int64()),
+                "n_tokens": pa.array(lengths, pa.int64()),
+            }
+        )
+    )
+
+
+def test_pack_exactly_once_and_capacity(ray_session):
+    rng = np.random.default_rng(9)
+    lengths = rng.integers(1, 400, 2000).tolist() + [900, 512]  # oversizes
+    packed = pack_sequences(_docs_ds(lengths), capacity=512)
+    rows = packed.take_all()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(lengths)))
+    fill: dict[int, int] = {}
+    for r in rows:
+        fill[r["seq_id"]] = fill.get(r["seq_id"], 0) + min(r["n_tokens"], 512)
+    assert all(v <= 512 for v in fill.values())
+    trunc = {r["doc_id"]: r["truncated"] for r in rows}
+    assert trunc[2000] is True  # 900 > capacity
+    assert trunc[2001] is False  # == capacity: solo but not truncated
+    # oversize docs sit alone in their sequence
+    seq_of_900 = next(r["seq_id"] for r in rows if r["doc_id"] == 2000)
+    assert sum(1 for r in rows if r["seq_id"] == seq_of_900) == 1
+    stats = packing_stats(packed, 512)
+    assert stats["n_sequences"] == len(fill)
+    assert stats["mean_fill"] > 0.8  # FFD should pack tightly
+
+
+def test_pack_deterministic_across_block_layouts(ray_session):
+    rng = np.random.default_rng(11)
+    lengths = rng.integers(1, 300, 500).tolist()
+    a = pack_sequences(_docs_ds(lengths), capacity=256)
+    b = pack_sequences(
+        _docs_ds(lengths).repartition(7), capacity=256
+    )
+    ma = {(r["doc_id"], r["seq_id"]) for r in a.take_all()}
+    mb = {(r["doc_id"], r["seq_id"]) for r in b.take_all()}
+    assert ma == mb
+
+
+@pytest.mark.parametrize(
+    "q", ["embed_kmeans", "dedup_semantic", "sequence_pack"]
+)
+def test_query_entries_run(ray_session, q):
+    import __ray_entry__ as entry
+
+    ds = entry.queries()[q](SF)
+    assert ds.count() > 0
