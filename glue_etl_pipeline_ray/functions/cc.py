@@ -42,8 +42,8 @@ from ray.data.aggregate import Min, Sum
 
 
 def _edges_to_numpy(edges: Dataset, src_col: str, dst_col: str):
-    refs = edges.select_columns([src_col, dst_col]).to_arrow_refs()
-    tabs = [t for t in ray.get(refs) if t.num_rows]
+    refs = edges.to_arrow_refs()
+    tabs = [t.select([src_col, dst_col]) for t in ray.get(refs) if t.num_rows]
     if not tabs:
         return np.array([], np.int64), np.array([], np.int64)
     t = pa.concat_tables(tabs)
@@ -84,9 +84,17 @@ def _cc_numpy(src: np.ndarray, dst: np.ndarray) -> pa.Table:
 
 
 def _cc_distributed(
-    edges: Dataset, src_col: str, dst_col: str, max_rounds: int,
-    num_partitions: int = 16,
+    edges: Dataset, src_col: str, dst_col: str, max_rounds: int
 ) -> Dataset:
+    """Join-FREE hash-min rounds: pairing each edge (u, v) with
+    label(u) is logically a join on u, but ``Dataset.join`` spins up an
+    actor pool per call (measured 1.5-3.6 s fixed, vs 0.14 s for a
+    groupby) — so the join is expressed as one fine-grained groupby
+    instead: adjacency rows and label rows share a (node, nbr, label)
+    schema, each node's group emits (nbr, label(node)) messages, and a
+    groupby-min folds messages with current labels."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
     def symmetrize(t: pa.Table) -> pa.Table:
         s = pc.cast(t[src_col], pa.int64())
         d = pc.cast(t[dst_col], pa.int64())
@@ -109,27 +117,51 @@ def _cc_distributed(
         .groupby("node")
         .aggregate(Min("nbr", alias_name="label"))
     ).materialize()
+    adj = sym.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "nbr": t["nbr"],
+                "label": pa.nulls(t.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def emit(g: pa.Table) -> pa.Table:
+        lab = pc.min(g["label"]).as_py()  # the node's single label row
+        nbrs = g["nbr"].drop_null()
+        return pa.table(
+            {
+                "node": nbrs,
+                "label": pa.nulls(len(nbrs), pa.int64()).fill_null(lab),
+            }
+        )
+
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
     for _ in range(max_rounds):
-        # propagate each node's current label across its edges: one hash
-        # join (labels onto edge endpoints) + one groupby-min
-        prop = sym.join(
-            labels.map_batches(
-                lambda t: pa.table({"jn": t["node"], "label": t["label"]}),
-                batch_format="pyarrow",
+        lab_rows = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "nbr": pa.nulls(t.num_rows, pa.int64()),
+                    "label": t["label"],
+                }
             ),
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("nbr",),
-            right_on=("jn",),
-        ).map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
             batch_format="pyarrow",
         )
+        msgs = grouped_apply(adj.union(lab_rows), ["node"], emit)
+        # repartition each round: union + Aggregate emit roughly
+        # (inputs + messages) blocks, so without coalescing the block
+        # count DOUBLES per round (measured 5 -> 191 blocks in 5 rounds,
+        # with round wall time doubling alongside). The label table is
+        # node-count sized; a fixed partition count keeps every round's
+        # task count flat.
         labels = (
-            labels.union(prop)
+            labels.union(msgs)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(8)
         ).materialize()
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
@@ -158,6 +190,10 @@ def connected_components(
     dedup pass, NOT the corpus. Larger graphs take the distributed
     hash-min rounds (one join + one groupby-min per round).
     """
+    # materialize once: the pair pipeline upstream is the expensive part,
+    # and count() + block fetch must not each re-execute it (blocks stay
+    # in the object store; count() is then metadata-only)
+    edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(
