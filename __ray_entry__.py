@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": Q.q_grouped_mode,
         # ---- no-oracle tail (non-SQL: sketches, LSH, codecs; each has
         # its own pytest oracle — recall / error bounds / pixel stats) ----
+        "dataset_split": Q.q_dataset_split,
+        "mixture_sample": Q.q_mixture_sample,
         "embed_kmeans": Q.q_embed_kmeans,
         "dedup_semantic": Q.q_dedup_semantic,
         "sequence_pack": Q.q_sequence_pack,

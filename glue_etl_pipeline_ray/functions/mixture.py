@@ -1,0 +1,110 @@
+"""Dataset splitting and source-mixture sampling for training-data prep.
+
+Both operators are shuffle-free and retry-stable: membership is a pure
+function of the row's id hash (the same determinism discipline as
+``queries.q_hash_sample``), so re-runs, retries, and any parallelism
+produce identical output — no RNG state, no random_shuffle.
+
+- ``hash_split``: train/val/test assignment by mapping a stable 64-bit
+  id hash onto cumulative weight ranges. Splits are exactly disjoint
+  and exhaustive by construction.
+- ``mixture_sample``: downsample each source to hit target mixture
+  proportions (the static data-mixing step of LLM pipelines; weights
+  a la DoReMi are an input here, not learned). Per-source keep rates
+  are derived from observed source counts (one tiny aggregate) and the
+  most-constraining source is kept whole, so the sample is as large as
+  the target mixture allows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from glue_etl_pipeline_ray.hashing import key_hash_u64
+
+# splits draw from a different hash stream than sampling, so composing
+# mixture_sample + hash_split doesn't correlate membership
+_SPLIT_SALT = np.uint64(0xA076_1D64_78BD_642F)
+_MIX_SALT = np.uint64(0xE703_7ED1_A0B4_28DB)
+
+
+def _unit_hash(ids: np.ndarray, salt: np.uint64) -> np.ndarray:
+    """Stable uniform [0, 1) per id."""
+    with np.errstate(over="ignore"):
+        h = key_hash_u64(ids) * salt
+    return h.astype(np.float64) / float(2**64)
+
+
+def hash_split(
+    ds: Dataset,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Append a ``split`` column assigning each row to one named split
+    with probability proportional to its weight — deterministic in the
+    row id, disjoint and exhaustive."""
+    names = list(weights)
+    total = float(sum(weights.values()))
+    edges = np.cumsum([weights[n] / total for n in names])
+    edges[-1] = 1.0 + 1e-9  # closed top edge
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        u = _unit_hash(ids, _SPLIT_SALT)
+        slot = np.searchsorted(edges, u, side="right")
+        labels = np.array(names, dtype=object)[slot]
+        return t.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def mixture_sample(
+    ds: Dataset,
+    proportions: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> tuple[Dataset, dict]:
+    """Deterministically thin each source so the surviving rows match
+    the target mixture ``proportions``. Sources absent from
+    ``proportions`` are dropped. Returns ``(sampled_ds, plan)`` where
+    ``plan`` records observed counts, per-source keep rates, and the
+    expected output size.
+
+    The binding source (smallest observed/target ratio) keeps rate 1.0;
+    every other source is hash-thinned relative to it. One Count
+    aggregate over the source column is the only extra pass."""
+    counts = {
+        r[source_col]: r["count()"]
+        for r in ds.groupby(source_col).aggregate(Count()).take_all()
+    }
+    total_target = float(sum(proportions.values()))
+    shares = {s: w / total_target for s, w in proportions.items()}
+    missing = [s for s in shares if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"sources in proportions but not in data: {missing}")
+    # the binding source caps the achievable sample size N:
+    # keep_s = share_s * N / count_s <= 1 for all s
+    n_out = min(counts[s] / shares[s] for s in shares)
+    rates = {s: min(1.0, shares[s] * n_out / counts[s]) for s in shares}
+
+    rate_arr = dict(rates)
+
+    def thin(t: pa.Table) -> pa.Table:
+        src = t[source_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        u = _unit_hash(ids, _MIX_SALT)
+        uniq, inv = np.unique(src, return_inverse=True)
+        r = np.array([rate_arr.get(s, 0.0) for s in uniq])[inv]
+        return t.filter(pa.array(u < r))
+
+    plan = {
+        "counts": counts,
+        "rates": rates,
+        "expected_rows": int(sum(rates[s] * counts[s] for s in rates)),
+    }
+    return ds.map_batches(thin, batch_format="pyarrow", batch_size=None), plan

@@ -1842,3 +1842,29 @@ def q_sequence_pack(sf_dir: str):
 
     counted = ds.map_batches(toks, batch_format="pyarrow", batch_size=None)
     return pack_sequences(counted, capacity=512)
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5): membership is a
+    pure function of the doc id's stable hash — shuffle-free,
+    retry-stable, disjoint + exhaustive by construction. Gate: pytest
+    (proportions, determinism, disjointness)."""
+    from glue_etl_pipeline_ray.functions.mixture import hash_split
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    return hash_split(ds, {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+def q_mixture_sample(sf_dir: str):
+    """Source-weighted mixture sampling (the static data-mixing step of
+    LLM pipelines): thin each source by a derived keep-rate so the
+    survivors match the target mixture; binding source kept whole. One
+    Count aggregate + a shuffle-free hash filter. Gate: pytest
+    (achieved proportions within tolerance, determinism)."""
+    from glue_etl_pipeline_ray.functions.mixture import mixture_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    # overweight src0, keep a tail of others, drop the rest
+    target = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    sampled, _plan = mixture_sample(ds, target)
+    return sampled
