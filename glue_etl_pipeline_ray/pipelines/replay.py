@@ -1026,8 +1026,8 @@ class ReplayEngine:
         single-column keys). Returns live rows in canonical layout,
         key-sorted; deleted/absent keys are simply absent. ``as_of``
         time travel follows the same retention rules as
-        ``final_dataset`` (rewrite mode; delta mode serves the current
-        snapshot only — its history lives in the lineage chain)."""
+        ``final_dataset`` in both modes (delta mode rebuilds only the
+        touched buckets' chains from the lineage log)."""
         import numpy as np
 
         from glue_etl_pipeline_ray.hashing import key_hash_u64
@@ -1082,21 +1082,49 @@ class ReplayEngine:
 
         refs = []
         if self.state_mode == "delta":
-            if as_of is not None:
-                raise NotImplementedError(
-                    "delta-mode lookup serves the current snapshot; use "
-                    "final_dataset(as_of=...) for history"
-                )
-            for b, idxs in per_bucket.items():
-                d = self.ckpt.bucket_deltas.get(b)
-                if d is None:
-                    continue
-                refs.append(
-                    probe.remote(
-                        (b, d["base"], list(d["deltas"])),
-                        kh[idxs],
-                        keyset,
+            if as_of is None:
+                pointers = {
+                    b: (d["base"], list(d["deltas"]))
+                    for b, d in self.ckpt.bucket_deltas.items()
+                    if b in per_bucket
+                }
+            else:
+                # history: rebuild only the TOUCHED buckets' chains from
+                # the lineage log (same reconstruction as
+                # _delta_live_refs(as_of) — folds are caches, deltas are
+                # the truth), under the same retention requirement
+                if self.gc_old_versions:
+                    raise NotImplementedError(
+                        "delta-mode lookup time travel requires "
+                        "gc_old_versions=False"
                     )
+                from glue_etl_pipeline_ray.stages.merge import (
+                    delta_entry_version,
+                )
+                from glue_etl_pipeline_ray.state.lineage import read_lineage
+
+                chains: dict[int, list] = {}
+                for rec in read_lineage(self.lake_dir):
+                    if (
+                        rec.get("kind") == "bucket"
+                        and rec["batch_id"] <= as_of
+                        and rec["bucket"] in per_bucket
+                    ):
+                        chains.setdefault(rec["bucket"], []).append(
+                            [rec["version"], rec["group"]]
+                            if "group" in rec
+                            else rec["version"]
+                        )
+                pointers = {
+                    b: (None, sorted(vs, key=delta_entry_version))
+                    for b, vs in chains.items()
+                }
+            for b, idxs in per_bucket.items():
+                if b not in pointers:
+                    continue
+                base, deltas = pointers[b]
+                refs.append(
+                    probe.remote((b, base, deltas), kh[idxs], keyset)
                 )
         else:
             if as_of is not None:

@@ -58,14 +58,16 @@ def test_lookup_matches_oracle(tmp_path, mode):
     assert eng.lookup([missing, deleted]).num_rows == 0
 
 
-def test_lookup_time_travel_rewrite(tmp_path):
+@pytest.mark.parametrize("mode", ["rewrite", "delta"])
+def test_lookup_time_travel(tmp_path, mode):
     meta = generate_change_events(
         str(tmp_path), n_events=2000, n_batches=4, n_repos=8, n_paths=20,
         seed=33,
     )
     spec = repo_file_spec(num_buckets=8)
     eng = ReplayEngine(
-        spec, str(tmp_path / "lake"), gc_old_versions=False
+        spec, str(tmp_path / "lake"), gc_old_versions=False,
+        state_mode=mode,
     )
     eng.replay(meta["events_dir"])
     old = eng.final_table(as_of=1)
@@ -87,15 +89,14 @@ def test_lookup_time_travel_rewrite(tmp_path):
     assert got_new["content"][0].as_py() == new_map[changed]
 
 
-def test_lookup_delta_rejects_as_of(tmp_path):
+def test_lookup_delta_as_of_requires_retention(tmp_path):
     meta = generate_change_events(
         str(tmp_path), n_events=1000, n_batches=2, seed=5
     )
     spec = repo_file_spec(num_buckets=8)
     eng = ReplayEngine(
-        spec, str(tmp_path / "lake"), state_mode="delta",
-        gc_old_versions=False,
-    )
+        spec, str(tmp_path / "lake"), state_mode="delta"
+    )  # gc_old_versions defaults True -> history not reconstructible
     eng.replay(meta["events_dir"])
     with pytest.raises(NotImplementedError):
         eng.lookup([("r", "p")], as_of=0)
