@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": Q.q_grouped_mode,
         # ---- no-oracle tail (non-SQL: sketches, LSH, codecs; each has
         # its own pytest oracle — recall / error bounds / pixel stats) ----
+        "doc_chunk": Q.q_doc_chunk,
         "dataset_split": Q.q_dataset_split,
         "mixture_sample": Q.q_mixture_sample,
         "embed_kmeans": Q.q_embed_kmeans,

@@ -1868,3 +1868,14 @@ def q_mixture_sample(sf_dir: str):
     target = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
     sampled, _plan = mixture_sample(ds, target)
     return sampled
+
+
+def q_doc_chunk(sf_dir: str):
+    """Document chunking into 64-token windows with 8-token overlap —
+    flat row expansion, no shuffle, chunk identity (doc_id, chunk_idx)
+    deterministic under any parallelism. Gate: pytest (losslessness via
+    reassembly, overlap contract, exactly-once docs)."""
+    from glue_etl_pipeline_ray.functions.chunk import chunk_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, max_tokens=64, overlap=8)
