@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_band_join": Q.q_range_band_join,
         "rollup_agg": Q.q_rollup_agg,
         "grouped_mode": Q.q_grouped_mode,
+        "shipping_priority": Q.q_shipping_priority,
         # ---- no-oracle tail (non-SQL: sketches, LSH, codecs; each has
         # its own pytest oracle — recall / error bounds / pixel stats) ----
         "doc_chunk": Q.q_doc_chunk,
@@ -605,6 +606,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT -1, -1, count(*),
                    CAST(sum(round(value * 100)) AS BIGINT)
             FROM events
+        """,
+        "shipping_priority": """
+            -- TPC-H Q3 shape; revenue in int64 cents via floor() so both
+            -- engines compute identical integers (no round-half ambiguity)
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(sum(CAST(floor(
+                       l.l_extendedprice * (1 - l.l_discount) * 100
+                   ) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY rev_cents DESC, l.l_orderkey ASC
+            LIMIT 10
         """,
         "grouped_mode": """
             SELECT user_id, mode_type, n FROM (

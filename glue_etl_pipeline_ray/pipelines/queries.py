@@ -1879,3 +1879,137 @@ def q_doc_chunk(sf_dir: str):
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return chunk_documents(ds, max_tokens=64, overlap=8)
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped 3-way join + aggregate + top-k (the classic
+    multi-join composition): BUILDING-segment customers' unshipped
+    orders ranked by revenue. Plan: the filtered customer key set is
+    tiny -> broadcast semi-join filter on orders (no shuffle); the
+    orders x lineitem join is genuinely large-large -> native hash
+    join; then one keyed aggregate and a global top-10 (no global
+    sort — driver folds block-local top-10s... handled by
+    partial_groupby_sum + take). Revenue uses floor(price*(1-disc)*100)
+    so both engines compute identical int64 cents (floor has no
+    round-half ambiguity across engines)."""
+    import datetime
+
+    cutoff = datetime.datetime(1998, 6, 1)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    key_ref = ray.put(
+        np.sort(
+            pa.concat_tables(ray.get(keys.to_arrow_refs()))["c_custkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    )
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                           "o_orderpriority"]
+    )
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        m = (od < np.datetime64(cutoff)) & np.isin(ck, ks)
+        t = t.filter(pa.array(m))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    o = orders.map_batches(filt_orders, batch_format="pyarrow", batch_size=None)
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"])
+
+    def filt_lines(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(sd > np.datetime64(cutoff)))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_cents": pa.array(rev, pa.int64()),
+            }
+        )
+
+    l = li.map_batches(filt_lines, batch_format="pyarrow", batch_size=None)
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).metadata.num_rows
+    joined = l.join(
+        o,
+        join_type="inner",
+        num_partitions=max(8, min(256, n_rows // 200_000)),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = partial_groupby_sum(
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "o_orderdate": t["o_orderdate"],
+                    "o_orderpriority": t["o_orderpriority"],
+                    "rev_cents": t["rev_cents"],
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        ["rev_cents"],
+        count_alias="n_lines",
+    )
+    # global top-10: the aggregate is keyed by order -> block-local
+    # top-10s then one driver fold (k rows per block, never a sort)
+    def block_top(t: pa.Table) -> pa.Table:
+        rev = t["rev_cents"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -rev))[:10]
+        return t.take(pa.array(order))
+
+    parts = agg.map_batches(
+        block_top, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(parts)
+    if df.empty:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+                "rev_cents": pa.array([], pa.int64()),
+            }
+        )
+    df = df.sort_values(
+        ["rev_cents", "l_orderkey"], ascending=[False, True]
+    ).head(10)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(df["l_orderkey"], pa.int64()),
+            "o_orderdate": pa.array(
+                df["o_orderdate"].astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(df["o_orderpriority"], pa.string()),
+            "rev_cents": pa.array(df["rev_cents"], pa.int64()),
+        }
+    )
