@@ -31,6 +31,35 @@ from glue_etl_pipeline_ray.functions.similarity import (
 )
 
 
+def _combine_partials(t: pa.Table) -> pa.Table:
+    """Fold co-located per-block partials: sum counts / sim / vec sums
+    per cluster id (vectorized)."""
+    cl = t["cluster"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(cl, return_inverse=True)
+    vecs = t["vec_sum"].combine_chunks()
+    m = vecs.flatten().to_numpy(zero_copy_only=False).reshape(len(vecs), -1)
+    sums = np.zeros((len(uniq), m.shape[1]))
+    np.add.at(sums, inv, m)
+    return pa.table(
+        {
+            "cluster": pa.array(uniq, pa.int64()),
+            "count": pa.array(
+                np.bincount(
+                    inv, weights=t["count"].to_numpy(zero_copy_only=False)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+            "sim_sum": pa.array(
+                np.bincount(
+                    inv, weights=t["sim_sum"].to_numpy(zero_copy_only=False)
+                ),
+                pa.float64(),
+            ),
+            "vec_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+        }
+    )
+
+
 def kmeans(
     ds: Dataset,
     n_clusters: int = 10,
@@ -38,6 +67,7 @@ def kmeans(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    tree_combine: int | None = None,
 ) -> tuple[np.ndarray, Dataset, list[float]]:
     """Lloyd's k-means over the full dataset (cosine / spherical).
 
@@ -45,6 +75,13 @@ def kmeans(
     ``assignments`` is a streaming Dataset ``(id, cluster, sim)`` and
     the objective is mean cosine similarity to the assigned centroid
     (monotone non-decreasing under spherical Lloyd's).
+
+    The driver pull per iteration is k rows per BLOCK. At large block
+    counts (>~10k blocks: k x blocks x d floats lands on the driver)
+    pass ``tree_combine=P`` to fold the partials through one bounded
+    repartition level first — the driver then sees k x P rows
+    regardless of input size. Off by default: at small block counts
+    the extra shuffle costs more than it saves.
     """
     cent = build_centroids(ds, n_clusters, vec_col, seed=seed, init="greedy")
     objective: list[float] = []
@@ -72,9 +109,12 @@ def kmeans(
                 }
             )
 
-        parts = ds.map_batches(
-            partial, batch_format="pyarrow", batch_size=None
-        ).take_all()  # aggregate-sized: k rows per block
+        parts_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        if tree_combine:
+            parts_ds = parts_ds.repartition(tree_combine).map_batches(
+                _combine_partials, batch_format="pyarrow", batch_size=None
+            )
+        parts = parts_ds.take_all()  # aggregate-sized: k rows per block/part
         k, d = cent.shape
         sums = np.zeros((k, d))
         counts = np.zeros(k, np.int64)

@@ -33,6 +33,17 @@ def test_kmeans_objective_monotone_and_deterministic(ray_session):
     assert len(m1) == n  # every vector assigned exactly once
 
 
+def test_kmeans_tree_combine_identical(ray_session):
+    # the bounded repartition combine level must not change the math
+    _, a1, o1 = kmeans(_emb_ds(), n_clusters=6, iters=4)
+    _, a2, o2 = kmeans(_emb_ds(), n_clusters=6, iters=4, tree_combine=4)
+    # summation order differs by one fold level -> float-epsilon only
+    assert all(abs(x - y) < 1e-9 for x, y in zip(o1, o2))
+    m1 = {r["vec_id"]: r["cluster"] for r in a1.take_all()}
+    m2 = {r["vec_id"]: r["cluster"] for r in a2.take_all()}
+    assert m1 == m2
+
+
 def test_kmeans_separable_blobs_recovered(ray_session):
     rng = np.random.default_rng(3)
     centers = rng.normal(size=(4, 16)) * 10
