@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 54 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 75 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of [plain +
   range-sharded], anti/semi [direct + Bloom-prefiltered], windowed
   aggregates incl. RANGE-frame sliding windows, exact + histogram
@@ -15,12 +15,16 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
   embedding, ANN search, text analysis incl. Gopher-style repetition,
   real-PNG multimodal chains). SURVEY.md section 8 maps each to its
   implementation.
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (39 hash-exact).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (50 hash-exact —
+  exactly filling the driver's 50-entry correctness window; the
+  ordering contract below keeps every oracle-backed entry inside it).
   Aggregates use scaled-integer measures (cents / e4 / e6) so engine
-  and oracle match bit-for-bit; fuzzy/codec operators (minhash/simhash
-  LSH, IVF-ANN, lang-id, media chains) are genuinely non-SQL and get
-  the rows-only check plus their own pytest oracles (pixel stats,
-  recall bounds, error bounds).
+  and oracle match bit-for-bit. The tail beyond the window is pytest-
+  gated: fuzzy/codec operators (minhash/simhash LSH, IVF-ANN, lang-id,
+  media chains) have recall/error-bound/pixel oracles, and the
+  SQL-expressible tail entries (decontaminate, vocab_topk) carry their
+  own hash-exact DuckDB comparisons in tests/ since the window is
+  saturated.
 """
 
 from __future__ import annotations
@@ -118,11 +122,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": Q.q_rollup_agg,
         "grouped_mode": Q.q_grouped_mode,
         "shipping_priority": Q.q_shipping_priority,
-        # ---- no-oracle tail (non-SQL: sketches, LSH, codecs; each has
-        # its own pytest oracle — recall / error bounds / pixel stats) ----
+        # ---- pytest-gated tail (beyond the driver's 50-entry window):
+        # sketches/LSH/codecs have recall / error-bound / pixel oracles;
+        # decontaminate + vocab_topk have hash-exact DuckDB gates in
+        # tests/ (the window above is saturated) ----
+        "decontaminate": Q.q_decontaminate,
         "doc_chunk": Q.q_doc_chunk,
         "dataset_split": Q.q_dataset_split,
         "mixture_sample": Q.q_mixture_sample,
+        "vocab_topk": Q.q_vocab_topk,
+        "shuffle_train_order": Q.q_shuffle_train_order,
         "embed_kmeans": Q.q_embed_kmeans,
         "dedup_semantic": Q.q_dedup_semantic,
         "sequence_pack": Q.q_sequence_pack,

@@ -108,3 +108,47 @@ def mixture_sample(
         "expected_rows": int(sum(rates[s] * counts[s] for s in rates)),
     }
     return ds.map_batches(thin, batch_format="pyarrow", batch_size=None), plan
+
+
+def deterministic_shuffle(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int | None = None,
+) -> Dataset:
+    """Seeded, retry-stable global shuffle for training-order
+    randomization.
+
+    ``random_shuffle()`` is a full exchange whose output ORDER differs
+    per run and per retry — a failed 100 TB shuffle cannot resume, and
+    a re-run trains on a different order. This operator instead sorts
+    by a stable per-row hash mixed with ``seed``: the result is one
+    deterministic pseudorandom permutation per seed — identical across
+    runs/retries/parallelism (resumable writes), epoch k = seed k, and
+    the sort's range-partitioned exchange is the same all-to-all cost
+    class as random_shuffle. With ``n_shards`` each row also gets a
+    ``shard`` column (hash mod n_shards, balanced in expectation) so
+    downstream writers can emit one file per shard and a failed run
+    skips finished shards.
+    """
+    salt = np.uint64(0xD6E8_FEB8_6659_FD93) * np.uint64(2 * seed + 1)
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = key_hash_u64(ids) * salt
+        t = t.append_column("__shuffle_key", pa.array(h, pa.uint64()))
+        if n_shards:
+            t = t.append_column(
+                "shard",
+                pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+            )
+        return t
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
+    out = keyed.sort("__shuffle_key")
+    return out.map_batches(
+        lambda t: t.drop_columns(["__shuffle_key"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -2013,3 +2013,62 @@ def q_shipping_priority(sf_dir: str):
             "rev_cents": pa.array(df["rev_cents"], pa.int64()),
         }
     )
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the GPT-3/Dolma contamination guard):
+    docs with ``doc_id % 17 == 0`` play the held-out benchmark; every
+    other doc is tagged with how many of its distinct 3-gram shingles
+    appear anywhere in the benchmark. One broadcast of the benchmark's
+    sorted gram-hash array (remote-assembled, driver holds only the
+    ObjectRef) + one shuffle-free vectorized scan over the training
+    side. Gate: pytest (hash-exact vs a DuckDB shingle join at sf0.01;
+    the driver window is saturated by the 50 hash-exact queries, so
+    this rides the pytest-DuckDB gate instead)."""
+    from glue_etl_pipeline_ray.functions.decontaminate import (
+        benchmark_ngram_hashes,
+        decontaminate,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    def _split(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 17 == 0) == want_bench
+            return t.filter(pa.array(m))
+
+        return f
+
+    bench = docs.map_batches(_split(True), batch_format="pyarrow", batch_size=None)
+    train = docs.map_batches(_split(False), batch_format="pyarrow", batch_size=None)
+    ref = benchmark_ngram_hashes(bench, shingle_n=3)
+    return decontaminate(train, ref, shingle_n=3)
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: the 50 most frequent whitespace tokens with
+    exact counts (vocab-building / corpus inspection). Per-block
+    np.unique partials -> bounded hash-partition sum -> local top-k per
+    partition -> driver fold of n_parts x k rows; shuffle volume is
+    distinct-(token, block) partials, never raw tokens. Gate: pytest
+    (hash-exact vs DuckDB unnest+count at sf0.001; rides outside the
+    saturated 50-entry driver window)."""
+    from glue_etl_pipeline_ray.functions.text import vocab_topk
+
+    return vocab_topk(
+        _t(sf_dir, "documents", ["text"]), text_col="text", k=50
+    )
+
+
+def q_shuffle_train_order(sf_dir: str):
+    """Seeded deterministic global shuffle (training-order
+    randomization): sort by a salted stable row hash — one
+    range-partitioned exchange, identical permutation across
+    runs/retries (epoch k = seed k), 16 balanced output shards for
+    resumable writes. Gate: pytest (permutation + determinism +
+    seed-sensitivity + shard balance; order is seed-defined so no SQL
+    oracle exists by construction)."""
+    from glue_etl_pipeline_ray.functions.mixture import deterministic_shuffle
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    return deterministic_shuffle(ds, seed=1, n_shards=16)
