@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": Q.q_mixture_sample,
         "vocab_topk": Q.q_vocab_topk,
         "shuffle_train_order": Q.q_shuffle_train_order,
+        "range_scan_pruned": Q.q_range_scan_pruned,
+        "embed_project": Q.q_embed_project,
         "embed_kmeans": Q.q_embed_kmeans,
         "dedup_semantic": Q.q_dedup_semantic,
         "sequence_pack": Q.q_sequence_pack,

@@ -316,3 +316,67 @@ def embed_cosine_pairs(
     )
     pairs = grouped_apply(bucketed, ["__lsh"], bucket_pairs, min_group_size=2)
     return grouped_first(pairs, ["vec_id_a", "vec_id_b"])
+
+
+class RandomProjection:
+    """Actor-pool stage: Johnson-Lindenstrauss random projection of the
+    embedding column to ``out_dim`` — the dimension-reduction scale
+    path in front of brute/IVF ANN (project once, search in the small
+    space, re-rank survivors in the original space if needed).
+
+    The Gaussian projection matrix is a pure function of
+    ``(seed, d_in)``: built lazily on the first batch (d_in read from
+    the data), identical in every actor and every retry — no state to
+    ship, no RNG drift. Per batch: one matmul. Zero shuffles.
+    """
+
+    def __init__(
+        self,
+        out_dim: int = 16,
+        vec_col: str = "embedding",
+        seed: int = 0,
+        normalize: bool = False,
+    ):
+        self.out_dim = out_dim
+        self.vec_col = vec_col
+        self.seed = seed
+        self.normalize = normalize
+        self._mat: np.ndarray | None = None
+
+    def _matrix(self, d_in: int) -> np.ndarray:
+        if self._mat is None:
+            rng = np.random.default_rng((self.seed, d_in, self.out_dim))
+            self._mat = rng.standard_normal((d_in, self.out_dim)) / np.sqrt(
+                self.out_dim
+            )
+        return self._mat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.vec_col)
+        proj = m @ self._matrix(m.shape[1])
+        if self.normalize:
+            proj = _normalize(proj)
+        cols = {
+            n: batch[n] for n in batch.schema.names if n != self.vec_col
+        }
+        cols[self.vec_col] = pa.array(proj.tolist(), pa.list_(pa.float64()))
+        return pa.table(cols)
+
+
+def random_projection(
+    ds: Dataset,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 0,
+    normalize: bool = False,
+    concurrency: int = 4,
+) -> Dataset:
+    return ds.map_batches(
+        RandomProjection,
+        fn_constructor_kwargs=dict(
+            out_dim=out_dim, vec_col=vec_col, seed=seed, normalize=normalize
+        ),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )

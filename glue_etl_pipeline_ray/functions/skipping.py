@@ -1,0 +1,129 @@
+"""Sorted writes + min/max file skipping: the data-skipping read path
+for range scans.
+
+The lake's hash-bucket layout serves point lookups (``ReplayEngine.
+lookup``) but cannot prune a RANGE predicate — every bucket holds every
+value range. The classic answer (Parquet zone maps, Delta/Iceberg file
+stats, z-ordering's 1-D special case) is to keep range-queried datasets
+SORTED on the scan column and skip whole files by their min/max:
+
+- ``sorted_write``: one range-partitioned sort exchange, then plain
+  Parquet files whose per-file (min, max) of the sort column are
+  collected into a manifest sidecar. Files are bounded by
+  ``rows_per_file`` so a failed write resumes at file granularity and
+  no file is unboundedly large.
+- ``pruned_read``: consult the manifest (O(files) driver work on
+  aggregate-sized metadata — never data rows), open ONLY overlapping
+  files, apply the exact predicate vectorized inside ``map_batches``.
+
+At 100 TB a sorted table scan for a 1% range touches ~1% of files; the
+manifest for a million files is a few MB. The manifest is derived
+purely from Parquet footer statistics, so it can be rebuilt from the
+files alone (no trust in the writer).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data import Dataset
+
+
+def sorted_write(
+    ds: Dataset,
+    out_dir: str,
+    sort_col: str,
+    rows_per_file: int = 100_000,
+) -> dict:
+    """Sort by ``sort_col``, write Parquet, return + persist the
+    per-file min/max manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.sort(sort_col).write_parquet(
+        out_dir, min_rows_per_file=rows_per_file, max_rows_per_file=rows_per_file
+    )
+    manifest = build_manifest(out_dir, sort_col)
+    with open(os.path.join(out_dir, "_skipping_manifest.json"), "w") as f:
+        json.dump(manifest, f, default=str)
+    return manifest
+
+
+def build_manifest(out_dir: str, sort_col: str) -> dict:
+    """Per-file (min, max) of ``sort_col`` from Parquet footer stats —
+    rebuildable from the files alone."""
+    files = {}
+    for path in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(sort_col)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo, hi = None, None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        files[os.path.basename(path)] = [lo, hi]
+    return {"sort_col": sort_col, "files": files}
+
+
+def pruned_read(
+    out_dir: str,
+    sort_col: str,
+    lo,
+    hi,
+    columns: list[str] | None = None,
+) -> tuple[Dataset, int, int]:
+    """Range scan ``lo <= sort_col <= hi`` reading only overlapping
+    files. Returns ``(dataset, n_files_read, n_files_total)``."""
+    mpath = os.path.join(out_dir, "_skipping_manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if manifest.get("sort_col") != sort_col:
+            manifest = build_manifest(out_dir, sort_col)
+    else:
+        manifest = build_manifest(out_dir, sort_col)
+
+    keep = []
+    for name, (fmin, fmax) in manifest["files"].items():
+        # stats missing -> cannot prove non-overlap, must read
+        if fmin is None or fmax is None or not (
+            _lt(hi, fmin) or _lt(fmax, lo)
+        ):
+            keep.append(os.path.join(out_dir, name))
+    total = len(manifest["files"])
+    if not keep:
+        empty = rd.from_arrow(
+            pq.read_table(
+                os.path.join(out_dir, next(iter(manifest["files"]))),
+                columns=columns,
+            ).slice(0, 0)
+        )
+        return empty, 0, total
+
+    ds = rd.read_parquet(keep, columns=columns)
+
+    def exact(t: pa.Table) -> pa.Table:
+        v = t[sort_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return (
+        ds.map_batches(exact, batch_format="pyarrow", batch_size=None),
+        len(keep),
+        total,
+    )
+
+
+def _lt(a, b) -> bool:
+    """a < b with parquet-stat values that may come back as strings
+    from the JSON manifest (timestamps serialize via default=str)."""
+    if isinstance(a, str) or isinstance(b, str):
+        return str(a) < str(b)
+    return a < b

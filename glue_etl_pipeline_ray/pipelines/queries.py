@@ -2072,3 +2072,47 @@ def q_shuffle_train_order(sf_dir: str):
 
     ds = _t(sf_dir, "documents", ["doc_id", "source"])
     return deterministic_shuffle(ds, seed=1, n_shards=16)
+
+
+def q_range_scan_pruned(sf_dir: str):
+    """Data-skipping range scan: events sorted by integer value_cents
+    into bounded Parquet files + a per-file min/max manifest (zone
+    maps); a 10%-selectivity range then opens only overlapping files.
+    Gate: pytest (result equality vs a full-scan filter AND an actual
+    files-skipped assertion; the write side is the one range-partition
+    sort exchange)."""
+    from glue_etl_pipeline_ray.functions.skipping import (
+        pruned_read,
+        sorted_write,
+    )
+
+    ev = _t(sf_dir, "events", ["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t["event_id"], "value_cents": _cents(t["value"])}
+        )
+
+    out = tempfile.mkdtemp(prefix="gepr_skip_")
+    sorted_write(
+        ev.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        out,
+        "value_cents",
+        rows_per_file=2048,
+    )
+    ds, _read, _total = pruned_read(out, "value_cents", 1000, 1900)
+    return ds
+
+
+def q_embed_project(sf_dir: str):
+    """Johnson-Lindenstrauss random projection of the embedding column
+    to 16 dims — the dimension-reduction scale path in front of ANN
+    (project once, search small, re-rank survivors in full dim). The
+    Gaussian matrix is a pure function of (seed, d_in): built lazily
+    per actor, identical across actors/retries. Gate: pytest
+    (determinism, linearity, JL pairwise-distance preservation at
+    out_dim=64)."""
+    from glue_etl_pipeline_ray.functions.similarity import random_projection
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return random_projection(ds, out_dim=16, seed=7)

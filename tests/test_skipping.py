@@ -1,0 +1,83 @@
+"""Data-skipping gate: pruned range scans equal full-scan filters and
+actually skip files."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from glue_etl_pipeline_ray.functions.skipping import (
+    build_manifest,
+    pruned_read,
+    sorted_write,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_cents(tmp_path):
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ev.map_batches(cents, batch_format="pyarrow", batch_size=None)
+    out = str(tmp_path / "lake")
+    manifest = sorted_write(ds, out, "value_cents", rows_per_file=256)
+    return ds, out, manifest
+
+
+def test_pruned_scan_equals_full_filter_and_skips(ray_session, tmp_path):
+    ds, out, manifest = _events_cents(tmp_path)
+    assert len(manifest["files"]) > 3  # bounded files -> several of them
+    lo, hi = 1000, 1900
+    got, n_read, n_total = pruned_read(out, "value_cents", lo, hi)
+    gdf = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+    full = ds.to_pandas()
+    exp = (
+        full[(full["value_cents"] >= lo) & (full["value_cents"] <= hi)]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(gdf["event_id"]) == list(exp["event_id"])
+    assert (
+        gdf["value_cents"].to_numpy() == exp["value_cents"].to_numpy()
+    ).all()
+    assert 0 < n_read < n_total  # skipping actually happened
+
+
+def test_pruned_scan_boundaries_inclusive(ray_session, tmp_path):
+    ds, out, _ = _events_cents(tmp_path)
+    full = ds.to_pandas()
+    lo = int(full["value_cents"].min())
+    hi = int(full["value_cents"].max())
+    got, n_read, n_total = pruned_read(out, "value_cents", lo, hi)
+    assert got.count() == len(full)
+    assert n_read == n_total
+
+
+def test_pruned_scan_empty_range(ray_session, tmp_path):
+    _, out, _ = _events_cents(tmp_path)
+    got, n_read, _ = pruned_read(
+        out, "value_cents", 10_000_000, 20_000_000
+    )
+    assert n_read == 0
+    assert got.count() == 0
+
+
+def test_manifest_rebuildable_from_footers(ray_session, tmp_path):
+    import os
+
+    _, out, manifest = _events_cents(tmp_path)
+    os.remove(os.path.join(out, "_skipping_manifest.json"))
+    rebuilt = build_manifest(out, "value_cents")
+    assert rebuilt["files"] == {
+        k: [int(a), int(b)] for k, (a, b) in manifest["files"].items()
+    }
