@@ -133,7 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": Q.q_vocab_topk,
         "shuffle_train_order": Q.q_shuffle_train_order,
         "range_scan_pruned": Q.q_range_scan_pruned,
+        "zorder_box_scan": Q.q_zorder_box_scan,
         "embed_project": Q.q_embed_project,
+        "tfidf_terms": Q.q_tfidf_terms,
         "embed_kmeans": Q.q_embed_kmeans,
         "dedup_semantic": Q.q_dedup_semantic,
         "sequence_pack": Q.q_sequence_pack,

@@ -127,3 +127,132 @@ def _lt(a, b) -> bool:
     if isinstance(a, str) or isinstance(b, str):
         return str(a) < str(b)
     return a < b
+
+
+# --------------------------------------------------------------- z-order
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread each of the low 32 bits of x to the even bit positions
+    (standard Morton-code bit twiddling, vectorized uint64)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _zvalue(a: np.ndarray, b: np.ndarray, bounds: dict) -> np.ndarray:
+    """Interleave the 32-bit normalized positions of a and b."""
+
+    def norm(v, lo, hi):
+        span = max(hi - lo, 1)
+        scaled = (v.astype(np.float64) - lo) / span * float(0xFFFFFFFF)
+        return np.clip(scaled, 0, 0xFFFFFFFF).astype(np.uint64)
+
+    na = norm(a, *bounds["a"])
+    nb = norm(b, *bounds["b"])
+    return (_part1by1(na) << np.uint64(1)) | _part1by1(nb)
+
+
+def zorder_write(
+    ds: Dataset,
+    out_dir: str,
+    cols: tuple[str, str],
+    rows_per_file: int = 100_000,
+) -> dict:
+    """Z-order (Morton-curve) clustering on TWO integer columns: files
+    become tight boxes in BOTH dimensions, so a range predicate on
+    EITHER column (or a 2-D box) prunes files — the multi-column
+    data-skipping layout a single-column sort can't give (Delta's
+    OPTIMIZE ZORDER BY). One stats aggregate for the normalization
+    bounds + one sort exchange; the manifest records per-file min/max
+    for both columns from Parquet footer stats."""
+    from ray.data.aggregate import Max, Min
+
+    a_col, b_col = cols
+    os.makedirs(out_dir, exist_ok=True)
+    stats = ds.aggregate(
+        *[agg for c in cols for agg in (Min(c), Max(c))]
+    )
+    bounds = {
+        "a": (stats[f"min({a_col})"], stats[f"max({a_col})"]),
+        "b": (stats[f"min({b_col})"], stats[f"max({b_col})"]),
+    }
+
+    def add_z(t: pa.Table) -> pa.Table:
+        z = _zvalue(
+            t[a_col].to_numpy(zero_copy_only=False),
+            t[b_col].to_numpy(zero_copy_only=False),
+            bounds,
+        )
+        return t.append_column("__z", pa.array(z, pa.uint64()))
+
+    keyed = ds.map_batches(add_z, batch_format="pyarrow", batch_size=None)
+    keyed.sort("__z").map_batches(
+        lambda t: t.drop_columns(["__z"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).write_parquet(
+        out_dir,
+        min_rows_per_file=rows_per_file,
+        max_rows_per_file=rows_per_file,
+    )
+    manifest = {
+        "zorder_cols": list(cols),
+        "columns": {c: build_manifest(out_dir, c)["files"] for c in cols},
+    }
+    with open(os.path.join(out_dir, "_skipping_manifest.json"), "w") as f:
+        json.dump(manifest, f, default=str)
+    return manifest
+
+
+def pruned_read_box(
+    out_dir: str,
+    predicates: dict,
+    columns: list[str] | None = None,
+) -> tuple[Dataset, int, int]:
+    """Read only files whose per-column [min, max] overlaps EVERY
+    ``col: (lo, hi)`` predicate; exact filter applied vectorized.
+    Works over a ``zorder_write`` (or any) layout with a multi-column
+    manifest."""
+    with open(os.path.join(out_dir, "_skipping_manifest.json")) as f:
+        manifest = json.load(f)
+    per_col = manifest["columns"]
+    names = list(next(iter(per_col.values())).keys())
+    keep = []
+    for name in names:
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            fmin, fmax = per_col[c][name]
+            if fmin is None or fmax is None:
+                continue  # unknown stats: cannot prune on this column
+            if _lt(hi, fmin) or _lt(fmax, lo):
+                ok = False
+                break
+        if ok:
+            keep.append(os.path.join(out_dir, name))
+    total = len(names)
+    if not keep:
+        empty = rd.from_arrow(
+            pq.read_table(os.path.join(out_dir, names[0]), columns=columns)
+            .slice(0, 0)
+        )
+        return empty, 0, total
+
+    ds = rd.read_parquet(keep, columns=columns)
+
+    def exact(t: pa.Table) -> pa.Table:
+        mask = np.ones(t.num_rows, bool)
+        for c, (lo, hi) in predicates.items():
+            v = t[c].to_numpy(zero_copy_only=False)
+            mask &= (v >= lo) & (v <= hi)
+        return t.filter(pa.array(mask))
+
+    return (
+        ds.map_batches(exact, batch_format="pyarrow", batch_size=None),
+        len(keep),
+        total,
+    )

@@ -278,3 +278,131 @@ def vocab_topk(
             "n": pa.array(cnt[top], pa.int64()),
         }
     )
+
+
+def tfidf_topk_terms(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+    n_parts: int = 64,
+):
+    """Per-document top-k TF-IDF terms (keyword extraction / quality
+    features over the whole corpus).
+
+    Two passes, both bounded:
+    1. document frequencies — per-block partials of (token, #docs in
+       block containing it) compress before ONE hash-partition sum
+       (same shuffle shape as :func:`vocab_topk`); the resulting
+       (token-hash, df) arrays are broadcast ONCE via ``ray.put``.
+       ``min_df`` prunes the broadcast's long tail — the scale lever
+       when vocab cardinality grows (rare terms below min_df keep
+       idf as if df = min_df, preserving rank order among kept terms).
+    2. scoring — shuffle-free ``map_batches``: per doc, token counts
+       via np.unique, tf = count/len, idf = ln(N / (1 + df)), emit the
+       top-k (score desc, term asc — deterministic).
+
+    Output: (id_col, term, rank, score). ``score`` is float64 computed
+    by one fixed expression so a single-threaded oracle reproduces it
+    bit-for-bit.
+    """
+    import numpy as np
+
+    import ray
+
+    from glue_etl_pipeline_ray.hashing import key_hash_u64
+
+    n_docs = ds.count()
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        toks: list = []
+        for s in t[text_col].to_pylist():
+            toks.extend(set((s or "").split(" ")))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.array(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(u, pa.string()),
+                "df": pa.array(c.astype(np.int64), pa.int64()),
+                "__part": pa.array(
+                    (key_hash_u64(pa.array(u, pa.string()))
+                     % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    def df_sum(g: pa.Table) -> pa.Table:
+        tok = np.asarray(g["token"].to_pylist(), dtype=object)
+        cnt = g["df"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tok)
+        tok, cnt = tok[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        totals = np.add.reduceat(cnt, starts)
+        keep = totals >= min_df
+        utok = tok[starts][keep]
+        h = key_hash_u64(pa.array(utok, pa.string())) if len(utok) else np.array([], np.uint64)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "df": pa.array(totals[keep], pa.int64()),
+            }
+        )
+
+    dfs = (
+        ds.map_batches(df_partials, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(df_sum, batch_format="pyarrow")
+    )
+
+    @ray.remote
+    def assemble(*tables: pa.Table):
+        tabs = [t for t in tables if "h" in t.schema.names and t.num_rows]
+        if not tabs:
+            return np.array([], np.uint64), np.array([], np.int64)
+        cat = pa.concat_tables(tabs)
+        h = cat["h"].to_numpy(zero_copy_only=False)
+        d = cat["df"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h)
+        return h[order], d[order]
+
+    df_ref = assemble.remote(*dfs.to_arrow_refs())
+
+    def score(t: pa.Table) -> pa.Table:
+        hs, dfv = ray.get(df_ref)
+        out_id, out_term, out_rank, out_score = [], [], [], []
+        for doc_id, s in zip(
+            t[id_col].to_pylist(), t[text_col].to_pylist()
+        ):
+            words = (s or "").split(" ")
+            u, c = np.unique(np.array(words, dtype=object), return_counts=True)
+            th = key_hash_u64(pa.array(u, pa.string()))
+            pos = np.searchsorted(hs, th)
+            if len(hs):
+                pos[pos == len(hs)] = 0
+                found = hs[pos] == th
+                d = np.where(found, dfv[pos] if len(dfv) else 0, min_df)
+            else:
+                d = np.full(len(u), min_df, np.int64)
+            tf = c.astype(np.float64) / float(len(words))
+            idf = np.log(float(n_docs) / (1.0 + d.astype(np.float64)))
+            sc = tf * idf
+            top = np.lexsort((u, -sc))[:k]
+            out_id.extend([doc_id] * len(top))
+            out_term.extend(u[top])
+            out_rank.extend(range(1, len(top) + 1))
+            out_score.extend(sc[top])
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "term": pa.array(np.array(out_term, dtype=object), pa.string()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -2116,3 +2116,51 @@ def q_embed_project(sf_dir: str):
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     return random_projection(ds, out_dim=16, seed=7)
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Per-document top-5 TF-IDF keywords: one bounded DF shuffle (same
+    shape as vocab_topk), DF arrays broadcast once, shuffle-free
+    scoring pass. Gate: pytest (bit-exact vs a single-threaded
+    reference implementation of the same fixed formula, incl. the
+    min_df pruning contract)."""
+    from glue_etl_pipeline_ray.functions.text import tfidf_topk_terms
+
+    return tfidf_topk_terms(
+        _t(sf_dir, "documents", ["doc_id", "text"]), k=5
+    )
+
+
+def q_zorder_box_scan(sf_dir: str):
+    """Z-order (Morton-curve) clustering on (user_id, value_cents) +
+    2-D box scan: files become tight boxes in BOTH dimensions, so
+    range predicates on either column prune files — the multi-column
+    layout a single sort can't give (Delta's OPTIMIZE ZORDER BY).
+    Gate: pytest (full-scan equality, pruning in both dimensions)."""
+    from glue_etl_pipeline_ray.functions.skipping import (
+        pruned_read_box,
+        zorder_write,
+    )
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    out = tempfile.mkdtemp(prefix="gepr_zorder_")
+    zorder_write(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        out,
+        ("user_id", "value_cents"),
+        rows_per_file=2048,
+    )
+    ds, _read, _total = pruned_read_box(
+        out, {"user_id": (10, 40), "value_cents": (1000, 3000)}
+    )
+    return ds

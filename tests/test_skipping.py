@@ -81,3 +81,56 @@ def test_manifest_rebuildable_from_footers(ray_session, tmp_path):
     assert rebuilt["files"] == {
         k: [int(a), int(b)] for k, (a, b) in manifest["files"].items()
     }
+
+
+def test_zorder_box_scan_prunes_both_dimensions(ray_session, tmp_path):
+    from glue_etl_pipeline_ray.functions.skipping import (
+        pruned_read_box,
+        zorder_write,
+    )
+
+    ev = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = str(tmp_path / "zlake")
+    manifest = zorder_write(
+        ds, out, ("user_id", "value_cents"), rows_per_file=128
+    )
+    assert len(manifest["columns"]["user_id"]) > 4
+
+    full = ds.to_pandas()
+    u_lo, u_hi = 10, 40
+    v_lo, v_hi = 1000, 3000
+    got, n_read, n_total = pruned_read_box(
+        out, {"user_id": (u_lo, u_hi), "value_cents": (v_lo, v_hi)}
+    )
+    gdf = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = (
+        full[
+            full["user_id"].between(u_lo, u_hi)
+            & full["value_cents"].between(v_lo, v_hi)
+        ]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(gdf["event_id"]) == list(exp["event_id"])
+    assert 0 < n_read < n_total  # the 2-D box pruned files
+
+    # single-dimension predicates prune too (z-order keeps BOTH tight)
+    _, n_read_u, _ = pruned_read_box(out, {"user_id": (u_lo, u_hi)})
+    _, n_read_v, _ = pruned_read_box(out, {"value_cents": (v_lo, v_hi)})
+    assert n_read_u < n_total
+    assert n_read_v < n_total
