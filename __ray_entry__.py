@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_box_scan": Q.q_zorder_box_scan,
         "embed_project": Q.q_embed_project,
         "tfidf_terms": Q.q_tfidf_terms,
+        "novel_content_filter": Q.q_novel_content_filter,
         "embed_kmeans": Q.q_embed_kmeans,
         "dedup_semantic": Q.q_dedup_semantic,
         "sequence_pack": Q.q_sequence_pack,

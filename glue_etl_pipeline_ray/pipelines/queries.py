@@ -2164,3 +2164,53 @@ def q_zorder_box_scan(sf_dir: str):
         out, {"user_id": (10, 40), "value_cents": (1000, 3000)}
     )
     return ds
+
+
+def q_novel_content_filter(sf_dir: str):
+    """Streaming cross-batch exact dedup (the "novel content only"
+    ingest filter): three simulated arrival batches run through the
+    persistent SeenIndex — fingerprints hash-bucketed and versioned
+    like the lake, probe + fold touch only buckets present in the
+    batch, exactly-once stage/commit. Returns the union of survivors
+    with their batch ids. Gate: pytest (set-based oracle across
+    batches, committed-batch replay empty, crash-window retry
+    identity)."""
+    from glue_etl_pipeline_ray.state.seenindex import SeenIndex
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def truncate(t: pa.Table) -> pa.Table:
+        texts = pa.array(
+            [" ".join((s or "").split(" ")[:3]) for s in t["text"].to_pylist()],
+            pa.string(),
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": texts})
+
+    short = docs.map_batches(truncate, batch_format="pyarrow", batch_size=None)
+    idx = SeenIndex(tempfile.mkdtemp(prefix="gepr_seen_"), num_buckets=16)
+    outs = []
+    for i in range(3):
+        batch = short.map_batches(
+            lambda t, i=i: t.filter(
+                pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False) % 3 == i
+                )
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        novel = idx.filter_novel(
+            batch, batch_id=i, content_col="text", seq_col="doc_id"
+        ).map_batches(
+            lambda t, i=i: t.append_column(
+                "batch", pa.array(np.full(t.num_rows, i, np.int64))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        outs.append(novel.materialize())
+        idx.commit(i)
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
