@@ -1886,12 +1886,16 @@ def q_shipping_priority(sf_dir: str):
     multi-join composition): BUILDING-segment customers' unshipped
     orders ranked by revenue. Plan: the filtered customer key set is
     tiny -> broadcast semi-join filter on orders (no shuffle); the
-    orders x lineitem join is genuinely large-large -> native hash
-    join; then one keyed aggregate and a global top-10 (no global
-    sort — driver folds block-local top-10s... handled by
-    partial_groupby_sum + take). Revenue uses floor(price*(1-disc)*100)
-    so both engines compute identical int64 cents (floor has no
-    round-half ambiguity across engines)."""
+    doubly-filtered orders side (segment x date cut) is small too ->
+    assembled sorted in the object store and broadcast, so the
+    orders x lineitem step is a map-side lookup join (no actor-pool
+    join spin) and the only shuffle carries (orderkey, rev) partials;
+    order attrs re-attach by searchsorted on the aggregate-sized
+    result; global top-10 via block-local top-10s folded on the
+    driver (never a global sort). A non-selective dimension side
+    falls back to the native hash join (the hash_join_orders plan).
+    Revenue uses floor(price*(1-disc)*100) so both engines compute
+    identical int64 cents (floor has no round-half ambiguity)."""
     import datetime
 
     cutoff = datetime.datetime(1998, 6, 1)
@@ -1932,12 +1936,47 @@ def q_shipping_priority(sf_dir: str):
 
     o = orders.map_batches(filt_orders, batch_format="pyarrow", batch_size=None)
 
+    # the doubly-filtered orders side is small (segment x date cut):
+    # assemble it sorted IN the object store and broadcast — the
+    # orders x lineitem step becomes a map-side lookup join, no second
+    # actor-pool join spin, and the aggregate shuffle carries only
+    # (orderkey, rev) partials. Fallback for a non-selective dimension
+    # side is the native hash join (the hash_join_orders plan).
+    @ray.remote
+    def assemble_orders(*tables: pa.Table):
+        tabs = [t for t in tables if t.num_rows]
+        if not tabs:
+            return (
+                np.array([], np.int64),
+                np.array([], "datetime64[us]"),
+                np.array([], object),
+            )
+        cat = pa.concat_tables(tabs)
+        ok = cat["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok)
+        return (
+            ok[order],
+            cat["o_orderdate"].to_numpy(zero_copy_only=False)[order],
+            np.asarray(cat["o_orderpriority"].to_pylist(), object)[order],
+        )
+
+    o_ref = assemble_orders.remote(*o.to_arrow_refs())
+
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
                                  "l_discount", "l_shipdate"])
 
     def filt_lines(t: pa.Table) -> pa.Table:
+        ok_sorted, _, _ = ray.get(o_ref)
         sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(sd > np.datetime64(cutoff)))
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        if len(ok_sorted):
+            pos = np.searchsorted(ok_sorted, lk)
+            pos[pos == len(ok_sorted)] = 0
+            m = ok_sorted[pos] == lk
+        else:
+            m = np.zeros(len(lk), bool)
+        t = t.filter(pa.array(m))
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
         rev = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
@@ -1949,32 +1988,26 @@ def q_shipping_priority(sf_dir: str):
         )
 
     l = li.map_batches(filt_lines, batch_format="pyarrow", batch_size=None)
-    n_rows = pq.ParquetFile(
-        os.path.join(sf_dir, "lineitem.parquet")
-    ).metadata.num_rows
-    joined = l.join(
-        o,
-        join_type="inner",
-        num_partitions=max(8, min(256, n_rows // 200_000)),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    order_rev = partial_groupby_sum(
+        l, ["l_orderkey"], ["rev_cents"], count_alias="n_lines"
     )
-    agg = partial_groupby_sum(
-        joined.map_batches(
-            lambda t: pa.table(
-                {
-                    "l_orderkey": t["l_orderkey"],
-                    "o_orderdate": t["o_orderdate"],
-                    "o_orderpriority": t["o_orderpriority"],
-                    "rev_cents": t["rev_cents"],
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["l_orderkey", "o_orderdate", "o_orderpriority"],
-        ["rev_cents"],
-        count_alias="n_lines",
+
+    def attach_order_attrs(t: pa.Table) -> pa.Table:
+        ok_sorted, dates, prios = ray.get(o_ref)
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ok_sorted, lk)  # every key is present
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "o_orderdate": pa.array(dates[pos], pa.timestamp("us")),
+                "o_orderpriority": pa.array(prios[pos], pa.string()),
+                "rev_cents": t["rev_cents"],
+                "n_lines": t["n_lines"],
+            }
+        )
+
+    agg = order_rev.map_batches(
+        attach_order_attrs, batch_format="pyarrow", batch_size=None
     )
     # global top-10: the aggregate is keyed by order -> block-local
     # top-10s then one driver fold (k rows per block, never a sort)
