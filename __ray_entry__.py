@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_project": Q.q_embed_project,
         "tfidf_terms": Q.q_tfidf_terms,
         "novel_content_filter": Q.q_novel_content_filter,
+        "dedup_substring": Q.q_dedup_substring,
         "embed_kmeans": Q.q_embed_kmeans,
         "dedup_semantic": Q.q_dedup_semantic,
         "sequence_pack": Q.q_sequence_pack,

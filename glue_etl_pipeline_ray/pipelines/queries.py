@@ -2247,3 +2247,17 @@ def q_novel_content_filter(sf_dir: str):
     for o in outs[1:]:
         ds = ds.union(o)
     return ds
+
+
+def q_dedup_substring(sf_dir: str):
+    """Substring-level duplicated-span tagging (the ExactSubstr
+    stand-in, arXiv:2107.06499): char windows shared by >= 2 docs mark
+    both docs. Detects any cross-doc duplicated substring of length
+    >= window + stride - 1. Two scans + one bounded fingerprint-count
+    exchange; only DUPLICATED window fingerprints are broadcast. Gate:
+    pytest (exact match vs a single-threaded reference of the same
+    windowing contract + planted-duplication recall)."""
+    from glue_etl_pipeline_ray.functions.dedup import substring_dup_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dup_stats(ds, window=40, stride=20)
