@@ -138,12 +138,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": Q.q_tfidf_terms,
         "novel_content_filter": Q.q_novel_content_filter,
         "dedup_substring": Q.q_dedup_substring,
+        "profile_table": Q.q_profile_table,
         "embed_kmeans": Q.q_embed_kmeans,
         "dedup_semantic": Q.q_dedup_semantic,
         "sequence_pack": Q.q_sequence_pack,
         "topk_users_sketch": Q.q_topk_users_sketch,
         "distinct_users_hll": Q.q_distinct_users_hll,
         "value_quantiles_sketch": Q.q_value_quantiles_sketch,
+        "grouped_quantiles_sketch": Q.q_grouped_quantiles_sketch,
         "dedup_minhash": Q.q_dedup_minhash,
         "dedup_simhash": Q.q_dedup_simhash,
         "rolling_fingerprint": Q.q_rolling_fingerprint,

@@ -273,3 +273,71 @@ def hll_distinct(ds: Dataset, cols: list[str], p: int = 14) -> dict:
         "p": p,
         "rel_error": 1.04 / (1 << p) ** 0.5,
     }
+
+
+def grouped_kll_quantiles(
+    ds: Dataset,
+    key_col: str,
+    val_col: str,
+    qs: list[float],
+    k: int = 256,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key approximate quantiles via mergeable KLL partials — the
+    scale path for grouped quantiles over unbounded/float domains
+    (``q_grouped_quantiles``'s exact per-group sort assumes a group
+    fits one task; this never materializes a group's values at all).
+
+    Shape: one ``map_batches`` pass emits a ~KB sketch per (key, block);
+    the only shuffle moves those partials (bounded by keys x blocks,
+    never data rows) into ``grouped_apply``'s hash partitions, where
+    per-key partials merge and the quantiles are read off. Ray group
+    count = num_partitions, independent of key cardinality.
+    """
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        out_k, out_lens, out_blob = [], [], []
+        for s, e in zip(starts, ends):
+            sk = KLLSketch(k)
+            sk.update(vals[s:e])
+            lens, blob = sk.serialize()
+            out_k.append(keys[s])
+            out_lens.append(lens)
+            out_blob.append(blob)
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "lens": pa.array(out_lens, pa.list_(pa.int64())),
+                "vals": pa.array(out_blob, pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(
+        block_partials, batch_format="pyarrow", batch_size=None
+    )
+
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    def merge_key(g: pa.Table) -> pa.Table:
+        merged = KLLSketch(k)
+        for lens, blob in zip(g["lens"].to_pylist(), g["vals"].to_pylist()):
+            merged.merge(KLLSketch.deserialize(list(lens), blob, k))
+        cols = {
+            key_col: g[key_col].slice(0, min(1, g.num_rows)),
+            "n": pa.array([merged.n] if g.num_rows else [], pa.int64()),
+        }
+        for q in qs:
+            cols[f"p{int(q * 100)}"] = pa.array(
+                [merged.quantile(q)] if g.num_rows else [], pa.float64()
+            )
+        return pa.table(cols)
+
+    return grouped_apply(
+        partials, [key_col], merge_key, num_partitions=num_partitions
+    )

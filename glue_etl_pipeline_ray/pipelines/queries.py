@@ -2261,3 +2261,36 @@ def q_dedup_substring(sf_dir: str):
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return substring_dup_stats(ds, window=40, stride=20)
+
+
+def q_grouped_quantiles_sketch(sf_dir: str):
+    """Per-event-type approximate quantiles via mergeable KLL partials
+    — the grouped-quantile scale path for unbounded/float domains (the
+    exact path sorts each group in one task; this never materializes a
+    group). One partial per (key, block), one bounded partial shuffle.
+    Gate: pytest (per-group rank-error bound vs exact quantiles)."""
+    from glue_etl_pipeline_ray.functions.sketch import grouped_kll_quantiles
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    cents = ev.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "cents": _cents(t["value"])}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return grouped_kll_quantiles(
+        cents, "event_type", "cents", [0.5, 0.9], k=256
+    )
+
+
+def q_profile_table(sf_dir: str):
+    """One-pass column profiling of the events table (nulls, typed
+    min/max, HLL approx distinct per column) — the data-observability
+    sweep run before ingesting any new source. NO shuffle: one partial
+    per (column, block), driver fold of ~KB rows. Gate: pytest (exact
+    n/null/min/max vs DuckDB; HLL distinct within the p=12 error
+    bound)."""
+    from glue_etl_pipeline_ray.functions.profile import profile_table
+
+    return profile_table(_t(sf_dir, "events"))
