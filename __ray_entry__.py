@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "lang_id": Q.q_lang_id,
         "ann_ivf_topk": Q.q_ann_ivf_topk,
+        "ann_project_rerank": Q.q_ann_project_rerank,
+        "text_normalize": Q.q_text_normalize,
         "dedup_embed_lsh": Q.q_dedup_embed_lsh,
         "media_decode_real": Q.q_media_decode_real,
         "media_embed_real": Q.q_media_embed_real,

@@ -380,3 +380,105 @@ def random_projection(
         batch_size=4096,
         concurrency=(1, concurrency),
     )
+
+
+def project_rerank_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    out_dim: int = 16,
+    candidates: int = 50,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Project-then-search ANN: search in the ``out_dim`` JL-projected
+    space for ``candidates`` per query (cheap matmuls over small
+    vectors), then re-rank ONLY the candidate rows in the original
+    space. Same output contract as :func:`cosine_topk`
+    (query_id, rank, vec_id).
+
+    The projection matrix is the same pure function of (seed, d_in)
+    ``RandomProjection`` uses, so the corpus-side actor stage and the
+    driver-side query projection can never drift. Cost: one projected
+    scan + one filtered full-dim scan; the candidate set
+    (nq x candidates id pairs) is the only broadcast.
+    """
+    q = np.asarray(queries, np.float64)
+    rng = np.random.default_rng((seed, q.shape[1], out_dim))
+    mat = rng.standard_normal((q.shape[1], out_dim)) / np.sqrt(out_dim)
+
+    projected = random_projection(
+        ds, out_dim=out_dim, vec_col=vec_col, seed=seed
+    )
+    cand = cosine_topk(
+        projected,
+        q @ mat,
+        query_ids,
+        k=candidates,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+    @ray.remote
+    def assemble(*tables: pa.Table):
+        tabs = [t for t in tables if t.num_rows]
+        if not tabs:
+            return {}
+        cat = pa.concat_tables(tabs)
+        out: dict[int, set] = {}
+        for qid, vid in zip(
+            cat["query_id"].to_numpy(zero_copy_only=False),
+            cat["vec_id"].to_numpy(zero_copy_only=False),
+        ):
+            out.setdefault(int(qid), set()).add(int(vid))
+        return out
+
+    cand_ref = assemble.remote(*cand.to_arrow_refs())
+    qn = _normalize(q)
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64)))
+
+    def rerank_block(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cand_ref)
+        qm, qids = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(qm.shape[0]):
+            wanted = cmap.get(int(qids[qi]), set())
+            mask = np.isin(ids, np.fromiter(wanted, np.int64, len(wanted)))
+            if not mask.any():
+                continue
+            sims = m[mask] @ qm[qi]
+            out_q.extend([qids[qi]] * int(mask.sum()))
+            out_id.extend(ids[mask].tolist())
+            out_sim.extend(sims.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        s = group["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    [group["query_id"][0].as_py()] * len(order), pa.int64()
+                ),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+                "vec_id": pa.array(ids[order], pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(
+        rerank_block, batch_format="pyarrow", batch_size=None
+    )
+    return scored.groupby("query_id").map_groups(
+        final_topk, batch_format="pyarrow"
+    )

@@ -14,6 +14,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # a deterministic stopword set drawn from the synthetic corpus vocabulary
 STOPWORDS = ("the", "a", "data", "value", "row")
@@ -406,3 +407,52 @@ def tfidf_topk_terms(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def normalize_text(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    nfc: bool = True,
+    collapse_ws: bool = True,
+):
+    """Standard text cleaning ahead of dedup/tokenization: unicode NFC
+    normalization, lowercasing, control-char strip, whitespace collapse
+    + trim — pyarrow.compute kernels (RE2 + utf8 transforms) with zero
+    shuffle. Order matters and is fixed (NFC -> lower -> strip controls
+    -> collapse -> trim) so the output is deterministic and
+    oracle-comparable.
+
+    NFC note: this pyarrow build's ``utf8_normalize`` decomposes but
+    never re-composes (NFC comes back as NFD), so composition runs
+    through ``unicodedata`` — but ONLY for the rows a vectorized
+    non-ASCII prefilter selects; ASCII text (the bulk of most corpora)
+    never leaves the Arrow fast path.
+    """
+    import unicodedata
+
+    def clean(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        if nfc:
+            non_ascii = pc.fill_null(
+                pc.match_substring_regex(s, r"[^\x00-\x7f]"), False
+            )
+            idx = np.flatnonzero(
+                non_ascii.combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            if len(idx):
+                vals = s.combine_chunks().to_pylist()
+                for i in idx:
+                    if vals[i] is not None:
+                        vals[i] = unicodedata.normalize("NFC", vals[i])
+                s = pa.chunked_array([pa.array(vals, pa.string())])
+        if lowercase:
+            s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+        if collapse_ws:
+            s = pc.replace_substring_regex(s, r"\s+", " ")
+            s = pc.utf8_trim_whitespace(s)
+        return pa.table({id_col: t[id_col], "text_norm": s})
+
+    return ds.map_batches(clean, batch_format="pyarrow", batch_size=None)

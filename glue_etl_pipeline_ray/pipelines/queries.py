@@ -2294,3 +2294,44 @@ def q_profile_table(sf_dir: str):
     from glue_etl_pipeline_ray.functions.profile import profile_table
 
     return profile_table(_t(sf_dir, "events"))
+
+
+def q_text_normalize(sf_dir: str):
+    """Text cleaning ahead of dedup/tokenization: NFC -> lowercase ->
+    control-strip -> whitespace collapse -> trim, all pyarrow RE2/utf8
+    kernels, zero shuffle. Gate: pytest (hash-exact vs the equivalent
+    DuckDB expression chain, plus a unicode/control-char fixture)."""
+    from glue_etl_pipeline_ray.functions.text import normalize_text
+
+    return normalize_text(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_ann_project_rerank(sf_dir: str):
+    """Project-then-search ANN composition: JL-project corpus + queries
+    to 24 dims with the same (seed, d_in)-derived matrix, take 150
+    candidates per query in the cheap space, re-rank only those rows at
+    full dimension. One projected scan + one filtered full-dim scan;
+    the candidate id set is the only broadcast. Parameter note
+    (measured): the driver's synthetic embeddings are ISOTROPIC, the
+    worst case for projection (neighbors nearly equidistant) — 16d/50c
+    gives only 0.36 recall@10 here, 24d/150c gives 0.86; clustered real
+    embeddings fare far better at smaller budgets. Gate: pytest
+    (recall@10 vs exact brute top-10)."""
+    from glue_etl_pipeline_ray.functions.similarity import project_rerank_topk
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qs = (
+        ds.map_batches(
+            lambda t: t.filter(
+                pa.array(t["vec_id"].to_numpy(zero_copy_only=False) < 5)
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qs["embedding"].to_numpy()).astype(np.float64)
+    return project_rerank_topk(
+        ds, queries, qs["vec_id"].tolist(), k=10, out_dim=24, candidates=150
+    )
