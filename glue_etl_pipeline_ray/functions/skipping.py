@@ -256,3 +256,77 @@ def pruned_read_box(
         len(keep),
         total,
     )
+
+
+def compact_files(
+    out_dir: str,
+    sort_col: str,
+    target_rows: int = 1_000_000,
+) -> dict:
+    """Bin-pack small sorted files into ~``target_rows`` files (the
+    OPTIMIZE step): streaming writes and per-batch appends leave many
+    small files whose per-file overhead (footers, open latency, manifest
+    width) eventually dominates; compaction restores big-file scans
+    while PRESERVING the range-clustered layout, so pruning keeps
+    working.
+
+    Plan: group ADJACENT files (by manifest min) greedily up to
+    ``target_rows`` (row counts from footers — no data read on the
+    driver); each multi-file group merges in its own Ray task
+    (read -> re-sort by ``sort_col``, which also heals overlapping
+    ranges from multiple sorted appends -> one file); singletons are
+    left untouched. Deterministic output names; manifest rebuilt from
+    footer stats afterward, so a crash mid-compaction is repaired by
+    rebuilding (old + new files both prune correctly — compaction never
+    changes CONTENT, only packing).
+    """
+    import ray
+
+    mpath = os.path.join(out_dir, "_skipping_manifest.json")
+    manifest = build_manifest(out_dir, sort_col)
+    names = sorted(
+        manifest["files"],
+        key=lambda n: (manifest["files"][n][0] is None, manifest["files"][n][0]),
+    )
+    counts = {
+        n: pq.ParquetFile(os.path.join(out_dir, n)).metadata.num_rows
+        for n in names
+    }
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_rows = 0
+    for n in names:
+        if cur and cur_rows + counts[n] > target_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(n)
+        cur_rows += counts[n]
+    if cur:
+        groups.append(cur)
+
+    @ray.remote
+    def merge(paths: list[str], out: str) -> None:
+        tabs = [pq.read_table(p) for p in paths]
+        cat = pa.concat_tables(tabs)
+        v = cat[sort_col].to_numpy(zero_copy_only=False)
+        cat = cat.take(pa.array(np.argsort(v, kind="stable")))
+        tmp = out + ".tmp"
+        pq.write_table(cat, tmp)
+        os.replace(tmp, out)
+
+    jobs = []
+    merged_groups = []
+    for gi, g in enumerate(groups):
+        if len(g) < 2:
+            continue
+        out = os.path.join(out_dir, f"compact-{gi:05d}-{len(g):04d}.parquet")
+        jobs.append(merge.remote([os.path.join(out_dir, n) for n in g], out))
+        merged_groups.append(g)
+    ray.get(jobs)
+    for g in merged_groups:
+        for n in g:
+            os.remove(os.path.join(out_dir, n))
+    manifest = build_manifest(out_dir, sort_col)
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, default=str)
+    return manifest

@@ -134,3 +134,23 @@ def test_zorder_box_scan_prunes_both_dimensions(ray_session, tmp_path):
     _, n_read_v, _ = pruned_read_box(out, {"value_cents": (v_lo, v_hi)})
     assert n_read_u < n_total
     assert n_read_v < n_total
+
+
+def test_compaction_preserves_content_and_pruning(ray_session, tmp_path):
+    from glue_etl_pipeline_ray.functions.skipping import compact_files
+
+    ds, out, before = _events_cents(tmp_path)
+    full = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    n_before = len(before["files"])
+    after = compact_files(out, "value_cents", target_rows=700)
+    assert 1 < len(after["files"]) < n_before  # actually packed
+    # content identical
+    got, n_read, n_total = pruned_read(
+        out, "value_cents", int(full["value_cents"].min()),
+        int(full["value_cents"].max()),
+    )
+    gdf = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(gdf["event_id"]) == list(full["event_id"])
+    # pruning still works on the packed layout
+    _, n_read2, n_total2 = pruned_read(out, "value_cents", 1000, 1500)
+    assert 0 < n_read2 < n_total2
