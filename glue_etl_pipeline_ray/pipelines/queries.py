@@ -2335,3 +2335,70 @@ def q_ann_project_rerank(sf_dir: str):
     return project_rerank_topk(
         ds, queries, qs["vec_id"].tolist(), k=10, out_dim=24, candidates=150
     )
+
+
+def q_training_data_pipeline(sf_dir: str):
+    """End-to-end training-data prep — the composition the operator
+    library exists for, as ONE streaming pipeline: normalize ->
+    quality-filter -> exact dedup -> benchmark decontamination (drop)
+    -> train split -> FFD sequence packing. Stage order is the
+    standard corpus recipe (clean before dedup so case/whitespace
+    variants collapse; decontaminate after dedup so the n-gram scan
+    sees each content once; split before packing so sequences never
+    mix splits). Gate: pytest (stage-accounting invariants, packed-set
+    equality with the surviving train docs, capacity contract,
+    end-to-end determinism)."""
+    from glue_etl_pipeline_ray.functions.decontaminate import (
+        benchmark_ngram_hashes,
+        decontaminate,
+    )
+    from glue_etl_pipeline_ray.functions.dedup import exact_dedup
+    from glue_etl_pipeline_ray.functions.mixture import hash_split
+    from glue_etl_pipeline_ray.functions.pack import pack_sequences
+    from glue_etl_pipeline_ray.functions.text import (
+        normalize_text,
+        quality_stats,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    norm = normalize_text(docs).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": t["text_norm"]}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    quality = norm.map_batches(
+        quality_stats, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        lambda t: t.filter(t["is_quality"]).select(
+            ["doc_id", "text", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    deduped = exact_dedup(quality)
+
+    def _bench_split(want: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 17 == 0) == want))
+
+        return f
+
+    bench = norm.map_batches(
+        _bench_split(True), batch_format="pyarrow", batch_size=None
+    )
+    train_side = deduped.map_batches(
+        _bench_split(False), batch_format="pyarrow", batch_size=None
+    )
+    clean = decontaminate(
+        train_side, benchmark_ngram_hashes(bench), drop=True
+    )
+    split = hash_split(clean, {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = split.map_batches(
+        lambda t: t.filter(pc.equal(t["split"], "train")).select(
+            ["doc_id", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return pack_sequences(train, capacity=256)
