@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": Q.q_dedup_substring,
         "profile_table": Q.q_profile_table,
         "training_data_pipeline": Q.q_training_data_pipeline,
+        "interval_join": Q.q_interval_join,
         "embed_kmeans": Q.q_embed_kmeans,
         "dedup_semantic": Q.q_dedup_semantic,
         "sequence_pack": Q.q_sequence_pack,

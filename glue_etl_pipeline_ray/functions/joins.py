@@ -394,3 +394,136 @@ def asof_join_backward_sharded(
         return pa.table(out)
 
     return both.groupby(_PART).map_groups(join_partition, batch_format="pyarrow")
+
+
+def interval_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    left_id_col: str = "event_id",
+    right_id_col: str = "interval_id",
+    bucket_width_us: int = 3_600_000_000,
+) -> Dataset:
+    """Large-large interval join: every (left, right) pair with the same
+    ``key`` and ``start <= ts < end`` — the temporal containment join
+    (event-in-session, reading-in-campaign) that an equi-join can't
+    express and a broadcast range join can't scale past a small right
+    side.
+
+    Plan: time is cut into fixed buckets; each LEFT row lands in exactly
+    one (key, bucket); each RIGHT interval is REPLICATED to every bucket
+    it overlaps (replication factor = span/bucket_width + 1 — pick the
+    width near the typical span). Pairs co-locate exactly once (a left
+    row exists in one bucket only), so no output dedup is needed. One
+    union + one hash shuffle on (key, bucket) through the
+    collision-guarded grouped_apply, then a vectorized sweep per group:
+    rows sorted by start, events probe with searchsorted over starts and
+    filter on end — O((E+I) log I + matches) per group, no E x I
+    materialization unless everything truly matches.
+    """
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key: t[key],
+                "__bucket": pa.array(ts // bucket_width_us, pa.int64()),
+                "__ts": pa.array(ts, pa.int64()),
+                "__start": pa.array(np.zeros(len(ts), np.int64)),
+                "__end": pa.array(np.zeros(len(ts), np.int64)),
+                "left_id": t[left_id_col],
+                "right_id": pa.array(np.full(len(ts), -1, np.int64)),
+                _SIDE: pa.array(np.zeros(len(ts), np.int8)),
+            }
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        s = t[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = t[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = s // bucket_width_us
+        # end is exclusive: the last covered bucket holds end - 1
+        b1 = np.maximum(e - 1, s) // bucket_width_us
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        bucket = b0[idx] + (
+            np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        k = t[key].to_numpy(zero_copy_only=False)
+        rid = t[right_id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key: pa.array(k[idx]),
+                "__bucket": pa.array(bucket, pa.int64()),
+                "__ts": pa.array(np.zeros(len(idx), np.int64)),
+                "__start": pa.array(s[idx], pa.int64()),
+                "__end": pa.array(e[idx], pa.int64()),
+                "left_id": pa.array(np.full(len(idx), -1, np.int64)),
+                "right_id": pa.array(rid[idx], pa.int64()),
+                _SIDE: pa.array(np.ones(len(idx), np.int8)),
+            }
+        )
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    both = lt.union(rt)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        ev = g.filter(pa.array(side == 0))
+        iv = g.filter(pa.array(side == 1))
+        if ev.num_rows == 0 or iv.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], g[key].type),
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                }
+            )
+        ts = ev["__ts"].to_numpy(zero_copy_only=False)
+        lid = ev["left_id"].to_numpy(zero_copy_only=False)
+        s = iv["__start"].to_numpy(zero_copy_only=False)
+        e = iv["__end"].to_numpy(zero_copy_only=False)
+        rid = iv["right_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s, e, rid = s[order], e[order], rid[order]
+        # candidate count per event: intervals with start <= ts
+        hi = np.searchsorted(s, ts, side="right")
+        out_l, out_r = [], []
+        # sweep by candidate offset (max iterations = max overlap depth
+        # among intervals in this group, not E x I)
+        k_off = 1
+        active = np.flatnonzero(hi > 0)
+        while len(active):
+            cand = hi[active] - k_off
+            keep = cand >= 0
+            active, cand = active[keep], cand[keep]
+            if not len(active):
+                break
+            m = e[cand] > ts[active]
+            # an event stops matching once starts are sorted? intervals
+            # with earlier start can still cover (longer spans) — so we
+            # cannot break on miss; bound instead by span/bucket: within
+            # a bucket every interval overlaps it, depth is small.
+            out_l.append(lid[active[m]])
+            out_r.append(rid[cand[m]])
+            k_off += 1
+        if out_l:
+            ln = np.concatenate(out_l)
+            rn = np.concatenate(out_r)
+        else:
+            ln = np.array([], np.int64)
+            rn = np.array([], np.int64)
+        kv = g[key][0]
+        return pa.table(
+            {
+                key: pa.array([kv.as_py()] * len(ln), g[key].type),
+                "left_id": pa.array(ln, pa.int64()),
+                "right_id": pa.array(rn, pa.int64()),
+            }
+        )
+
+    return grouped_apply(both, [key, "__bucket"], join_group)

@@ -2402,3 +2402,43 @@ def q_training_data_pipeline(sf_dir: str):
         batch_size=None,
     )
     return pack_sequences(train, capacity=256)
+
+
+def q_interval_join(sf_dir: str):
+    """Large-large temporal containment join (event-in-window): 45-min
+    windows opened at every signup event of every 10th user, joined to
+    ALL events of that user falling inside [start, end). Time-bucketed
+    with interval replication (each left row in exactly ONE bucket, so
+    pairs co-locate exactly once — no output dedup), one union + one
+    (key, bucket) shuffle, vectorized sweep per group. Gate: pytest
+    (hash-exact vs the DuckDB BETWEEN join at sf0.001)."""
+    from glue_etl_pipeline_ray.functions.joins import interval_join
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ev.map_batches(
+        lambda t: t.select(["user_id", "ts", "event_id"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def windows(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        m = (uid % 10 == 0) & (et == "signup")
+        t = t.filter(pa.array(m))
+        s = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "start": pa.array(s, pa.int64()),
+                "end": pa.array(s + 45 * 60 * 1_000_000, pa.int64()),
+                "interval_id": t["event_id"],
+            }
+        )
+
+    right = ev.map_batches(windows, batch_format="pyarrow", batch_size=None)
+    out = interval_join(
+        left, right, key="user_id", ts_col="ts",
+        start_col="start", end_col="end",
+    )
+    return out
