@@ -122,7 +122,10 @@ class ReplayEngine:
         watermark passes them by N batches, so time travel and the change
         feed work for any ``as_of >= watermark - N`` while storage stays
         O(state + N batches of churn). Consumers (views, replicas) must
-        sync at least every N batches. Rewrite mode only."""
+        sync at least every N batches. Both modes: rewrite retires
+        superseded part files; delta retires fold-superseded delta/base
+        files (tagged with the fold version) and anchors as-of rebuilds
+        on the newest fold at or below the requested batch."""
         if exchange not in ("raycore", "groupby"):
             raise ValueError(f"unknown exchange mode: {exchange}")
         if state_mode not in ("rewrite", "delta"):
@@ -132,11 +135,6 @@ class ReplayEngine:
         if retain_batches is not None:
             if retain_batches < 1:
                 raise ValueError("retain_batches must be >= 1")
-            if state_mode != "rewrite":
-                raise ValueError(
-                    "retain_batches is rewrite-mode only (delta mode keeps "
-                    "history with gc_old_versions=False)"
-                )
             if not gc_old_versions:
                 raise ValueError(
                     "retain_batches needs gc_old_versions=True (with GC "
@@ -466,6 +464,13 @@ class ReplayEngine:
             self.ckpt.commit_batch(
                 batch_id, evolved, summary, new_deltas=new_versions
             )
+            if self.gc_old_versions and self.retain_batches is not None:
+                horizon = self.ckpt.watermark - self.retain_batches
+                for fname in self.ckpt.purge_retired_files(horizon):
+                    try:
+                        os.remove(os.path.join(self.lake_dir, fname))
+                    except FileNotFoundError:
+                        pass
             return summary
         self.ckpt.commit_batch(batch_id, evolved, summary, new_versions)
         # GC superseded state files (post-commit, so a crash mid-GC only
@@ -560,22 +565,31 @@ class ReplayEngine:
         # chain references its (version, group).
         from glue_etl_pipeline_ray.stages.merge import delta_name, gdelta_name
 
+        # bounded retention (retain_batches=N, delta mode): a file made
+        # redundant by a fold at version F is still the ONLY source for
+        # as-of < F reads, so retire it tagged F and delete it only once
+        # the horizon passes F (purge happens in the delta commit path)
+        retire: list[tuple[str, int]] = [] if self.retain_batches else None
+
+        def _drop(fname: str, superseded_at: int) -> None:
+            if retire is not None:
+                retire.append((fname, superseded_at))
+                return
+            try:
+                os.remove(os.path.join(self.lake_dir, fname))
+            except FileNotFoundError:
+                pass
+
         folded_group_files: set[tuple[int, int]] = set()
         for b, f in folds.items():
             for ent in f["folded_deltas"]:
                 if isinstance(ent, (list, tuple)):
                     folded_group_files.add((int(ent[0]), int(ent[1])))
                     continue
-                try:
-                    os.remove(os.path.join(self.lake_dir, delta_name(b, ent)))
-                except FileNotFoundError:
-                    pass
+                _drop(delta_name(b, ent), f["base"])
             ob = old_bases[b]
             if ob is not None and ob != f["base"]:
-                try:
-                    os.remove(os.path.join(self.lake_dir, part_name(b, ob)))
-                except FileNotFoundError:
-                    pass
+                _drop(part_name(b, ob), f["base"])
         if folded_group_files:
             still_referenced = {
                 (int(ent[0]), int(ent[1]))
@@ -583,11 +597,11 @@ class ReplayEngine:
                 for ent in d["deltas"]
                 if isinstance(ent, (list, tuple))
             }
+            fold_wm = max(f["base"] for f in folds.values())
             for v, g in folded_group_files - still_referenced:
-                try:
-                    os.remove(os.path.join(self.lake_dir, gdelta_name(g, v)))
-                except FileNotFoundError:
-                    pass
+                _drop(gdelta_name(g, v), fold_wm)
+        if retire:
+            self.ckpt.retire_files(retire)
 
     def _fold_buckets(
         self, targets: dict[int, dict], min_retained_seq: int | None = "keep"
@@ -783,8 +797,31 @@ class ReplayEngine:
                         if "group" in rec
                         else rec["version"]
                     )
+            # bounded retention: deltas at or below a fold F may be
+            # purged once the horizon passes F, so anchor the rebuild on
+            # the NEWEST fold <= as_of (exactly the deltas <= F) and
+            # replay only the chain after it. With keep-everything
+            # (gc_old_versions=False) bases stay None: folds are caches,
+            # the full chain is the truth.
+            bases: dict[int, int | None] = {}
+            if self.retain_batches is not None:
+                for b, folds in self.ckpt.fold_history.items():
+                    cand = [f for f in folds if f <= as_of]
+                    if cand:
+                        bases[b] = max(cand)
             pointers = [
-                (b, None, sorted(vs, key=delta_entry_version))
+                (
+                    b,
+                    bases.get(b),
+                    sorted(
+                        (
+                            v for v in vs
+                            if bases.get(b) is None
+                            or delta_entry_version(v) > bases[b]
+                        ),
+                        key=delta_entry_version,
+                    ),
+                )
                 for b, vs in sorted(chains.items())
             ]
 
@@ -797,6 +834,26 @@ class ReplayEngine:
             live_bucket.remote(self.lake_dir, b, base, deltas)
             for b, base, deltas in pointers
         ]
+
+    def _require_delta_history(self, as_of: int) -> None:
+        """Delta-mode history gate: keep-everything
+        (gc_old_versions=False) serves any as_of; bounded retention
+        (retain_batches=N) serves as_of inside the window; plain GC mode
+        has no history at all."""
+        if not self.gc_old_versions:
+            return
+        if self.retain_batches is not None:
+            horizon = self.ckpt.watermark - self.retain_batches
+            if as_of >= horizon:
+                return
+            raise ValueError(
+                f"as_of={as_of} is outside the retention window "
+                f"(horizon={horizon}, retain_batches={self.retain_batches})"
+            )
+        raise NotImplementedError(
+            "delta-mode time travel requires gc_old_versions=False "
+            "or retain_batches=N"
+        )
 
     def _require_history(self, as_of: int) -> None:
         """Raise unless the ``as_of`` snapshot is reconstructible under
@@ -952,10 +1009,8 @@ class ReplayEngine:
         st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
         if self.state_mode == "delta":
-            if as_of is not None and self.gc_old_versions:
-                raise NotImplementedError(
-                    "delta-mode time travel requires gc_old_versions=False"
-                )
+            if as_of is not None:
+                self._require_delta_history(as_of)
             refs = self._delta_live_refs(as_of)
             if not refs:
                 return ray.data.from_arrow(
@@ -979,10 +1034,8 @@ class ReplayEngine:
     def final_table(self, as_of: int | None = None) -> pa.Table:
         """Live table assembled driver-side (test/oracle path only)."""
         if self.state_mode == "delta":
-            if as_of is not None and self.gc_old_versions:
-                raise NotImplementedError(
-                    "delta-mode time travel requires gc_old_versions=False"
-                )
+            if as_of is not None:
+                self._require_delta_history(as_of)
             ev = (
                 self.ckpt.evolved
                 if as_of is None
@@ -1093,11 +1146,7 @@ class ReplayEngine:
                 # the lineage log (same reconstruction as
                 # _delta_live_refs(as_of) — folds are caches, deltas are
                 # the truth), under the same retention requirement
-                if self.gc_old_versions:
-                    raise NotImplementedError(
-                        "delta-mode lookup time travel requires "
-                        "gc_old_versions=False"
-                    )
+                self._require_delta_history(as_of)
                 from glue_etl_pipeline_ray.stages.merge import (
                     delta_entry_version,
                 )
@@ -1115,8 +1164,27 @@ class ReplayEngine:
                             if "group" in rec
                             else rec["version"]
                         )
+                # bounded retention: anchor on the newest fold <= as_of
+                # (deltas at or below a passed fold may be purged) —
+                # same anchoring as _delta_live_refs(as_of)
+                bases: dict[int, int | None] = {}
+                if self.retain_batches is not None:
+                    for b, fl in self.ckpt.fold_history.items():
+                        cand = [f for f in fl if f <= as_of]
+                        if cand:
+                            bases[b] = max(cand)
                 pointers = {
-                    b: (None, sorted(vs, key=delta_entry_version))
+                    b: (
+                        bases.get(b),
+                        sorted(
+                            (
+                                v for v in vs
+                                if bases.get(b) is None
+                                or delta_entry_version(v) > bases[b]
+                            ),
+                            key=delta_entry_version,
+                        ),
+                    )
                     for b, vs in chains.items()
                 }
             for b, idxs in per_bucket.items():

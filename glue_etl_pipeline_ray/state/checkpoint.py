@@ -113,12 +113,51 @@ class CheckpointManager:
             return tuple(v) if isinstance(v, (list, tuple)) else v
 
         bd = self._m.setdefault("bucket_deltas", {})
+        fh = self._m.setdefault("fold_history", {})
         for b, f in folds.items():
             ent = bd.setdefault(str(b), {"base": None, "deltas": []})
             ent["base"] = f["base"]
             folded = {_key(v) for v in f["folded_deltas"]}
             ent["deltas"] = [v for v in ent["deltas"] if _key(v) not in folded]
+            hist = fh.setdefault(str(b), [])
+            if f["base"] not in hist:
+                hist.append(f["base"])
         self._write(self._m)
+
+    @property
+    def fold_history(self) -> dict[int, list[int]]:
+        """Every fold (base) version ever recorded per bucket — the
+        candidates a delta-mode time-travel read can anchor on (state
+        as-of X = newest fold <= X + the delta chain after it)."""
+        return {
+            int(b): list(vs)
+            for b, vs in self._m.get("fold_history", {}).items()
+        }
+
+    def retire_files(self, entries: list[tuple[str, int]]) -> None:
+        """Delta-mode bounded retention: files superseded by a fold are
+        recorded as ``[filename, fold_version]`` instead of deleted; they
+        stay readable for time travel until :meth:`purge_retired_files`'s
+        horizon passes the fold that made them redundant."""
+        if entries:
+            self._m.setdefault("retired_files", []).extend(
+                [str(f), int(at)] for f, at in entries
+            )
+            self._write(self._m)
+
+    def purge_retired_files(self, horizon: int) -> list[str]:
+        """Pop and return filenames whose superseding fold version is at
+        or below ``horizon`` — every reachable as-of >= horizon anchors on
+        that fold (or a newer one), so these files are safe to delete.
+        Manifest written first: a crash between write and delete only
+        leaks files, never dangles a pointer."""
+        kept, purged = [], []
+        for ent in self._m.get("retired_files", []):
+            (purged if ent[1] <= horizon else kept).append(ent)
+        if purged:
+            self._m["retired_files"] = kept
+            self._write(self._m)
+        return [f for f, _at in purged]
 
     def commit_batch(
         self,

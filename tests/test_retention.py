@@ -79,9 +79,8 @@ def test_retention_survives_process_restart(ray_session, tmp_path):
 
 def test_retention_rejects_invalid_configs(ray_session, tmp_path):
     spec = repo_file_spec(num_buckets=4)
-    with pytest.raises(ValueError, match="rewrite-mode only"):
-        ReplayEngine(spec, str(tmp_path / "a"), state_mode="delta",
-                     retain_batches=2)
+    # delta + retain_batches is now a supported config (see
+    # tests/test_delta_retention.py); invalid combos remain rejected
     with pytest.raises(ValueError, match="gc_old_versions=True"):
         ReplayEngine(spec, str(tmp_path / "b"), gc_old_versions=False,
                      retain_batches=2)
