@@ -131,7 +131,8 @@ def deterministic_shuffle(
     downstream writers can emit one file per shard and a failed run
     skips finished shards.
     """
-    salt = np.uint64(0xD6E8_FEB8_6659_FD93) * np.uint64(2 * seed + 1)
+    with np.errstate(over="ignore"):  # modular 2^64 mix, overflow intended
+        salt = np.uint64(0xD6E8_FEB8_6659_FD93) * np.uint64(2 * seed + 1)
 
     def key(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)

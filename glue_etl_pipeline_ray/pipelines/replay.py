@@ -370,6 +370,21 @@ class ReplayEngine:
         while inflight:
             drain_one()
         harvest_folds(block=True)
+        # folds harvested after the last commit retire files with no
+        # commit following to purge them — sweep once at the end so the
+        # retention bound holds at rest, not only mid-stream
+        if (
+            self.state_mode == "delta"
+            and self.gc_old_versions
+            and self.retain_batches is not None
+            and self.ckpt.watermark >= 0
+        ):
+            horizon = self.ckpt.watermark - self.retain_batches
+            for fname in self.ckpt.purge_retired_files(horizon):
+                try:
+                    os.remove(os.path.join(self.lake_dir, fname))
+                except FileNotFoundError:
+                    pass
         return summaries
 
     # ------------------------------------------------- groupby (per batch)
@@ -765,12 +780,61 @@ class ReplayEngine:
             for b, v in sorted(versions.items())
         ]
 
+    def _delta_chain_pointers(
+        self, as_of: int, buckets=None
+    ) -> list[tuple[int, int | None, list]]:
+        """Historic per-bucket (base, chain) pointers for state as-of a
+        committed batch, rebuilt from the lineage log.
+
+        Keep-everything mode (gc_old_versions=False): base=None and the
+        full delta chain <= as_of — folds are caches, the chain is the
+        truth. Bounded retention: deltas at or below a fold F may be
+        purged once the horizon passes F, so anchor on the NEWEST fold
+        <= as_of (exactly the deltas <= F) and replay only the chain
+        after it. ``buckets``: optional restriction (point lookups)."""
+        from glue_etl_pipeline_ray.state.lineage import read_lineage
+
+        from glue_etl_pipeline_ray.stages.merge import delta_entry_version
+
+        chains: dict[int, list] = {}
+        for rec in read_lineage(self.lake_dir):
+            if (
+                rec.get("kind") == "bucket"
+                and rec["batch_id"] <= as_of
+                and (buckets is None or rec["bucket"] in buckets)
+            ):
+                chains.setdefault(rec["bucket"], []).append(
+                    [rec["version"], rec["group"]]
+                    if "group" in rec
+                    else rec["version"]
+                )
+        bases: dict[int, int | None] = {}
+        if self.retain_batches is not None:
+            for b, folds in self.ckpt.fold_history.items():
+                cand = [f for f in folds if f <= as_of]
+                if cand:
+                    bases[b] = max(cand)
+        return [
+            (
+                b,
+                bases.get(b),
+                sorted(
+                    (
+                        v for v in vs
+                        if bases.get(b) is None
+                        or delta_entry_version(v) > bases[b]
+                    ),
+                    key=delta_entry_version,
+                ),
+            )
+            for b, vs in sorted(chains.items())
+        ]
+
     def _delta_live_refs(self, as_of: int | None = None) -> list:
         """One Ray task per bucket: fold base+deltas, return live rows.
 
-        ``as_of`` (requires gc_old_versions=False): rebuild the snapshot
-        from the pure delta chain recorded in the lineage log — folds are
-        only caches, so replaying every delta <= as_of is exact."""
+        ``as_of``: historic rebuild via :meth:`_delta_chain_pointers`
+        (keep-everything or retention-window semantics)."""
         from glue_etl_pipeline_ray.stages.merge import read_bucket_state
 
         spec = self.spec
@@ -785,45 +849,7 @@ class ReplayEngine:
                 for b, d in sorted(self.ckpt.bucket_deltas.items())
             ]
         else:
-            from glue_etl_pipeline_ray.state.lineage import read_lineage
-
-            from glue_etl_pipeline_ray.stages.merge import delta_entry_version
-
-            chains: dict[int, list] = {}
-            for rec in read_lineage(self.lake_dir):
-                if rec.get("kind") == "bucket" and rec["batch_id"] <= as_of:
-                    chains.setdefault(rec["bucket"], []).append(
-                        [rec["version"], rec["group"]]
-                        if "group" in rec
-                        else rec["version"]
-                    )
-            # bounded retention: deltas at or below a fold F may be
-            # purged once the horizon passes F, so anchor the rebuild on
-            # the NEWEST fold <= as_of (exactly the deltas <= F) and
-            # replay only the chain after it. With keep-everything
-            # (gc_old_versions=False) bases stay None: folds are caches,
-            # the full chain is the truth.
-            bases: dict[int, int | None] = {}
-            if self.retain_batches is not None:
-                for b, folds in self.ckpt.fold_history.items():
-                    cand = [f for f in folds if f <= as_of]
-                    if cand:
-                        bases[b] = max(cand)
-            pointers = [
-                (
-                    b,
-                    bases.get(b),
-                    sorted(
-                        (
-                            v for v in vs
-                            if bases.get(b) is None
-                            or delta_entry_version(v) > bases[b]
-                        ),
-                        key=delta_entry_version,
-                    ),
-                )
-                for b, vs in sorted(chains.items())
-            ]
+            pointers = self._delta_chain_pointers(as_of)
 
         @ray.remote
         def live_bucket(lake_dir, b, base, deltas):
@@ -903,30 +929,28 @@ class ReplayEngine:
         ev_to = self.ckpt.evolved_as_of(to_batch)
 
         if self.state_mode == "delta":
-            from glue_etl_pipeline_ray.stages.merge import delta_entry_version
-            from glue_etl_pipeline_ray.state.lineage import read_lineage
-
-            chains: dict[int, list] = {}
-            for rec in read_lineage(self.lake_dir):
-                if rec.get("kind") == "bucket" and rec["batch_id"] <= to_batch:
-                    chains.setdefault(rec["bucket"], []).append(
-                        [rec["version"], rec["group"]]
-                        if "group" in rec
-                        else rec["version"]
-                    )
-            pointers = [
-                (
-                    b,
-                    [e for e in vs if delta_entry_version(e) <= from_batch],
-                    sorted(vs, key=delta_entry_version),
-                )
-                for b, vs in sorted(chains.items())
-            ]
+            # both sides anchored independently (fold <= from / fold <=
+            # to), so the feed works in keep-everything AND bounded
+            # retention (purged prefixes are covered by their folds)
+            new_ptrs = {
+                b: (base, chain)
+                for b, base, chain in self._delta_chain_pointers(to_batch)
+            }
+            old_ptrs = (
+                {
+                    b: (base, chain)
+                    for b, base, chain in self._delta_chain_pointers(from_batch)
+                }
+                if from_batch >= 0
+                else {}
+            )
 
             @ray.remote
-            def diff_bucket_delta(lake_dir, b, old_chain, new_chain):
-                old = read_bucket_state(spec, ev_to, lake_dir, None, old_chain, b)
-                new = read_bucket_state(spec, ev_to, lake_dir, None, new_chain, b)
+            def diff_bucket_delta(lake_dir, b, old_ptr, new_ptr):
+                ob, oc = old_ptr
+                nb, nc = new_ptr
+                old = read_bucket_state(spec, ev_to, lake_dir, ob, oc, b)
+                new = read_bucket_state(spec, ev_to, lake_dir, nb, nc, b)
                 return snapshot_diff(
                     spec,
                     ev_to,
@@ -936,8 +960,10 @@ class ReplayEngine:
                 )
 
             return [
-                diff_bucket_delta.remote(self.lake_dir, b, oc, nc)
-                for b, oc, nc in pointers
+                diff_bucket_delta.remote(
+                    self.lake_dir, b, old_ptrs.get(b, (None, [])), ptr
+                )
+                for b, ptr in sorted(new_ptrs.items())
             ]
 
         v_old = self.versions_as_of(from_batch) if from_batch >= 0 else {}
@@ -1147,45 +1173,11 @@ class ReplayEngine:
                 # _delta_live_refs(as_of) — folds are caches, deltas are
                 # the truth), under the same retention requirement
                 self._require_delta_history(as_of)
-                from glue_etl_pipeline_ray.stages.merge import (
-                    delta_entry_version,
-                )
-                from glue_etl_pipeline_ray.state.lineage import read_lineage
-
-                chains: dict[int, list] = {}
-                for rec in read_lineage(self.lake_dir):
-                    if (
-                        rec.get("kind") == "bucket"
-                        and rec["batch_id"] <= as_of
-                        and rec["bucket"] in per_bucket
-                    ):
-                        chains.setdefault(rec["bucket"], []).append(
-                            [rec["version"], rec["group"]]
-                            if "group" in rec
-                            else rec["version"]
-                        )
-                # bounded retention: anchor on the newest fold <= as_of
-                # (deltas at or below a passed fold may be purged) —
-                # same anchoring as _delta_live_refs(as_of)
-                bases: dict[int, int | None] = {}
-                if self.retain_batches is not None:
-                    for b, fl in self.ckpt.fold_history.items():
-                        cand = [f for f in fl if f <= as_of]
-                        if cand:
-                            bases[b] = max(cand)
                 pointers = {
-                    b: (
-                        bases.get(b),
-                        sorted(
-                            (
-                                v for v in vs
-                                if bases.get(b) is None
-                                or delta_entry_version(v) > bases[b]
-                            ),
-                            key=delta_entry_version,
-                        ),
+                    b: (base, chain)
+                    for b, base, chain in self._delta_chain_pointers(
+                        as_of, buckets=per_bucket
                     )
-                    for b, vs in chains.items()
                 }
             for b, idxs in per_bucket.items():
                 if b not in pointers:

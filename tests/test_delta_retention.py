@@ -124,3 +124,26 @@ def test_delta_retention_crash_resume(tmp_path):
     )
     eng2.replay(meta["events_dir"])
     assert eng2.final_sha256() == oracle["sha256"]
+
+
+def test_delta_retention_change_feed_in_window(tmp_path):
+    from glue_etl_pipeline_ray.stages.merge import CHANGE_TYPE_COL
+
+    meta = _gen(tmp_path, n_batches=8)
+    spec = repo_file_spec(num_buckets=16)
+    truth = ReplayEngine(
+        spec, str(tmp_path / "lake_keep"), state_mode="delta",
+        fold_threshold=2, gc_old_versions=False,
+    )
+    truth.replay(meta["events_dir"])
+    ret = ReplayEngine(
+        spec, str(tmp_path / "lake_ret"), state_mode="delta",
+        fold_threshold=2, retain_batches=3,
+    )
+    ret.replay(meta["events_dir"])
+    wm = ret.ckpt.watermark
+    a = ret.changes_table(wm - 2, wm)
+    b = truth.changes_table(wm - 2, wm)
+    key = spec.key_cols + (CHANGE_TYPE_COL,)
+    assert table_sha256(a, key) == table_sha256(b, key)
+    assert a.num_rows > 0
