@@ -164,16 +164,44 @@ class MaterializedView:
     # ----------------------------------------------------------- refresh
     def refresh(self) -> pa.Table:
         """Fold changes since the view watermark; persist; return the
-        published view (group cols + n_rows + masked sums)."""
+        published view (group cols + n_rows + masked sums).
+
+        A view that lagged past the engine's ``retain_batches`` window
+        (or attached to an engine with no history) cannot get a change
+        feed for the gap — instead of failing, it REBUILDS from the
+        current snapshot (every live row folded as an insert, one
+        distributed pass, O(state) once) and is incremental again from
+        there. This is the documented consumer contract: sync within
+        the window and pay O(changes); lag past it and pay one
+        snapshot-sized resync, never a wrong answer."""
         target = self.engine.ckpt.watermark
         wm, state = self._load_state()
         if target <= wm:
             return self.table()
-        refs = self.engine._changes_refs(wm, target, update_preimages=True)
-        partials = ray.get(
-            [_partial_task.remote(self.group_cols, self.sum_cols, r)
-             for r in refs]
-        )
+        try:
+            refs = self.engine._changes_refs(wm, target, update_preimages=True)
+            partials = ray.get(
+                [_partial_task.remote(self.group_cols, self.sum_cols, r)
+                 for r in refs]
+            )
+        except (ValueError, NotImplementedError):
+            state = None  # full resync: discard the stale fold
+            from glue_etl_pipeline_ray.stages.merge import CHANGE_TYPE_COL
+
+            gc, sc = self.group_cols, self.sum_cols
+
+            def as_inserts(t: pa.Table) -> pa.Table:
+                t = t.append_column(
+                    CHANGE_TYPE_COL,
+                    pa.array(["insert"] * t.num_rows, pa.string()),
+                )
+                return signed_partial(t, gc, sc)
+
+            partials = ray.get(
+                self.engine.final_dataset()
+                .map_batches(as_inserts, batch_format="pyarrow", batch_size=None)
+                .to_arrow_refs()
+            )
         pieces = [p for p in partials if p.num_rows]
         if state is not None and state.num_rows:
             pieces.append(state)

@@ -147,3 +147,32 @@ def test_delta_retention_change_feed_in_window(tmp_path):
     key = spec.key_cols + (CHANGE_TYPE_COL,)
     assert table_sha256(a, key) == table_sha256(b, key)
     assert a.num_rows > 0
+
+
+def test_view_lagging_past_window_resyncs_from_snapshot(tmp_path):
+    """A materialized view that misses the retention window must rebuild
+    from the snapshot instead of failing — and equal a never-lagged
+    view."""
+    from glue_etl_pipeline_ray.pipelines.ivm import MaterializedView
+
+    meta = _gen(tmp_path, n_batches=8)
+    spec = repo_file_spec(num_buckets=16)
+    ret = ReplayEngine(
+        spec, str(tmp_path / "lake"), state_mode="delta",
+        fold_threshold=2, retain_batches=2,
+    )
+    # replay the first half; sync the view at that point
+    ret.replay(meta["events_dir"], max_batches=3)
+    view = MaterializedView(ret, "by_lang", ["lang"], [])
+    view.refresh()
+    assert view.watermark == 2
+    # replay the rest: the view's watermark falls out of the window
+    ret.replay(meta["events_dir"])
+    wm = ret.ckpt.watermark
+    assert view.watermark < wm - 2
+    got = view.refresh()
+    # ground truth: a fresh view over the same engine tip
+    fresh = MaterializedView(ret, "by_lang_fresh", ["lang"], [])
+    exp = fresh.refresh()
+    assert got.equals(exp)
+    assert view.watermark == wm
