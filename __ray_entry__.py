@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk": Q.q_doc_chunk,
         "dataset_split": Q.q_dataset_split,
         "mixture_sample": Q.q_mixture_sample,
+        "domain_cap": Q.q_domain_cap,
         "vocab_topk": Q.q_vocab_topk,
         "shuffle_train_order": Q.q_shuffle_train_order,
         "range_scan_pruned": Q.q_range_scan_pruned,

@@ -153,3 +153,60 @@ def deterministic_shuffle(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def per_key_cap(
+    ds: Dataset,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Cap every key group at ``k`` rows (the per-domain/source cap that
+    stops one crawl domain from dominating a corpus — Dolma-style).
+
+    Selection is deterministic and retry-stable: within a key, rows rank
+    by ``md5(id)`` (a seedless uniform order, reproducible in SQL), and
+    only the k smallest survive. Pre-combine keeps at most k rows per
+    (key, block) BEFORE the shuffle, so the exchange carries
+    O(k x keys x blocks) rows however large the groups are; the final
+    per-key cut runs in collision-guarded hash partitions (Ray group
+    count independent of key cardinality).
+    """
+    import hashlib
+
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    def rank_tag(t: pa.Table) -> pa.Table:
+        r = np.array(
+            [
+                hashlib.md5(str(v).encode()).hexdigest()
+                for v in t[id_col].to_pylist()
+            ],
+            dtype=object,
+        )
+        return t.append_column("__r", pa.array(r, pa.string()))
+
+    def block_cap(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        ranks = np.asarray(t["__r"].to_pylist(), dtype=object)
+        order = np.lexsort((ranks, keys))
+        keys_s = keys[order]
+        starts = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])
+        ends = np.r_[starts[1:], len(keys_s)]
+        keep = np.concatenate(
+            [order[s : min(e, s + k)] for s, e in zip(starts, ends)]
+        ) if len(starts) else np.array([], np.int64)
+        return t.take(pa.array(np.sort(keep)))
+
+    def final_cap(g: pa.Table) -> pa.Table:
+        ranks = np.asarray(g["__r"].to_pylist(), dtype=object)
+        order = np.argsort(ranks, kind="stable")[:k]
+        return g.take(pa.array(np.sort(order)))
+
+    pre = ds.map_batches(
+        rank_tag, batch_format="pyarrow", batch_size=None
+    ).map_batches(block_cap, batch_format="pyarrow", batch_size=None)
+    return grouped_apply(
+        pre, [key_col], final_cap, num_partitions=num_partitions
+    ).drop_columns(["__r"])

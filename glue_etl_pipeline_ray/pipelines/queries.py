@@ -2442,3 +2442,16 @@ def q_interval_join(sf_dir: str):
         start_col="start", end_col="end",
     )
     return out
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-source document cap (at most 10 docs per source — the
+    crawl-domain cap that stops one domain from dominating a corpus):
+    deterministic md5(id) ranking, block-level pre-cap bounding the
+    shuffle to k rows per (key, block), collision-guarded per-key final
+    cut. Gate: pytest (hash-exact vs a DuckDB row_number-over-md5
+    query)."""
+    from glue_etl_pipeline_ray.functions.mixture import per_key_cap
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    return per_key_cap(ds, key_col="source", k=10)
