@@ -68,6 +68,7 @@ def mixture_sample(
     proportions: dict[str, float],
     source_col: str = "source",
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> tuple[Dataset, dict]:
     """Deterministically thin each source so the surviving rows match
     the target mixture ``proportions``. Sources absent from
@@ -77,11 +78,26 @@ def mixture_sample(
 
     The binding source (smallest observed/target ratio) keeps rate 1.0;
     every other source is hash-thinned relative to it. One Count
-    aggregate over the source column is the only extra pass."""
-    counts = {
-        r[source_col]: r["count()"]
-        for r in ds.groupby(source_col).aggregate(Count()).take_all()
-    }
+    aggregate over the source column is the only extra pass.
+
+    ``weight_col`` (e.g. a token count): targets are interpreted as
+    proportions of total WEIGHT, not row count — the token-budget
+    mixing labs actually do (a source of long documents contributes
+    fewer docs for the same token share). Keep decisions stay per-row
+    hash-deterministic; the achieved weight mixture matches in
+    expectation with the exact same retry-stability."""
+    if weight_col is not None:
+        from ray.data.aggregate import Sum
+
+        counts = {
+            r[source_col]: r[f"sum({weight_col})"]
+            for r in ds.groupby(source_col).aggregate(Sum(weight_col)).take_all()
+        }
+    else:
+        counts = {
+            r[source_col]: r["count()"]
+            for r in ds.groupby(source_col).aggregate(Count()).take_all()
+        }
     total_target = float(sum(proportions.values()))
     shares = {s: w / total_target for s, w in proportions.items()}
     missing = [s for s in shares if counts.get(s, 0) == 0]
@@ -105,6 +121,7 @@ def mixture_sample(
     plan = {
         "counts": counts,
         "rates": rates,
+        "unit": weight_col or "rows",
         "expected_rows": int(sum(rates[s] * counts[s] for s in rates)),
     }
     return ds.map_batches(thin, batch_format="pyarrow", batch_size=None), plan

@@ -84,3 +84,43 @@ def test_query_entries_run(ray_session, q):
 
     res = entry.queries()[q]("/root/testdata/sf0.001")
     assert res.count() > 0
+
+
+def test_mixture_sample_token_budget(ray_session):
+    """weight_col mode: achieved TOKEN proportions match the target
+    (long-doc sources contribute fewer docs for the same token share)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from glue_etl_pipeline_ray.functions.mixture import mixture_sample
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    src = np.where(rng.random(n) < 0.5, "long", "short").astype(object)
+    toks = np.where(src == "long", 1000, 100).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(src, pa.string()),
+            "n_tokens": pa.array(toks, pa.int64()),
+        }
+    )
+    target = {"long": 0.5, "short": 0.5}
+    sampled, plan = mixture_sample(
+        rd.from_arrow(t), target, weight_col="n_tokens"
+    )
+    df = sampled.to_pandas()
+    got = df.groupby("source")["n_tokens"].sum()
+    share_long = got["long"] / got.sum()
+    # token share ~0.5 even though long docs are 10x the tokens each
+    assert abs(share_long - 0.5) < 0.05
+    assert plan["unit"] == "n_tokens"
+    # the binding source (short: fewer total tokens) is kept whole
+    assert plan["rates"]["short"] == 1.0
+    n_short = (df["source"] == "short").sum()
+    n_long = (df["source"] == "long").sum()
+    assert n_long < n_short  # same token share -> far fewer long DOCS
+    # determinism
+    s2, _ = mixture_sample(rd.from_arrow(t), target, weight_col="n_tokens")
+    assert sorted(s2.to_pandas()["doc_id"]) == sorted(df["doc_id"])
