@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": Q.q_dedup_simhash,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "lang_id": Q.q_lang_id,
+        "unigram_logprob": Q.q_unigram_logprob,
         "ann_ivf_topk": Q.q_ann_ivf_topk,
         "ann_project_rerank": Q.q_ann_project_rerank,
         "text_normalize": Q.q_text_normalize,

@@ -456,3 +456,154 @@ def normalize_text(
         return pa.table({id_col: t[id_col], "text_norm": s})
 
     return ds.map_batches(clean, batch_format="pyarrow", batch_size=None)
+
+
+def unigram_logprob_score(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    n_parts: int = 64,
+):
+    """Corpus-unigram log-probability scoring — the CCNet/perplexity
+    quality filter's shape with a self-built unigram LM: docs whose
+    tokens are corpus-typical score high, gibberish/outliers low.
+
+    Pass 1 builds the unigram table with the ``vocab_topk`` shuffle
+    shape (per-block np.unique partials -> bounded hash-partition sums)
+    and broadcasts (sorted token-hash, count) arrays plus the corpus
+    total ONCE; tokens below ``min_count`` are pruned from the
+    broadcast (the scale lever) but still counted in the total, and
+    score as count ``min_count``. Pass 2 is shuffle-free: one
+    vectorized hash + searchsorted per batch, per-doc mean via
+    ``np.add.reduceat``.
+
+    Output: (id_col, n_tokens, mean_logprob) with
+    ``logprob(tok) = ln(count(tok) / total)`` in float64 — one fixed
+    expression a single-threaded oracle reproduces to within summation
+    -associativity ULPs (the count table and total are exact integers).
+    """
+    import ray
+
+    from glue_etl_pipeline_ray.hashing import key_hash_u64
+
+    def ug_partials(t: pa.Table) -> pa.Table:
+        toks: list = []
+        for s in t[text_col].to_pylist():
+            toks.extend((s or "").split(" "))
+        if not toks:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "__part": pa.array([], pa.int64()),
+                }
+            )
+        u, c = np.unique(np.array(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(u, pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+                "__part": pa.array(
+                    (key_hash_u64(pa.array(u, pa.string()))
+                     % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    def ug_sum_group(g: pa.Table) -> pa.Table:
+        tok = np.asarray(g["token"].to_pylist(), dtype=object)
+        cnt = g["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tok)
+        tok, cnt = tok[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        totals = np.add.reduceat(cnt, starts)
+        pt = int(totals.sum())  # includes the pruned tail: the corpus
+        keep = totals >= min_count  # total must count EVERY token
+        if keep.any():
+            h = key_hash_u64(pa.array(tok[starts][keep], pa.string()))
+            n = totals[keep]
+        else:  # sentinel row (n=0) so the partition total still ships
+            h = np.array([0], np.uint64)
+            n = np.array([0], np.int64)
+        # pt rides on exactly ONE row per group: downstream blocks may
+        # pack several groups together, so a per-row constant could not
+        # be disambiguated — a one-row carrier sums correctly regardless
+        pt_col = np.zeros(len(n), np.int64)
+        pt_col[0] = pt
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "n": pa.array(n, pa.int64()),
+                "part_total": pa.array(pt_col, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(ug_partials, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(ug_sum_group, batch_format="pyarrow")
+    )
+
+    @ray.remote
+    def ug_assemble(*tables: pa.Table):
+        tabs = [t for t in tables if "h" in t.schema.names and t.num_rows]
+        if not tabs:
+            return np.array([], np.uint64), np.array([], np.int64), 0
+        # part_total is nonzero on exactly one row per group: plain sum
+        total = sum(
+            int(pa.compute.sum(t["part_total"]).as_py() or 0) for t in tabs
+        )
+        cat = pa.concat_tables([t.select(["h", "n"]) for t in tabs])
+        h = cat["h"].to_numpy(zero_copy_only=False)
+        n = cat["n"].to_numpy(zero_copy_only=False)
+        real = n > 0  # drop the sentinel rows
+        h, n = h[real], n[real]
+        order = np.argsort(h)
+        return h[order], n[order], total
+
+    ref = ug_assemble.remote(*counts.to_arrow_refs())
+
+    def ug_score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        hs, ns, total = ray.get(ref)
+        out_n = np.zeros(t.num_rows, np.int64)
+        out_lp = np.zeros(t.num_rows, np.float64)
+        toks_all: list = []
+        lens = np.zeros(t.num_rows, np.int64)
+        for i, s in enumerate(t[text_col].to_pylist()):
+            ws = (s or "").split(" ")
+            toks_all.extend(ws)
+            lens[i] = len(ws)
+        if toks_all and total:
+            h = pd.util.hash_array(
+                np.array(toks_all, dtype=object), categorize=False
+            )
+            pos = np.searchsorted(hs, h)
+            if len(hs):
+                pos[pos == len(hs)] = 0
+                found = hs[pos] == h
+                cnt = np.where(
+                    found, ns[pos] if len(ns) else min_count, min_count
+                )
+            else:
+                cnt = np.full(len(h), min_count, np.int64)
+            lp = np.log(cnt.astype(np.float64) / float(total))
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            nz = lens > 0
+            sums = np.zeros(t.num_rows, np.float64)
+            if nz.any():
+                sums[nz] = np.add.reduceat(lp, starts[nz])
+            out_n = lens
+            out_lp = np.where(nz, sums / np.maximum(lens, 1), 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "mean_logprob": pa.array(out_lp, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(ug_score, batch_format="pyarrow", batch_size=None)

@@ -2455,3 +2455,17 @@ def q_domain_cap(sf_dir: str):
 
     ds = _t(sf_dir, "documents", ["doc_id", "source"])
     return per_key_cap(ds, key_col="source", k=10)
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Corpus-unigram log-probability scoring (the CCNet/perplexity
+    quality-filter shape with a self-built unigram LM): one bounded
+    count shuffle + one broadcast + one shuffle-free scoring scan.
+    Gate: pytest (bit-exact vs a single-threaded reference of the same
+    fixed float64 expression, incl. the min_count pruning contract and
+    the outlier-ordering property)."""
+    from glue_etl_pipeline_ray.functions.text import unigram_logprob_score
+
+    return unigram_logprob_score(
+        _t(sf_dir, "documents", ["doc_id", "text"])
+    )
