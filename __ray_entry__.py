@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 87 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 89 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of [plain +
   range-sharded], anti/semi [direct + Bloom-prefiltered], windowed
   aggregates incl. RANGE-frame sliding windows, exact + histogram
@@ -255,7 +255,7 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rn = 1 AND NOT is_del
             )
             SELECT event_type, count(*) AS n_rows,
-                   sum(value_cents) AS sum_value_cents
+                   CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
             FROM snap_new GROUP BY event_type
         """,
         "cdc_dead_letter": f"""
