@@ -24,9 +24,11 @@ files alone (no trust in the writer).
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -34,6 +36,15 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 from ray.data import Dataset
+
+
+def _write_manifest(mpath: str, manifest: dict) -> None:
+    """Atomic manifest commit: the rename is the single point at which a
+    new live-file set becomes visible (compaction relies on this)."""
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, default=str)
+    os.replace(tmp, mpath)
 
 
 def sorted_write(
@@ -49,28 +60,63 @@ def sorted_write(
         out_dir, min_rows_per_file=rows_per_file, max_rows_per_file=rows_per_file
     )
     manifest = build_manifest(out_dir, sort_col)
-    with open(os.path.join(out_dir, "_skipping_manifest.json"), "w") as f:
-        json.dump(manifest, f, default=str)
+    _write_manifest(os.path.join(out_dir, "_skipping_manifest.json"), manifest)
     return manifest
 
 
-def build_manifest(out_dir: str, sort_col: str) -> dict:
+def _col_kind(field_type: pa.DataType) -> str | None:
+    """Collapse an Arrow type to the comparison kind recorded in the
+    manifest, so pruning can coerce JSON-round-tripped stat values back
+    to the column's real ordering instead of comparing strings."""
+    if pa.types.is_integer(field_type):
+        return "int"
+    if pa.types.is_floating(field_type):
+        return "float"
+    if (
+        pa.types.is_timestamp(field_type)
+        or pa.types.is_date(field_type)
+        or pa.types.is_time(field_type)
+    ):
+        return "timestamp"
+    if pa.types.is_string(field_type) or pa.types.is_large_string(field_type):
+        return "str"
+    return None
+
+
+def _file_minmax(path: str, sort_col: str) -> tuple:
+    """(min, max, kind) of ``sort_col`` from one file's footer stats."""
+    md = pq.ParquetFile(path).metadata
+    schema = md.schema.to_arrow_schema()
+    idx = schema.get_field_index(sort_col)
+    kind = _col_kind(schema.field(idx).type)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None, kind
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi, kind
+
+
+def build_manifest(
+    out_dir: str, sort_col: str, names: list[str] | None = None
+) -> dict:
     """Per-file (min, max) of ``sort_col`` from Parquet footer stats —
-    rebuildable from the files alone."""
+    rebuildable from the files alone. Only for initial builds / healing:
+    compaction treats the COMMITTED manifest as the live-file source of
+    truth (see ``compact_files``); pass ``names`` to restrict the stats
+    rebuild to a committed live set (never glob past one)."""
+    if names is None:
+        paths = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    else:
+        paths = [os.path.join(out_dir, n) for n in sorted(names)]
     files = {}
-    for path in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
-        md = pq.ParquetFile(path).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(sort_col)
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                lo, hi = None, None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+    kind = None
+    for path in paths:
+        lo, hi, kind = _file_minmax(path, sort_col)
         files[os.path.basename(path)] = [lo, hi]
-    return {"sort_col": sort_col, "files": files}
+    return {"sort_col": sort_col, "kind": kind, "files": files}
 
 
 def pruned_read(
@@ -86,16 +132,25 @@ def pruned_read(
     if os.path.exists(mpath):
         with open(mpath) as f:
             manifest = json.load(f)
-        if manifest.get("sort_col") != sort_col:
-            manifest = build_manifest(out_dir, sort_col)
+        if manifest.get("sort_col") != sort_col or "kind" not in manifest:
+            # re-derive stats for a different scan column, but only over
+            # the COMMITTED live set — never glob past a manifest
+            # (zorder manifests list files under per-column "columns")
+            names = (
+                list(manifest["files"])
+                if "files" in manifest
+                else list(next(iter(manifest["columns"].values())))
+            )
+            manifest = build_manifest(out_dir, sort_col, names=names)
     else:
         manifest = build_manifest(out_dir, sort_col)
 
+    kind = manifest.get("kind")
     keep = []
     for name, (fmin, fmax) in manifest["files"].items():
         # stats missing -> cannot prove non-overlap, must read
         if fmin is None or fmax is None or not (
-            _lt(hi, fmin) or _lt(fmax, lo)
+            _lt(hi, fmin, kind) or _lt(fmax, lo, kind)
         ):
             keep.append(os.path.join(out_dir, name))
     total = len(manifest["files"])
@@ -111,8 +166,14 @@ def pruned_read(
     ds = rd.read_parquet(keep, columns=columns)
 
     def exact(t: pa.Table) -> pa.Table:
-        v = t[sort_col].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array((v >= lo) & (v <= hi)))
+        import pyarrow.compute as pc
+
+        col = t[sort_col]
+        mask = pc.and_(
+            pc.greater_equal(col, pa.scalar(lo, col.type)),
+            pc.less_equal(col, pa.scalar(hi, col.type)),
+        )
+        return t.filter(mask)
 
     return (
         ds.map_batches(exact, batch_format="pyarrow", batch_size=None),
@@ -121,12 +182,43 @@ def pruned_read(
     )
 
 
-def _lt(a, b) -> bool:
-    """a < b with parquet-stat values that may come back as strings
-    from the JSON manifest (timestamps serialize via default=str)."""
-    if isinstance(a, str) or isinstance(b, str):
-        return str(a) < str(b)
-    return a < b
+def _coerce(v, kind):
+    """Coerce a stat/predicate value (possibly JSON-round-tripped to
+    str) back to the column's comparison domain; raise if impossible."""
+    if kind == "int" or kind == "float":
+        if isinstance(v, bool):
+            raise ValueError("bool is not a numeric stat")
+        return float(v)
+    if kind == "timestamp":
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            ts = v if isinstance(v, _dt.datetime) else _dt.datetime(
+                v.year, v.month, v.day
+            )
+        elif isinstance(v, str):
+            # json default=str renders "YYYY-MM-DD HH:MM:SS[.ffffff]"
+            ts = _dt.datetime.fromisoformat(v.replace(" ", "T"))
+        elif isinstance(v, (int, float)):
+            raise ValueError("ambiguous numeric timestamp")
+        else:
+            raise ValueError(f"cannot coerce {type(v)} to timestamp")
+        return ts.replace(tzinfo=None)
+    if kind == "str":
+        if not isinstance(v, str):
+            raise ValueError("non-string predicate on a string column")
+        return v
+    raise ValueError(f"unknown column kind {kind!r}")
+
+
+def _lt(a, b, kind=None) -> bool:
+    """Strict a < b, used ONLY to prove a file range does not overlap
+    the predicate. Both sides are coerced to the column's declared kind
+    first (lexicographic str(9) > str(10) mis-orders numbers and mixed
+    timestamp renderings); anything un-coercible returns False =
+    "cannot prove non-overlap", i.e. the file is kept, never dropped."""
+    try:
+        return _coerce(a, kind) < _coerce(b, kind)
+    except (ValueError, TypeError):
+        return False
 
 
 # --------------------------------------------------------------- z-order
@@ -200,12 +292,13 @@ def zorder_write(
         min_rows_per_file=rows_per_file,
         max_rows_per_file=rows_per_file,
     )
+    per_col = {c: build_manifest(out_dir, c) for c in cols}
     manifest = {
         "zorder_cols": list(cols),
-        "columns": {c: build_manifest(out_dir, c)["files"] for c in cols},
+        "kinds": {c: per_col[c]["kind"] for c in cols},
+        "columns": {c: per_col[c]["files"] for c in cols},
     }
-    with open(os.path.join(out_dir, "_skipping_manifest.json"), "w") as f:
-        json.dump(manifest, f, default=str)
+    _write_manifest(os.path.join(out_dir, "_skipping_manifest.json"), manifest)
     return manifest
 
 
@@ -221,6 +314,7 @@ def pruned_read_box(
     with open(os.path.join(out_dir, "_skipping_manifest.json")) as f:
         manifest = json.load(f)
     per_col = manifest["columns"]
+    kinds = manifest.get("kinds", {})
     names = list(next(iter(per_col.values())).keys())
     keep = []
     for name in names:
@@ -229,7 +323,7 @@ def pruned_read_box(
             fmin, fmax = per_col[c][name]
             if fmin is None or fmax is None:
                 continue  # unknown stats: cannot prune on this column
-            if _lt(hi, fmin) or _lt(fmax, lo):
+            if _lt(hi, fmin, kinds.get(c)) or _lt(fmax, lo, kinds.get(c)):
                 ok = False
                 break
         if ok:
@@ -245,11 +339,17 @@ def pruned_read_box(
     ds = rd.read_parquet(keep, columns=columns)
 
     def exact(t: pa.Table) -> pa.Table:
-        mask = np.ones(t.num_rows, bool)
+        import pyarrow.compute as pc
+
+        mask = None
         for c, (lo, hi) in predicates.items():
-            v = t[c].to_numpy(zero_copy_only=False)
-            mask &= (v >= lo) & (v <= hi)
-        return t.filter(pa.array(mask))
+            col = t[c]
+            m = pc.and_(
+                pc.greater_equal(col, pa.scalar(lo, col.type)),
+                pc.less_equal(col, pa.scalar(hi, col.type)),
+            )
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
 
     return (
         ds.map_batches(exact, batch_format="pyarrow", batch_size=None),
@@ -270,20 +370,55 @@ def compact_files(
     while PRESERVING the range-clustered layout, so pruning keeps
     working.
 
+    Crash safety: the COMMITTED manifest is the source of truth for the
+    live file set (``pruned_read`` serves from it, never from a glob).
+    The protocol is: (0) sweep any ``*.parquet`` not reachable from the
+    committed manifest — those are leftovers of a crashed compaction,
+    never live data; (1) merge each group into a staging dir; (2) move
+    staged outputs into place (still invisible — not in the manifest);
+    (3) COMMIT by atomically replacing the manifest with the new live
+    set; (4) delete superseded inputs. A crash before (3) changes
+    nothing observable (the sweep cleans the orphans on re-run); a crash
+    after (3) leaves superseded inputs on disk that the manifest no
+    longer references, so reads never double-count and the next run
+    sweeps them. Output names carry a generation counter from the
+    manifest so two successive compactions can never collide on a live
+    file name.
+
     Plan: group ADJACENT files (by manifest min) greedily up to
     ``target_rows`` (row counts from footers — no data read on the
     driver); each multi-file group merges in its own Ray task
     (read -> re-sort by ``sort_col``, which also heals overlapping
     ranges from multiple sorted appends -> one file); singletons are
-    left untouched. Deterministic output names; manifest rebuilt from
-    footer stats afterward, so a crash mid-compaction is repaired by
-    rebuilding (old + new files both prune correctly — compaction never
-    changes CONTENT, only packing).
+    left untouched.
     """
     import ray
 
     mpath = os.path.join(out_dir, "_skipping_manifest.json")
-    manifest = build_manifest(out_dir, sort_col)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if manifest.get("sort_col") != sort_col or "kind" not in manifest:
+            names = (
+                list(manifest["files"])
+                if "files" in manifest
+                else list(next(iter(manifest["columns"].values())))
+            )
+            manifest = build_manifest(out_dir, sort_col, names=names)
+    else:
+        manifest = build_manifest(out_dir, sort_col)
+
+    # (0) orphan sweep: anything on disk the committed manifest doesn't
+    # reference is debris from a crashed compaction
+    live = set(manifest["files"])
+    for path in glob.glob(os.path.join(out_dir, "*.parquet")):
+        if os.path.basename(path) not in live:
+            os.remove(path)
+    staging = os.path.join(out_dir, "_compact_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+
+    gen = int(manifest.get("compaction_gen", 0)) + 1
     names = sorted(
         manifest["files"],
         key=lambda n: (manifest["files"][n][0] is None, manifest["files"][n][0]),
@@ -314,19 +449,53 @@ def compact_files(
         pq.write_table(cat, tmp)
         os.replace(tmp, out)
 
+    # (1) merge into staging
     jobs = []
-    merged_groups = []
+    plan: list[tuple[list[str], str | None]] = []  # (group, merged name)
     for gi, g in enumerate(groups):
         if len(g) < 2:
+            plan.append((g, None))
             continue
-        out = os.path.join(out_dir, f"compact-{gi:05d}-{len(g):04d}.parquet")
-        jobs.append(merge.remote([os.path.join(out_dir, n) for n in g], out))
-        merged_groups.append(g)
+        out_name = f"compact-g{gen:04d}-{gi:05d}-{len(g):04d}.parquet"
+        jobs.append(
+            merge.remote(
+                [os.path.join(out_dir, n) for n in g],
+                os.path.join(staging, out_name),
+            )
+        )
+        plan.append((g, out_name))
     ray.get(jobs)
-    for g in merged_groups:
-        for n in g:
-            os.remove(os.path.join(out_dir, n))
-    manifest = build_manifest(out_dir, sort_col)
-    with open(mpath, "w") as f:
-        json.dump(manifest, f, default=str)
+
+    # (2) move staged outputs into place — not yet in the manifest,
+    # so still invisible to readers
+    for _, out_name in plan:
+        if out_name is not None:
+            os.replace(
+                os.path.join(staging, out_name),
+                os.path.join(out_dir, out_name),
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # (3) COMMIT: new live set in one atomic manifest replace
+    new_files = {}
+    for g, out_name in plan:
+        if out_name is None:
+            new_files[g[0]] = manifest["files"][g[0]]
+        else:
+            lo, hi, _ = _file_minmax(os.path.join(out_dir, out_name), sort_col)
+            new_files[out_name] = [lo, hi]
+    manifest = {
+        "sort_col": sort_col,
+        "kind": manifest.get("kind"),
+        "compaction_gen": gen,
+        "files": new_files,
+    }
+    _write_manifest(mpath, manifest)
+
+    # (4) post-commit cleanup of superseded inputs (crash here leaves
+    # unreferenced orphans only — swept by the next run)
+    for g, out_name in plan:
+        if out_name is not None:
+            for n in g:
+                os.remove(os.path.join(out_dir, n))
     return manifest

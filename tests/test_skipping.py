@@ -154,3 +154,90 @@ def test_compaction_preserves_content_and_pruning(ray_session, tmp_path):
     # pruning still works on the packed layout
     _, n_read2, n_total2 = pruned_read(out, "value_cents", 1000, 1500)
     assert 0 < n_read2 < n_total2
+
+
+def test_compaction_crash_windows_never_double_count(ray_session, tmp_path):
+    """Both crash windows of compact_files leave reads exact: the
+    committed manifest is the source of truth, orphans are swept."""
+    import os
+    import shutil
+
+    from glue_etl_pipeline_ray.functions.skipping import compact_files
+
+    ds, out, before = _events_cents(tmp_path)
+    full = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    lo, hi = int(full["value_cents"].min()), int(full["value_cents"].max())
+
+    # window A: crash AFTER a merged output landed in out_dir but BEFORE
+    # the manifest commit — fake it by copying a live file to a
+    # compact-style name the manifest doesn't reference
+    some_live = next(iter(before["files"]))
+    orphan = os.path.join(out, "compact-g0001-00000-0002.parquet")
+    shutil.copyfile(os.path.join(out, some_live), orphan)
+    got, _, _ = pruned_read(out, "value_cents", lo, hi)
+    assert got.count() == len(full)  # reads serve from the manifest
+
+    after = compact_files(out, "value_cents", target_rows=700)
+    assert not os.path.exists(orphan)  # orphan swept, name regenerated
+    got, _, _ = pruned_read(out, "value_cents", lo, hi)
+    gdf = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(gdf["event_id"]) == list(full["event_id"])
+
+    # window B: crash AFTER the manifest commit but BEFORE superseded
+    # inputs were deleted — fake it by restoring an old (superseded)
+    # live file alongside the committed compacted set
+    old_name = next(n for n in before["files"] if n in set(before["files"]) - set(after["files"]))
+    # regenerate the superseded file's bytes from the surviving data
+    sub = full[ (full["value_cents"] >= int(before["files"][old_name][0]))
+              & (full["value_cents"] <= int(before["files"][old_name][1])) ]
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pandas(sub, preserve_index=False),
+                   os.path.join(out, old_name))
+    got, _, _ = pruned_read(out, "value_cents", lo, hi)
+    assert got.count() == len(full)  # still exact: manifest ignores it
+    compact_files(out, "value_cents", target_rows=700)
+    assert not os.path.exists(os.path.join(out, old_name))  # swept
+    got, _, _ = pruned_read(out, "value_cents", lo, hi)
+    gdf = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(gdf["event_id"]) == list(full["event_id"])
+
+
+def test_pruning_typed_comparisons_timestamp_and_numeric_strings(
+    ray_session, tmp_path
+):
+    """_lt coerces JSON-round-tripped stats to the column's kind: a
+    timestamp column pruned via its ISO-string manifest stats must not
+    false-drop files, and numeric-string orderings never apply."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2025, 1, 1)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "i": np.arange(n, dtype=np.int64),
+            "ts": [base + dt.timedelta(minutes=int(k)) for k in range(n)],
+        }
+    )
+    ds = rd.from_pandas(df)
+    out = str(tmp_path / "tslake")
+    manifest = sorted_write(ds, out, "ts", rows_per_file=512)
+    assert manifest["kind"] == "timestamp"
+    assert len(manifest["files"]) > 3
+    lo = base + dt.timedelta(minutes=1000)
+    hi = base + dt.timedelta(minutes=1999)
+    got, n_read, n_total = pruned_read(out, "ts", lo, hi)
+    gdf = got.to_pandas()
+    assert len(gdf) == 1000  # exact — no false prune
+    assert 0 < n_read < n_total  # and it actually pruned
+
+    # numeric column whose stats JSON-serialize as ints stays exact even
+    # when the predicate arrives as numeric strings of differing width
+    # ("9" > "10" lexicographically — the old failure mode)
+    df2 = pd.DataFrame({"v": np.arange(5, 5000, dtype=np.int64)})
+    out2 = str(tmp_path / "numlake")
+    sorted_write(rd.from_pandas(df2), out2, "v", rows_per_file=512)
+    got2, n_read2, n_total2 = pruned_read(out2, "v", 9, 10)
+    assert sorted(got2.to_pandas()["v"]) == [9, 10]
+    assert n_read2 < n_total2
