@@ -178,13 +178,21 @@ class MaterializedView:
         wm, state = self._load_state()
         if target <= wm:
             return self.table()
+        # decide resync-vs-incremental up front: only the DRIVER-side
+        # history gate inside _changes_refs may divert to a resync; the
+        # remote partial execution stays outside the except so a genuine
+        # data/aggregation bug (RayTaskError, ArrowInvalid overflow)
+        # surfaces instead of silently becoming an O(state) rebuild
         try:
             refs = self.engine._changes_refs(wm, target, update_preimages=True)
+        except (ValueError, NotImplementedError):
+            refs = None
+        if refs is not None:
             partials = ray.get(
                 [_partial_task.remote(self.group_cols, self.sum_cols, r)
                  for r in refs]
             )
-        except (ValueError, NotImplementedError):
+        else:
             state = None  # full resync: discard the stale fold
             from glue_etl_pipeline_ray.stages.merge import CHANGE_TYPE_COL
 

@@ -106,10 +106,16 @@ class SeenIndex:
         seq_col: str | None = None,
     ) -> Dataset:
         """Rows of ``ds`` whose content was never committed before and
-        occurs for the first time within this batch (ties by min
-        ``seq_col``, else by first fingerprint order — deterministic
-        either way). Stages the batch's novel fingerprints; call
-        :meth:`commit` after the survivors are durably consumed.
+        occurs for the first time within this batch. Ties (same content
+        fingerprint) break by min ``seq_col`` when given; without one,
+        by min deterministic full-row hash — a pure function of row
+        CONTENT, so re-execution at any parallelism keeps the same
+        survivor (intra-group arrival order from a Ray groupby is not
+        contractually stable and is never relied on; the only remaining
+        ambiguity is rows whose full-row hashes collide, or rows with
+        unhashable nested columns, where pass ``seq_col``). Stages the
+        batch's novel fingerprints; call :meth:`commit` after the
+        survivors are durably consumed.
 
         If ``batch_id <= watermark`` the batch was already committed:
         returns an empty dataset (exactly-once replay semantics).
@@ -141,7 +147,19 @@ class SeenIndex:
                 seq = group[seq_col].to_numpy(zero_copy_only=False)
                 order = np.lexsort((seq, fp))
             else:
-                order = np.argsort(fp, kind="stable")
+                # deterministic content-derived tie-break: survivor is
+                # the row with min full-row hash, stable across runs
+                # and parallelism (groupby arrival order is not)
+                try:
+                    import pandas as pd
+
+                    aux = pd.util.hash_pandas_object(
+                        group.drop_columns(["__fp", "__bucket"]).to_pandas(),
+                        index=False,
+                    ).to_numpy()
+                    order = np.lexsort((aux, fp))
+                except TypeError:  # unhashable nested column
+                    order = np.argsort(fp, kind="stable")
             sfp = fp[order]
             first = np.r_[True, sfp[1:] != sfp[:-1]]
             keep_rows = order[first]

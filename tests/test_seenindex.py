@@ -115,3 +115,32 @@ def test_fp128_halves_are_independent_streams():
     r2 = np.argsort(np.argsort(h2)).astype(np.float64)
     corr = np.corrcoef(r1, r2)[0, 1]
     assert abs(corr) < 0.2
+
+
+def test_tiebreak_without_seq_col_is_content_deterministic(
+    ray_session, tmp_path
+):
+    """Without seq_col the survivor among equal-content rows is a pure
+    function of row content (min full-row hash) — the same doc_id wins
+    regardless of input row order or partitioning."""
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = pa.array(
+        [" ".join((s or "").split(" ")[:2]) for s in t["text"].to_pylist()],
+        pa.string(),
+    )
+    t = pa.table({"doc_id": t["doc_id"], "text": texts})
+
+    def run(table, nparts):
+        idx = SeenIndex(
+            str(tmp_path / f"seen-{nparts}-{table['doc_id'][0]}"),
+            num_buckets=4,
+        )
+        ds = rd.from_arrow(table).repartition(nparts)
+        out = idx.filter_novel(ds, batch_id=0, content_col="text")
+        return sorted(out.to_pandas()["doc_id"])
+
+    fwd = run(t, 2)
+    rev = run(t.take(pa.array(np.arange(t.num_rows)[::-1])), 7)
+    assert fwd == rev
+    # and survivors are one-per-distinct-content
+    assert len(fwd) == len(set(texts.to_pylist()))
