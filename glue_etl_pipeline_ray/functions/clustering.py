@@ -12,9 +12,11 @@
   cluster drop items whose cosine similarity to an already-kept item
   exceeds a threshold, keeping the lowest id (deterministic greedy).
   The within-cluster pass is a ``grouped_apply`` over the cluster id —
-  one hash shuffle; per-cluster work is a (|c| x |c|) matmul, bounded
-  by the cluster size (pick k so corpus/k fits a task; the paper uses
-  the same bound)."""
+  one hash shuffle; per-cluster work streams ascending-id blocks
+  against the running kept-set (block x block float32 matmuls, never
+  the |c| x |c| matrix), and ``n_clusters="auto"`` scales k with corpus
+  size so a cluster's rows fit a task (the paper's many-centroid
+  regime)."""
 
 from __future__ import annotations
 
@@ -154,20 +156,38 @@ def kmeans(
 
 def semantic_dedup(
     ds: Dataset,
-    n_clusters: int = 10,
+    n_clusters: int | str = 10,
     threshold: float = 0.99,
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    block_rows: int = 4096,
+    target_cluster_rows: int = 100_000,
 ) -> Dataset:
     """SemDeDup: drop embeddings nearly identical (cosine >= threshold)
     to a kept item in the SAME k-means cluster; keep the lowest id of
     each near-dup chain. Returns ``(id, cluster, keep)`` for every row.
 
+    Scale levers (two, independent):
+
+    - The within-cluster pass streams the cluster in ascending-id
+      blocks of ``block_rows`` against the RUNNING KEPT-SET — the
+      largest transient is a block x block (or block x kept-block)
+      float32 matmul, never the |c| x |c| matrix, so a skewed cluster
+      cannot blow a task's heap quadratically. Exact: identical output
+      to the one-shot greedy (kept rows suppress later rows; dropped
+      rows suppress nothing).
+    - ``n_clusters="auto"`` scales k with corpus size so E[|c|] ~=
+      ``target_cluster_rows`` (the paper keeps clusters small by using
+      many centroids, arXiv:2303.09540); the per-task group table and
+      kept-set stay O(target * d).
+
     Cross-cluster near-dups are missed by construction (the paper's
-    trade-off) — raise ``n_clusters`` quality via ``iters``, not by
-    shrinking clusters below near-dup diameter."""
+    trade-off) — raise quality via ``iters``, not by shrinking clusters
+    below near-dup diameter."""
+    if n_clusters == "auto":
+        n_clusters = max(16, int(np.ceil(ds.count() / target_cluster_rows)))
     cent, _, _ = kmeans(ds, n_clusters, iters, vec_col, id_col, seed)
     ref = ray.put(cent)
 
@@ -190,15 +210,41 @@ def semantic_dedup(
     def dedup_cluster(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
-        m = _normalize(_batch_matrix(g, vec_col))[order]
+        m = (
+            _normalize(_batch_matrix(g, vec_col))[order]
+            .astype(np.float32, copy=False)
+        )
         ids_s = ids[order]
         n = len(ids_s)
-        sims = m @ m.T
         keep = np.ones(n, bool)
-        for i in range(n):  # greedy by ascending id; O(|c|) rounds of
-            if not keep[i]:  # vectorized row suppression
-                continue
-            keep[(sims[i] >= threshold) & (np.arange(n) > i)] = False
+        kept_blocks: list[np.ndarray] = []  # running kept-set, <=B rows each
+        for s in range(0, n, block_rows):
+            blk = m[s : s + block_rows]
+            b = len(blk)
+            # 1) suppress by the running kept-set, one bounded matmul per
+            # kept block; rows already suppressed drop out of later
+            # matmuls so work shrinks as suppression accumulates
+            alive = np.ones(b, bool)
+            for kb in kept_blocks:
+                live = np.flatnonzero(alive)
+                if not len(live):
+                    break
+                hit = (blk[live] @ kb.T >= threshold).any(axis=1)
+                alive[live[hit]] = False
+            # 2) intra-block greedy among still-alive rows (ascending
+            # id; suppressed rows suppress nothing — chain semantics)
+            live = np.flatnonzero(alive)
+            if len(live):
+                sub = blk[live]
+                sims = sub @ sub.T  # bounded: <= B x B
+                a = np.ones(len(live), bool)
+                rng_idx = np.arange(len(live))
+                for i in range(len(live)):
+                    if a[i]:
+                        a[(sims[i] >= threshold) & (rng_idx > i)] = False
+                keep[s + live[~a]] = False
+                kept_blocks.append(sub[a])
+            keep[s + np.flatnonzero(~alive)] = False
         return pa.table(
             {
                 id_col: pa.array(ids_s, pa.int64()),
