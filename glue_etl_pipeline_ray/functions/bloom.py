@@ -65,26 +65,49 @@ class BloomFilter:
 
 
 def bloom_from_dataset(
-    ds, key_cols: list[str], expected_items: int, fp_rate: float = 0.01
+    ds,
+    key_cols: list[str],
+    expected_items: int,
+    fp_rate: float = 0.01,
+    combine_parts: int = 32,
 ) -> BloomFilter:
     """Build a filter over a Dataset's keys: per-block partial filters
-    (packed bits) OR-merged. The driver only ever holds m-bit arrays,
-    never the keys."""
+    (packed bits) OR-merged through one bounded tree-combine level —
+    ``combine_parts`` parallel tasks each fold their share of the block
+    partials, so the driver ORs at most ``combine_parts`` bitmaps
+    instead of one per block (at 10^9 expected items a partial is
+    ~1.2 GB; a driver loop over thousands of those would serialize the
+    whole build). The driver only ever holds m-bit arrays, never keys."""
     import pyarrow as pa
 
     from glue_etl_pipeline_ray.hashing import key_hash_u64
 
     proto = BloomFilter(expected_items, fp_rate)
-    m, k = proto.m, proto.k
+    m = proto.m
+    nbytes = (m + 7) // 8
 
     def partial(t: pa.Table) -> pa.Table:
         bf = BloomFilter(expected_items, fp_rate)
         bf.add_hashes(key_hash_u64(*(t[c] for c in key_cols)))
         return pa.table({"bits": pa.array([np.packbits(bf.bits).tobytes()])})
 
-    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    for row in out.iter_rows():
-        proto.bits |= np.unpackbits(
-            np.frombuffer(row["bits"], dtype=np.uint8), count=m
-        ).astype(bool)
+    def or_rows(t: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, np.uint8)
+        for buf in t["bits"]:
+            np.bitwise_or(
+                acc, np.frombuffer(buf.as_py(), dtype=np.uint8), out=acc
+            )
+        return pa.table({"bits": pa.array([acc.tobytes()])})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(combine_parts)
+        .map_batches(or_rows, batch_format="pyarrow", batch_size=None)
+    )
+    packed = np.zeros(nbytes, np.uint8)
+    for row in out.iter_rows():  # <= combine_parts rows by construction
+        np.bitwise_or(
+            packed, np.frombuffer(row["bits"], dtype=np.uint8), out=packed
+        )
+    proto.bits = np.unpackbits(packed, count=m).astype(bool)
     return proto
