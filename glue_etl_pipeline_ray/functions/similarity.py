@@ -109,8 +109,35 @@ def build_centroids(
     seeded-random, each next = the sample point with max min-distance
     to chosen centroids) — immune to two seeds landing in one natural
     cluster, which plain random init cannot recover from (a Lloyd
-    centroid that loses all members never moves again)."""
-    sample = ds.limit(sample_limit).to_pandas()
+    centroid that loses all members never moves again).
+
+    The sample is a deterministic content-hash threshold over the
+    vector bytes, not ``limit()`` — the first blocks of a sorted or
+    clustered input all come from one region, and a one-region sample
+    can never seed the other regions' centroids."""
+    n_total = ds.count()
+    sample_ds = ds
+    if n_total > sample_limit:
+        # oversample 1.3x so the post-filter limit() still fills up
+        frac = min(1.0, 1.3 * sample_limit / n_total)
+        thresh = np.uint64(int(frac * float(2**64)))
+
+        def hsample(t: pa.Table) -> pa.Table:
+            m = _batch_matrix(t, vec_col).astype(np.float32, copy=False)
+            u = np.ascontiguousarray(m).view(np.uint32)
+            h = np.zeros(len(m), np.uint64)
+            mult = np.uint64(0x9E3779B97F4A7C15)
+            with np.errstate(over="ignore"):
+                for j in range(u.shape[1]):
+                    h = (h * mult) ^ u[:, j].astype(np.uint64)
+            return t.filter(pa.array(h < thresh))
+
+        sample_ds = ds.map_batches(
+            hsample, batch_format="pyarrow", batch_size=None
+        )
+    sample = sample_ds.limit(sample_limit).to_pandas()
+    if len(sample) == 0:  # degenerate content (all-identical vectors)
+        sample = ds.limit(sample_limit).to_pandas()
     m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(m))

@@ -250,3 +250,35 @@ def test_semantic_dedup_skewed_cluster_memory_bounded(ray_session):
     assert kept.sum() < n
     # old impl: n*n*8 bytes = 12.8 GB; blockwise must stay far below
     assert peak < 800 * 1024 * 1024, f"peak {peak/1e9:.2f} GB"
+
+
+def test_centroid_init_sample_not_first_blocks_biased(ray_session):
+    """Pre-sorted-by-cluster input: a limit()-based init sample sees one
+    blob only; the content-hash sample must seed every blob."""
+    from glue_etl_pipeline_ray.functions.similarity import (
+        _normalize,
+        build_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    k, per, d = 4, 1500, 8
+    means = _normalize(rng.normal(size=(k, d)) * 4)
+    vecs = np.concatenate(
+        [means[i] + rng.normal(scale=0.05, size=(per, d)) for i in range(k)]
+    )  # SORTED by cluster — the biased case
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    vecs.tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    cent = build_centroids(
+        ds, n_centroids=k, sample_limit=500, init="greedy"
+    )
+    sims = _normalize(means) @ cent.T
+    # every true blob has a centroid essentially on top of it
+    assert (sims.max(axis=1) > 0.95).all(), sims.max(axis=1)
