@@ -421,8 +421,18 @@ def interval_join(
     union + one hash shuffle on (key, bucket) through the
     collision-guarded grouped_apply, then a vectorized sweep per group:
     rows sorted by start, events probe with searchsorted over starts and
-    filter on end — O((E+I) log I + matches) per group, no E x I
-    materialization unless everything truly matches.
+    filter on end — no E x I materialization ever; output size is
+    exactly |matches|.
+
+    Worst-case bound: per-group work is sum over events of depth(ev),
+    where depth(ev) = #intervals in the group with start <= ts — i.e.
+    bounded by overlap DEPTH, not group size. A mega-interval spanning
+    the whole domain replicates once per bucket and adds +1 depth per
+    event (linear, tested at 10^6 events against one global interval in
+    tests/test_interval_join.py). The pathological case is depth ~ I
+    (thousands of intervals stacked at one instant for one key): that is
+    genuine output skew when they match (|matches| ~ E x I) and is paid
+    only inside the one affected (key, bucket) group.
     """
     from glue_etl_pipeline_ray.functions.groups import grouped_apply
 
