@@ -222,25 +222,41 @@ def main() -> int:
                 > best["headline"]["events_per_sec"]
             ):
                 results[cpus] = r
-        lo, hi = levels
+        lo, hi = levels[0], levels[-1]
         t_lo = results[lo]["headline"]["events_per_sec"]
         t_hi = results[hi]["headline"]["events_per_sec"]
         eff = t_lo and t_hi / ((hi / lo) * t_lo)
-        print(
-            json.dumps(
-                {
-                    "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
-                    "value": round(eff, 3),
-                    "unit": "ratio",
-                    "n_events": n_events,
-                    "n_batches": 16,
-                    "state_mode": args.state_mode,
-                    f"throughput_{lo}cpu_events_per_sec": t_lo,
-                    f"throughput_{hi}cpu_events_per_sec": t_hi,
-                    "sf": sf,
-                }
-            )
-        )
+        out = {
+            "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "n_events": n_events,
+            "n_batches": 16,
+            "state_mode": args.state_mode,
+            f"throughput_{lo}cpu_events_per_sec": t_lo,
+            f"throughput_{hi}cpu_events_per_sec": t_hi,
+            "sf": sf,
+        }
+        if len(levels) > 2:
+            # 3+ level curve: per-level throughputs + pairwise
+            # efficiencies between consecutive levels (monotone curve
+            # evidence that the pair efficiency isn't a 2-point artifact)
+            out["levels"] = {
+                str(c): results[c]["headline"]["events_per_sec"]
+                for c in levels
+            }
+            out["pairwise"] = {
+                f"{a}->{b}": round(
+                    results[b]["headline"]["events_per_sec"]
+                    / (
+                        (b / a)
+                        * results[a]["headline"]["events_per_sec"]
+                    ),
+                    3,
+                )
+                for a, b in zip(levels, levels[1:])
+            }
+        print(json.dumps(out))
         return 0
 
     _init_ray(num_cpus)
