@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample_real": Q.q_frame_sample_real,
         "frame_sample": Q.q_frame_sample,
         "media_embed": Q.q_media_embed,
+        "bm25_topk": Q.q_bm25_topk,
     }
 
 

@@ -2469,3 +2469,16 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob_score(
         _t(sf_dir, "documents", ["doc_id", "text"])
     )
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-20 retrieval over documents for a fixed query-term set
+    (the lexical retrieval primitive of targeted-subset mining / RAG
+    screens): (N, avgdl) aggregate + per-term DF block partials + one
+    shuffle-free scoring pass with block-local top-k, driver folds
+    blocks x k rows. Gate: pytest (DuckDB BM25 expression, scores to
+    1e-9, exact id ranking)."""
+    from glue_etl_pipeline_ray.functions.bm25 import bm25_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, ["data", "row", "value"], k=20)
