@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": Q.q_frame_sample,
         "media_embed": Q.q_media_embed,
         "bm25_topk": Q.q_bm25_topk,
+        "left_outer_join": Q.q_left_outer_join,
+        "grouped_distinct_hll": Q.q_grouped_distinct_hll,
     }
 
 

@@ -341,3 +341,58 @@ def grouped_kll_quantiles(
     return grouped_apply(
         partials, [key_col], merge_key, num_partitions=num_partitions
     )
+
+
+def grouped_hll_distinct(
+    ds: Dataset,
+    key_col: str,
+    cols: list[str],
+    p: int = 12,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key approximate COUNT(DISTINCT cols) via mergeable HLL
+    registers — the grouped companion to :func:`hll_distinct`, same
+    discipline as :func:`grouped_kll_quantiles`: one ``map_batches``
+    pass emits a 2^p-byte register block per (key, block); the only
+    shuffle moves those partials (keys x blocks, never data rows) into
+    ``grouped_apply``'s hash partitions where per-key registers fold by
+    max. Exact per-group distinct would shuffle every data row; this
+    moves kilobytes per key regardless of group size."""
+
+    def block_regs(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        h = key_hash_u64(*(t[c] for c in cols))
+        order = np.argsort(keys, kind="stable")
+        keys, h = keys[order], h[order]
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        out_k, out_r = [], []
+        for s, e in zip(starts, ends):
+            out_k.append(keys[s])
+            out_r.append(_registers(h[s:e], p).tobytes())
+        return pa.table(
+            {key_col: pa.array(out_k), "regs": pa.array(out_r, pa.binary())}
+        )
+
+    partials = ds.map_batches(
+        block_regs, batch_format="pyarrow", batch_size=None
+    )
+
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    def merge_key(g: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << p, np.int8)
+        for blob in g["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(blob, np.int8))
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, min(1, g.num_rows)),
+                "distinct_est": pa.array(
+                    [_estimate(regs, p)] if g.num_rows else [], pa.float64()
+                ),
+            }
+        )
+
+    return grouped_apply(
+        partials, [key_col], merge_key, num_partitions=num_partitions
+    )

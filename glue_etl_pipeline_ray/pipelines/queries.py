@@ -2482,3 +2482,75 @@ def q_bm25_topk(sf_dir: str):
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return bm25_topk(ds, ["data", "row", "value"], k=20)
+
+
+def q_left_outer_join(sf_dir: str):
+    """Left-outer hash join: every customer with each of their orders,
+    order columns null for order-less customers (the join type the
+    engine's equi/semi/anti family lacked). Two-sided hash-partition on
+    the key through the collision-guarded grouped_apply — the
+    large-large plan; the probe side can't broadcast because LEFT rows
+    must survive without a match. Gate: pytest (DuckDB LEFT JOIN,
+    hash-exact)."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    cust = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "o_total_cents": pa.nulls(t.num_rows, pa.int64()),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    orders = _t(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_total_cents": _cents(t["o_totalprice"]),
+                "__side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def outer(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(side == 0))
+        right = group.filter(pa.array(side == 1))
+        cols = ["c_custkey", "o_orderkey", "o_total_cents"]
+        if left.num_rows == 0:  # orders without a customer: dropped
+            return left.select(cols)
+        if right.num_rows == 0:  # left preserved with null order cols
+            return left.select(cols)
+        n_l, n_r = left.num_rows, right.num_rows
+        li = np.repeat(np.arange(n_l), n_r)
+        ri = np.tile(np.arange(n_r), n_l)
+        return pa.table(
+            {
+                "c_custkey": left["c_custkey"].take(pa.array(li)),
+                "o_orderkey": right["o_orderkey"].take(pa.array(ri)),
+                "o_total_cents": right["o_total_cents"].take(pa.array(ri)),
+            }
+        )
+
+    return grouped_apply(cust.union(orders), ["c_custkey"], outer)
+
+
+def q_grouped_distinct_hll(sf_dir: str):
+    """Per-event-type approximate distinct users (grouped HLL): 2^p-byte
+    register partials per (key, block), one partial-sized shuffle, max
+    fold per key — grouped COUNT(DISTINCT) without moving data rows.
+    Gate: pytest (per-group estimate within the 1.04/sqrt(2^p) bound of
+    the exact DuckDB distinct)."""
+    from glue_etl_pipeline_ray.functions.sketch import grouped_hll_distinct
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_hll_distinct(ds, "event_type", ["user_id"], p=14)
