@@ -80,8 +80,26 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
     for f in files:
         t = pq.read_table(f)
         for fld in t.schema:
-            if fld.name not in known and fld.name not in {n for n, _ in evolved}:
-                evolved.append((fld.name, type_name(fld.type)))
+            if fld.name in known:
+                continue
+            tname = type_name(fld.type)
+            names = {n: i for i, (n, _) in enumerate(evolved)}
+            if fld.name not in names:
+                evolved.append((fld.name, tname))
+            else:
+                # mirror the engine's safe type widening (evolve.widen_type)
+                from glue_etl_pipeline_ray.stages.evolve import widen_type
+
+                idx = names[fld.name]
+                registered = evolved[idx][1]
+                if tname != registered:
+                    widened = widen_type(registered, tname)
+                    if widened is None:
+                        raise ValueError(
+                            f"incompatible schema evolution for column "
+                            f"{fld.name!r}: {registered} vs {tname}"
+                        )
+                    evolved[idx] = (fld.name, widened)
         rows = t.to_pylist()
         rows.sort(key=lambda r: r[spec.seq_col])
         for row in rows:

@@ -33,12 +33,45 @@ def event_schema(
     return pa.schema(fields)
 
 
+_INT_WIDTH = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
+_FLOAT_WIDTH = {"float32": 32, "float64": 64}
+
+
+def widen_type(a: str, b: str) -> str | None:
+    """Smallest SAFE common type name for an evolved column seen with
+    types ``a`` then ``b`` (Delta/Iceberg-style type widening):
+    narrower int -> wider int, float32 -> float64, int -> float64.
+    Returns None when no lossless promotion exists (e.g. int64 ->
+    string) — the caller must treat that as an incompatible evolution,
+    never silently cast."""
+    if a == b:
+        return a
+    if a in _INT_WIDTH and b in _INT_WIDTH:
+        return a if _INT_WIDTH[a] >= _INT_WIDTH[b] else b
+    if a in _FLOAT_WIDTH and b in _FLOAT_WIDTH:
+        return a if _FLOAT_WIDTH[a] >= _FLOAT_WIDTH[b] else b
+    if (a in _INT_WIDTH and b in _FLOAT_WIDTH) or (
+        a in _FLOAT_WIDTH and b in _INT_WIDTH
+    ):
+        # float64 holds every int32 exactly; int64 values past 2^53
+        # lose precision in float64, so only promote small ints
+        int_side = a if a in _INT_WIDTH else b
+        return "float64" if _INT_WIDTH[int_side] <= 32 else None
+    return None
+
+
 def discover_evolved(
     spec: TableSpec,
     file_schema: pa.Schema,
     known_evolved: tuple[tuple[str, str], ...],
 ) -> tuple[tuple[str, str], ...]:
-    """Append unseen columns (first-seen order) from a batch file schema."""
+    """Append unseen columns (first-seen order) from a batch file
+    schema, and WIDEN a known evolved column when a batch arrives with
+    a safely wider type (int32 -> int64, float32 -> float64); the
+    registry keeps the column's position, and every state read path
+    conforms old narrow data upward. Base/key columns are fixed by the
+    spec and never widen (the lake's external contract). Incompatible
+    type changes raise instead of corrupting downstream casts."""
     known = {
         *spec.key_cols,
         *spec.base_col_names,
@@ -46,14 +79,30 @@ def discover_evolved(
         spec.op_col,
         spec.batch_col,
         *spec.extra_meta_cols,
-        *(n for n, _ in known_evolved),
     }
+    by_name = {n: i for i, (n, _) in enumerate(known_evolved)}
     out = list(known_evolved)
     for f in file_schema:
-        if f.name not in known:
-            # type_name round-trips nested list/struct types through the
-            # JSON manifest (str(f.type) would not parse back)
-            out.append((f.name, type_name(f.type)))
+        if f.name in known:
+            continue
+        # type_name round-trips nested list/struct types through the
+        # JSON manifest (str(f.type) would not parse back)
+        tname = type_name(f.type)
+        if f.name not in by_name:
+            by_name[f.name] = len(out)
+            out.append((f.name, tname))
+            continue
+        idx = by_name[f.name]
+        registered = out[idx][1]
+        if tname == registered:
+            continue
+        widened = widen_type(registered, tname)
+        if widened is None:
+            raise ValueError(
+                f"incompatible schema evolution for column {f.name!r}: "
+                f"registered {registered}, batch has {tname}"
+            )
+        out[idx] = (f.name, widened)
     return tuple(out)
 
 
