@@ -39,6 +39,7 @@ import os
 import time
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -1090,6 +1091,95 @@ class ReplayEngine:
 
     def final_sha256(self, as_of: int | None = None) -> str:
         return table_sha256(self.final_table(as_of), self.spec.key_cols)
+
+    def redrive_dlq(self, batches: list[int] | None = None, fixer=None) -> dict:
+        """Reprocess dead-lettered rows after a fix (the DLQ redrive /
+        repair loop every quarantining ingest needs — the reference
+        only parks bad JSON in the dirty bucket; this closes the loop).
+
+        Collects the quarantined rows of ``batches`` (default: every
+        batch with a DLQ), applies the optional ``fixer`` (a
+        ``pa.Table -> pa.Table`` repair, e.g. backfilling a payload),
+        and replays them as ONE new batch through the NORMAL pipeline:
+        re-validation quarantines still-bad rows under the new batch,
+        the merge applies recovered rows with their ORIGINAL ``seq`` —
+        so LWW yields exactly the state the stream would have produced
+        had the rows never been quarantined (a newer live version still
+        wins), and the checkpoint gives the redrive batch exactly-once
+        commit semantics. After commit, redriven rows are removed from
+        the source DLQ dirs (atomic per-file rewrite).
+
+        Crash-safe by idempotence: a crash before commit re-runs the
+        identical redrive batch; a crash after commit but before DLQ
+        cleanup re-applies rows whose (key, seq) the merge already
+        holds — a no-op under LWW — and the re-run's cleanup still
+        prunes the source dirs. Rows are seq-deduplicated so repeated
+        crashes never inflate the redrive batch.
+
+        Note: the redrive batch consumes the next id in the single
+        checkpoint sequence (single-writer engine) — run it between
+        ingest runs, not concurrently with one.
+        """
+        dlq_root = os.path.join(self.lake_dir, "_dlq")
+        src: list[tuple[int, list[str]]] = []
+        for d in sorted(glob.glob(os.path.join(dlq_root, "batch=*"))):
+            bid = int(_BATCH_RE.search(d).group(1))
+            if batches is None or bid in batches:
+                fs = sorted(glob.glob(os.path.join(d, "*.parquet")))
+                if fs:
+                    src.append((bid, fs))
+        if not src:
+            return {"n_redriven": 0, "batch_id": None, "summary": None}
+        t = pa.concat_tables(
+            [pq.read_table(f) for _, fs in src for f in fs],
+            promote_options="permissive",
+        )
+        if "error" in t.column_names:
+            t = t.drop_columns(["error"])
+        # seq-dedup: crash replays and multi-generation DLQs can hold
+        # the same event twice; one copy is enough (they are identical)
+        seqs = t[self.spec.seq_col].to_numpy(zero_copy_only=False)
+        first = np.unique(seqs, return_index=True)[1]
+        t = t.take(pa.array(np.sort(first)))
+        redriven_seqs = set(t[self.spec.seq_col].to_pylist())
+        if fixer is not None:
+            t = fixer(t)
+        new_bid = self.ckpt.watermark + 1
+        if self.spec.batch_col in t.column_names:
+            t = t.drop_columns([self.spec.batch_col])
+        t = t.append_column(
+            self.spec.batch_col,
+            pa.array(np.full(t.num_rows, new_bid, np.int64)),
+        )
+        redrive_dir = os.path.join(self.lake_dir, "_redrive")
+        os.makedirs(redrive_dir, exist_ok=True)
+        path = os.path.join(redrive_dir, f"batch={new_bid:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        summary = self.replay(redrive_dir)
+        # post-commit cleanup (idempotent): drop redriven rows from the
+        # source DLQ dirs and the consumed redrive staging file
+        for _, fs in src:
+            for f in fs:
+                dt = pq.read_table(f)
+                keep = pa.array(
+                    [s not in redriven_seqs
+                     for s in dt[self.spec.seq_col].to_pylist()]
+                )
+                kept = dt.filter(keep)
+                if kept.num_rows == 0:
+                    os.remove(f)
+                else:
+                    ftmp = f + ".tmp"
+                    pq.write_table(kept, ftmp)
+                    os.replace(ftmp, f)
+        os.remove(path)
+        return {
+            "n_redriven": len(redriven_seqs),
+            "batch_id": new_bid,
+            "summary": summary,
+        }
 
     def lookup(self, keys, as_of: int | None = None) -> pa.Table:
         """Point lookups by primary key WITHOUT scanning the lake: each

@@ -1,0 +1,122 @@
+"""DLQ redrive gate: recovered rows land exactly where the stream
+would have put them (oracle equality on a patched stream), still-bad
+rows re-quarantine once, the operation is exactly-once under re-runs,
+and source DLQ dirs are pruned."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from glue_etl_pipeline_ray.gen import generate_change_events
+from glue_etl_pipeline_ray.oracle import replay_oracle
+from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
+from glue_etl_pipeline_ray.spec import repo_file_spec
+
+
+FIX = "recovered content"
+
+
+def _fixer(t: pa.Table) -> pa.Table:
+    """Backfill null content on upsert ops (repairs 'not_null:content')."""
+    is_upsert = pc.is_in(
+        t["op"], value_set=pa.array(["INSERT", "UPDATE"])
+    )
+    needs = pc.and_(is_upsert, pc.is_null(t["content"]))
+    content = pc.if_else(needs, pa.scalar(FIX), t["content"])
+    return t.set_column(
+        t.column_names.index("content"), "content", content
+    )
+
+
+def _patched_oracle_sha(spec, ev_dir, tmp_path):
+    """Oracle over the SAME stream with the fixer pre-applied to the
+    event files — the state the stream would have produced had the
+    fixable rows never been dirty."""
+    patched = str(tmp_path / "patched_events")
+    os.makedirs(patched, exist_ok=True)
+    for f in sorted(glob.glob(os.path.join(ev_dir, "batch=*.parquet"))):
+        t = _fixer(pq.read_table(f))
+        pq.write_table(t, os.path.join(patched, os.path.basename(f)))
+    return replay_oracle(spec, patched)
+
+
+def test_redrive_recovers_fixable_rows_to_oracle_state(
+    ray_session, tmp_path
+):
+    spec = repo_file_spec()
+    work = str(tmp_path / "gen")
+    meta = generate_change_events(
+        work, n_events=8000, n_batches=4, dirty_frac=0.05, seed=13
+    )
+    ev = meta["events_dir"]
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake)
+    eng.replay(ev)
+    dlq_before = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(lake, "_dlq", "**", "*.parquet"),
+                           recursive=True)
+    )
+    assert dlq_before > 0
+
+    out = eng.redrive_dlq(fixer=_fixer)
+    assert out["n_redriven"] == dlq_before
+    assert out["batch_id"] == 4  # next id in the checkpoint sequence
+
+    o = _patched_oracle_sha(spec, ev, tmp_path)
+    assert eng.final_sha256() == o["sha256"]
+
+    # still-bad rows (enum/regex errors the fixer can't repair) are
+    # re-quarantined exactly once, under the redrive batch only
+    dlq_files = glob.glob(
+        os.path.join(lake, "_dlq", "**", "*.parquet"), recursive=True
+    )
+    remaining = (
+        pa.concat_tables([pq.read_table(f) for f in dlq_files])
+        if dlq_files
+        else None
+    )
+    assert remaining is not None and remaining.num_rows == len(o["dlq"])
+    assert all("batch=00004" in f for f in dlq_files)
+
+    # exactly-once: a second redrive (nothing fixable left) leaves the
+    # state sha and the DLQ row count unchanged
+    sha1 = eng.final_sha256()
+    out2 = eng.redrive_dlq(fixer=_fixer)
+    assert out2["n_redriven"] == remaining.num_rows
+    assert eng.final_sha256() == sha1
+    dlq_after2 = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(lake, "_dlq", "**", "*.parquet"),
+                           recursive=True)
+    )
+    assert dlq_after2 == remaining.num_rows
+
+
+def test_redrive_without_fixer_requeues_everything(ray_session, tmp_path):
+    spec = repo_file_spec()
+    work = str(tmp_path / "gen")
+    meta = generate_change_events(
+        work, n_events=3000, n_batches=2, dirty_frac=0.04, seed=5
+    )
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake, state_mode="delta")
+    eng.replay(meta["events_dir"])
+    sha0 = eng.final_sha256()
+    n0 = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(lake, "_dlq", "**", "*.parquet"),
+                           recursive=True)
+    )
+    out = eng.redrive_dlq()  # no fixer: every row fails again
+    assert out["n_redriven"] == n0
+    assert eng.final_sha256() == sha0  # state untouched
+    n1 = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(lake, "_dlq", "**", "*.parquet"),
+                           recursive=True)
+    )
+    assert n1 == n0  # requeued once, not duplicated
