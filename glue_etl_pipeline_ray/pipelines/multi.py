@@ -187,3 +187,74 @@ class MultiTableReplayer:
 
     def final_sha256(self) -> dict[str, str]:
         return {n: e.final_sha256() for n, e in self.engines.items()}
+
+    # ------------------------------------------- cross-table atomicity
+    def _group_manifest_path(self) -> str:
+        any_eng = next(iter(self.engines.values()))
+        return os.path.join(
+            os.path.dirname(any_eng.lake_dir), "_group_checkpoint.json"
+        )
+
+    def group_watermark(self) -> int:
+        """Highest batch id EVERY table has committed as a group (-1 =
+        none) — the consistent cross-table snapshot point recorded by
+        :meth:`replay_atomic`. Per-table watermarks may individually be
+        ahead after a crash mid-lockstep; the group manifest only
+        advances once the whole batch landed everywhere."""
+        import json
+
+        p = self._group_manifest_path()
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(json.load(f)["group_watermark"])
+
+    def replay_atomic(self, events_dir: str) -> dict[str, dict]:
+        """Lockstep cross-table replay with atomic group commits: batch
+        b advances in ALL tables before the group watermark records b
+        (one json replace = the commit point). A crash between two
+        tables' commits of batch b leaves per-table watermarks torn,
+        but readers using :meth:`consistent_tables` never see the tear:
+        they read every table as-of the group watermark. Resume is the
+        same call again — engines skip their committed batches, the
+        group manifest catches up.
+
+        The per-table pass keeps each engine's own exactly-once
+        machinery; this layer adds only the ordering contract (the
+        reference's single workflow run-state covered all six tables
+        the same way)."""
+        import json
+
+        from glue_etl_pipeline_ray.pipelines.replay import discover_batches
+
+        batches = discover_batches(events_dir)
+        out: dict[str, list] = {n: [] for n in self.engines}
+        for bid, _files in batches:
+            if all(e.ckpt.is_committed(bid) for e in self.engines.values()):
+                continue
+            for n, e in self.engines.items():
+                if not e.ckpt.is_committed(bid):
+                    out[n].append(e.replay(events_dir, max_batches=1))
+            p = self._group_manifest_path()
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"group_watermark": bid}, f)
+            os.replace(tmp, p)
+        return out
+
+    def consistent_tables(self) -> dict[str, pa.Table]:
+        """Every table as-of the group watermark — a cross-table
+        consistent snapshot even while some tables have raced ahead.
+        Needs readable history (``state_mode="delta"`` or
+        ``retain_batches``) when any per-table watermark is past the
+        group watermark; with all watermarks equal it falls back to the
+        plain tip read (no history required)."""
+        wm = self.group_watermark()
+        return {
+            n: (
+                e.final_table()
+                if e.ckpt.watermark == wm
+                else e.final_table(as_of=wm)
+            )
+            for n, e in self.engines.items()
+        }

@@ -79,3 +79,71 @@ def test_shared_scan_demux_matches_per_table_pass(tmp_path):
     per_table.replay(meta["events_dir"])
 
     assert shared.final_sha256() == per_table.final_sha256()
+
+
+def test_atomic_group_commit_survives_mid_lockstep_crash(tmp_path):
+    """Crash after table A commits batch 1 but before table B does:
+    per-table watermarks tear, the group watermark does not, and
+    consistent_tables() reads a coherent cross-table snapshot; the
+    re-run converges both tables and catches the group watermark up."""
+    import pytest
+
+    def _route_org0(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+
+    def _route_rest(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+        )
+
+    meta = generate_change_events(
+        str(tmp_path), n_events=4000, n_repos=12, n_paths=30, n_batches=3,
+        seed=3, delete_frac=0.1, dirty_frac=0.02,
+    )
+    spec = repo_file_spec(num_buckets=8)
+    # delta mode (keep-all) so as-of reads past the group watermark work
+    multi = MultiTableReplayer(
+        str(tmp_path / "lakes"),
+        {"a": (spec, _route_org0), "b": (spec, _route_rest)},
+        state_mode="delta",
+        gc_old_versions=False,
+    )
+    # batch 0 lands everywhere
+    multi.replay_atomic(meta["events_dir"])
+    assert multi.group_watermark() == 2
+
+    # fresh lakes; now simulate the crash at batch 1 on table b
+    multi2 = MultiTableReplayer(
+        str(tmp_path / "lakes2"),
+        {"a": (spec, _route_org0), "b": (spec, _route_rest)},
+        state_mode="delta",
+        gc_old_versions=False,
+    )
+    # manual lockstep for batch 0, then crash b's batch 1
+    multi2.engines["a"].replay(meta["events_dir"], max_batches=1)
+    multi2.engines["b"].replay(meta["events_dir"], max_batches=1)
+    import json, os as _os
+
+    p = multi2._group_manifest_path()
+    with open(p, "w") as f:
+        json.dump({"group_watermark": 0}, f)
+    multi2.engines["a"].replay(meta["events_dir"], max_batches=1)
+    with pytest.raises(RuntimeError):
+        multi2.engines["b"].replay(
+            meta["events_dir"], max_batches=1, fail_before_commit_of=1
+        )
+    # torn: a at 1, b at 0; group watermark still 0
+    assert multi2.engines["a"].ckpt.watermark == 1
+    assert multi2.engines["b"].ckpt.watermark == 0
+    assert multi2.group_watermark() == 0
+
+    # consistent snapshot = both tables as-of batch 0
+    snap = multi2.consistent_tables()
+    ref_a0 = multi2.engines["a"].final_table(as_of=0)
+    assert snap["a"].equals(ref_a0)
+    assert snap["b"].equals(multi2.engines["b"].final_table())
+
+    # resume: full lockstep converges to the same state as run 1
+    multi2.replay_atomic(meta["events_dir"])
+    assert multi2.group_watermark() == 2
+    assert multi2.final_sha256() == multi.final_sha256()
