@@ -1092,6 +1092,130 @@ class ReplayEngine:
     def final_sha256(self, as_of: int | None = None) -> str:
         return table_sha256(self.final_table(as_of), self.spec.key_cols)
 
+    def reshard(self, out_lake_dir: str, factor: int = 2) -> "ReplayEngine":
+        """Scale-out re-bucketing (blue/green): write a new lake with
+        ``num_buckets * factor`` buckets and return an engine over it
+        that resumes replay exactly-once from the same watermark.
+
+        The split is LOCAL — no shuffle: ``h % (f*B)`` is congruent to
+        ``h % B`` mod B, so every row of old bucket ``b`` lands in one
+        of the ``factor`` new buckets ``{b + k*B}``; one Ray task per
+        old bucket folds its committed state (rewrite part file, or
+        delta base+chain) and writes its split files. O(state) total
+        work, cluster-parallel, zero cross-bucket traffic — the answer
+        to an under-provisioned ``num_buckets`` at 10^10 keys without
+        an all-to-all rewrite.
+
+        Tombstones are carried (a late stale update to a deleted key
+        must still lose LWW after the reshard). The new manifest copies
+        watermark / committed / evolved / batch summaries and seeds
+        both layouts (``bucket_versions`` for rewrite,
+        ``bucket_deltas`` bases for delta), so the new engine opens in
+        either state mode. Commit point = the new lake's manifest write
+        (atomic rename); a crashed reshard re-runs with deterministic
+        file names. Pre-reshard history (time travel, change feed) stays
+        with the OLD lake — consumers resync by snapshot, the same
+        contract as a passed retention horizon.
+
+        Single-writer operation: run between ingest runs.
+        """
+        import dataclasses
+        import json as _json
+
+        from glue_etl_pipeline_ray.hashing import key_hash_u64
+        from glue_etl_pipeline_ray.stages.merge import read_bucket_state
+
+        if factor < 2:
+            raise ValueError("factor must be >= 2")
+        wm = self.ckpt.watermark
+        if wm < 0:
+            raise ValueError("nothing to reshard: no committed batches")
+        spec, evolved = self.spec, self.ckpt.evolved
+        nb_old = spec.num_buckets
+        nb_new = nb_old * factor
+        os.makedirs(out_lake_dir, exist_ok=True)
+        st = state_schema(spec, evolved)
+        key_cols, lake = spec.key_cols, self.lake_dir
+
+        if self.state_mode == "delta":
+            ptrs = {
+                b: (d["base"], d["deltas"])
+                for b, d in self.ckpt.bucket_deltas.items()
+            }
+        else:
+            ptrs = None
+        bv = self.ckpt.bucket_versions
+
+        @ray.remote
+        def split(bucket: int) -> list[int]:
+            if ptrs is not None:
+                base, chain = ptrs[bucket]
+                t = read_bucket_state(spec, evolved, lake, base, chain, bucket)
+            else:
+                t = pq.read_table(
+                    os.path.join(lake, part_name(bucket, bv[bucket]))
+                )
+            t = conform(t, st)
+            if t.num_rows == 0:
+                return []
+            h = (
+                key_hash_u64(*(t[k] for k in key_cols)) % np.uint64(nb_new)
+            ).astype(np.int64)
+            targets = [bucket + k * nb_old for k in range(factor)]
+            assert np.isin(h, targets).all(), (
+                "split invariant violated: a row left its bucket family"
+            )
+            written = []
+            for nb in targets:
+                sub = t.filter(pa.array(h == nb))
+                if sub.num_rows == 0:
+                    continue
+                path = os.path.join(out_lake_dir, part_name(nb, wm))
+                tmp = path + ".tmp"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, path)
+                written.append(nb)
+            return written
+
+        buckets = sorted(ptrs) if ptrs is not None else sorted(bv)
+        new_buckets = [
+            nb for r in ray.get([split.remote(b) for b in buckets]) for nb in r
+        ]
+
+        # commit: one atomic manifest write makes the new lake live
+        ckpt_dir = os.path.join(out_lake_dir, "_checkpoint")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        manifest = {
+            "watermark": wm,
+            "committed": sorted(self.ckpt.committed),
+            "evolved": [list(e) for e in evolved],
+            "batches": self.ckpt._m.get("batches", {}),
+            "bucket_versions": {str(b): wm for b in new_buckets},
+            "bucket_deltas": {
+                str(b): {"base": wm, "deltas": []} for b in new_buckets
+            },
+        }
+        mpath = os.path.join(ckpt_dir, "manifest.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, mpath)
+
+        return ReplayEngine(
+            dataclasses.replace(spec, num_buckets=nb_new),
+            out_lake_dir,
+            compute_bucket_hash=self.compute_bucket_hash,
+            validate_batch_size=self.validate_batch_size,
+            exchange=self.exchange,
+            num_exchange=self.num_exchange,
+            window=self.window,
+            gc_old_versions=self.gc_old_versions,
+            state_mode=self.state_mode,
+            fold_threshold=self.fold_threshold,
+            event_filter=self.event_filter,
+            retain_batches=self.retain_batches,
+        )
+
     def redrive_dlq(self, batches: list[int] | None = None, fixer=None) -> dict:
         """Reprocess dead-lettered rows after a fix (the DLQ redrive /
         repair loop every quarantining ingest needs — the reference

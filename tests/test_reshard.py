@@ -1,0 +1,112 @@
+"""Bucket re-sharding gate: the blue/green split preserves state
+byte-for-byte (sha equality), carries tombstones, resumes replay
+exactly-once on the new bucket count in BOTH state modes, and serves
+point lookups under the new hash."""
+
+import numpy as np
+
+from glue_etl_pipeline_ray.gen import generate_change_events
+from glue_etl_pipeline_ray.oracle import replay_oracle
+from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
+from glue_etl_pipeline_ray.spec import repo_file_spec
+
+
+def _stream(tmp_path):
+    meta = generate_change_events(
+        str(tmp_path / "gen"), n_events=9000, n_batches=6, n_repos=20,
+        n_paths=50, delete_frac=0.12, dirty_frac=0.02, seed=21,
+    )
+    return meta["events_dir"]
+
+
+def test_reshard_rewrite_preserves_state_and_resumes(ray_session, tmp_path):
+    ev = _stream(tmp_path)
+    spec = repo_file_spec(num_buckets=16)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(ev, max_batches=4)
+    sha_pre = eng.final_sha256()
+
+    eng2 = eng.reshard(str(tmp_path / "lake2"), factor=2)
+    assert eng2.spec.num_buckets == 32
+    assert eng2.ckpt.watermark == eng.ckpt.watermark == 3
+    assert eng2.final_sha256() == sha_pre  # split is content-neutral
+
+    # remaining batches replay on the NEW lake, exactly-once
+    out = eng2.replay(ev)
+    assert out["applied_batches"] == [4, 5]
+    oracle = replay_oracle(spec, ev)
+    assert eng2.final_sha256() == oracle["sha256"]
+
+    # point lookups hash with the new bucket count
+    live = eng2.final_table()
+    keys = list(
+        zip(live["repo"].to_pylist()[:5], live["path"].to_pylist()[:5])
+    )
+    got = eng2.lookup(keys)
+    assert got.num_rows == len(keys)
+    assert set(zip(got["repo"].to_pylist(), got["path"].to_pylist())) == set(
+        keys
+    )
+
+
+def test_reshard_delta_mode_preserves_and_resumes(ray_session, tmp_path):
+    ev = _stream(tmp_path)
+    spec = repo_file_spec(num_buckets=16)
+    eng = ReplayEngine(
+        spec, str(tmp_path / "dlake"), state_mode="delta", fold_threshold=2
+    )
+    eng.replay(ev, max_batches=4)
+    sha_pre = eng.final_sha256()
+
+    eng2 = eng.reshard(str(tmp_path / "dlake2"), factor=4)
+    assert eng2.spec.num_buckets == 64
+    assert eng2.final_sha256() == sha_pre
+
+    out = eng2.replay(ev)
+    assert out["applied_batches"] == [4, 5]
+    assert eng2.final_sha256() == replay_oracle(spec, ev)["sha256"]
+
+
+def test_reshard_carries_tombstones(ray_session, tmp_path):
+    """A deleted key's tombstone must survive the reshard so a stale
+    (lower-seq) update replayed afterwards still loses LWW."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = repo_file_spec(num_buckets=4)
+    ev = str(tmp_path / "events")
+    os.makedirs(ev)
+
+    def batch(bid, rows):
+        cols = {
+            "seq": pa.array([r[0] for r in rows], pa.int64()),
+            "batch_id": pa.array([bid] * len(rows), pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "repo": pa.array([r[2] for r in rows]),
+            "path": pa.array([r[3] for r in rows]),
+            "commit": pa.array(["a" * 40] * len(rows)),
+            "lang": pa.array(
+                [None if r[1] == "DELETE" else "py" for r in rows]
+            ),
+            "content": pa.array(
+                [None if r[1] == "DELETE" else "x" for r in rows]
+            ),
+            "event_id": pa.array([f"e{r[0]}" for r in rows]),
+            "ts": pa.array([r[0] for r in rows], pa.int64()),
+        }
+        pq.write_table(
+            pa.table(cols), os.path.join(ev, f"batch={bid:05d}.parquet")
+        )
+
+    batch(0, [(1, "INSERT", "r", "p"), (5, "DELETE", "r", "p")])
+    eng = ReplayEngine(spec, str(tmp_path / "tlake"))
+    eng.replay(ev)
+    assert eng.final_table().num_rows == 0
+
+    eng2 = eng.reshard(str(tmp_path / "tlake2"))
+    # stale update (seq 3 < tombstone seq 5) arrives after the reshard
+    batch(1, [(3, "UPDATE", "r", "p")])
+    eng2.replay(ev)
+    assert eng2.final_table().num_rows == 0  # tombstone still wins
