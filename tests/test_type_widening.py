@@ -87,3 +87,36 @@ def test_widen_type_lattice():
     assert widen_type("int64", "float64") is None  # 2^53 precision loss
     assert widen_type("int64", "string") is None
     assert widen_type("int32", "int32") == "int32"
+
+
+def test_widen_type_semilattice_properties():
+    """widen_type is a partial join-semilattice: commutative,
+    idempotent, and associative wherever defined."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    TYPES = ["int8", "int16", "int32", "int64", "float32", "float64",
+             "string", "list<float32>"]
+
+    @given(st.sampled_from(TYPES), st.sampled_from(TYPES))
+    def comm(a, b):
+        assert widen_type(a, b) == widen_type(b, a)
+
+    @given(st.sampled_from(TYPES))
+    def idem(a):
+        assert widen_type(a, a) == a
+
+    @given(
+        st.sampled_from(TYPES), st.sampled_from(TYPES), st.sampled_from(TYPES)
+    )
+    def assoc(a, b, c):
+        ab = widen_type(a, b)
+        bc = widen_type(b, c)
+        if ab is not None and bc is not None:
+            left = widen_type(ab, c)
+            right = widen_type(a, bc)
+            assert left == right
+
+    comm()
+    idem()
+    assoc()
