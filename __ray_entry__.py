@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": Q.q_bm25_topk,
         "left_outer_join": Q.q_left_outer_join,
         "grouped_distinct_hll": Q.q_grouped_distinct_hll,
+        "cdc_redrive": Q.q_cdc_redrive,
     }
 
 

@@ -82,7 +82,9 @@ def user_state_spec() -> TableSpec:
     )
 
 
-def _events_as_cdc(sf_dir: str, out_dir: str, n_batches: int = 2) -> str:
+def _events_as_cdc(
+    sf_dir: str, out_dir: str, n_batches: int = 2, dirty_mod: int | None = None
+) -> str:
     """Derive a change-event stream from the events table (Ray-side) and
     lay it out as per-batch parquet for the replayer."""
     ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
@@ -99,6 +101,15 @@ def _events_as_cdc(sf_dir: str, out_dir: str, n_batches: int = 2) -> str:
             ),
         )
         eid = t["event_id"].to_numpy()
+        vc = _cents(t["value"])
+        if dirty_mod:
+            # deterministic dirt: null payload on every dirty_mod-th
+            # event (quarantined by the strict spec, recovered by redrive)
+            vc = pc.if_else(
+                pa.array(eid % dirty_mod == 0),
+                pa.nulls(t.num_rows, pa.int64()),
+                pc.cast(vc, pa.int64()),
+            )
         return pa.table(
             {
                 "seq": t["event_id"],
@@ -106,7 +117,7 @@ def _events_as_cdc(sf_dir: str, out_dir: str, n_batches: int = 2) -> str:
                 "op": op,
                 "user_id": pc.cast(t["user_id"], pa.string()),
                 "event_type": et,
-                "value_cents": _cents(t["value"]),
+                "value_cents": vc,
             }
         )
 
@@ -2554,3 +2565,35 @@ def q_grouped_distinct_hll(sf_dir: str):
 
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
     return grouped_hll_distinct(ds, "event_type", ["user_id"], p=14)
+
+
+def q_cdc_redrive(sf_dir: str) -> pa.Table:
+    """DLQ redrive closing the quarantine loop: replay a change stream
+    whose every 13th event carries a null payload (dead-lettered by a
+    strict not_null rule), then redrive the DLQ with a fixer that
+    backfills the payload — recovered rows apply with their ORIGINAL
+    seq, so the final table equals LWW over the never-dirty stream.
+    Gate: pytest (hash-exact vs a DuckDB window query over the patched
+    stream, tests/test_cdc_redrive_query.py)."""
+    work = tempfile.mkdtemp(prefix="gepr_redrive_")
+    ev_dir = _events_as_cdc(sf_dir, work, dirty_mod=13)
+    base = user_state_spec()
+    spec = TableSpec(
+        name=base.name,
+        key_cols=base.key_cols,
+        base_cols=base.base_cols,
+        rules=base.rules
+        + (Rule("value_cents", "not_null", nullable_for_ops=("DELETE",)),),
+        num_buckets=base.num_buckets,
+    )
+    eng = ReplayEngine(spec, os.path.join(work, "lake"))
+    eng.replay(ev_dir)
+
+    def fixer(t: pa.Table) -> pa.Table:
+        vc = pc.fill_null(t["value_cents"], 0)
+        return t.set_column(
+            t.column_names.index("value_cents"), "value_cents", vc
+        )
+
+    eng.redrive_dlq(fixer=fixer)
+    return eng.final_table()
