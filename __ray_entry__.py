@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_join": Q.q_left_outer_join,
         "grouped_distinct_hll": Q.q_grouped_distinct_hll,
         "cdc_redrive": Q.q_cdc_redrive,
+        "cdc_reshard": Q.q_cdc_reshard,
     }
 
 

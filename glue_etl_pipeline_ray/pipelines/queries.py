@@ -2597,3 +2597,18 @@ def q_cdc_redrive(sf_dir: str) -> pa.Table:
 
     eng.redrive_dlq(fixer=fixer)
     return eng.final_table()
+
+
+def q_cdc_reshard(sf_dir: str) -> pa.Table:
+    """Mid-stream bucket scale-out: replay batch 0 at 16 buckets,
+    reshard to 32 (local per-bucket split, no shuffle), replay batch 1
+    on the new layout — the final table must equal the uninterrupted
+    LWW replay. Gate: pytest (hash-exact vs the same DuckDB window
+    query as cdc_lww_upsert, tests/test_cdc_reshard_query.py)."""
+    work = tempfile.mkdtemp(prefix="gepr_reshard_")
+    ev_dir = _events_as_cdc(sf_dir, work)
+    eng = ReplayEngine(user_state_spec(), os.path.join(work, "lake"))
+    eng.replay(ev_dir, max_batches=1)
+    eng2 = eng.reshard(os.path.join(work, "lake2"), factor=2)
+    eng2.replay(ev_dir)
+    return eng2.final_table()
