@@ -110,3 +110,31 @@ def test_reshard_carries_tombstones(ray_session, tmp_path):
     batch(1, [(3, "UPDATE", "r", "p")])
     eng2.replay(ev)
     assert eng2.final_table().num_rows == 0  # tombstone still wins
+
+
+def test_reshard_then_bounded_retention_continues(ray_session, tmp_path):
+    """A resharded delta lake with retain_batches keeps replaying,
+    folding and purging correctly from the seeded manifest (empty
+    fold_history, bases at the reshard watermark)."""
+    ev = _stream(tmp_path)
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(
+        spec, str(tmp_path / "rlake"), state_mode="delta",
+        fold_threshold=2, retain_batches=2,
+    )
+    eng.replay(ev, max_batches=2)
+    eng2 = eng.reshard(str(tmp_path / "rlake2"), factor=2)
+    assert eng2.retain_batches == 2
+    out = eng2.replay(ev)
+    assert out["applied_batches"] == [2, 3, 4, 5]
+    assert eng2.final_sha256() == replay_oracle(spec, ev)["sha256"]
+    # within-window time travel still works on the new lake
+    sha_tip = eng2.final_sha256()
+    sha_prev = eng2.final_sha256(as_of=4)
+    assert sha_prev != "" and isinstance(sha_prev, str)
+    # outside the window raises (history starts fresh at the reshard)
+    import pytest
+
+    with pytest.raises((ValueError, NotImplementedError)):
+        eng2.final_sha256(as_of=1)
+    assert eng2.final_sha256() == sha_tip  # reads didn't disturb state
