@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_distinct_hll": Q.q_grouped_distinct_hll,
         "cdc_redrive": Q.q_cdc_redrive,
         "cdc_reshard": Q.q_cdc_reshard,
+        "rows_frame_agg": Q.q_rows_frame_agg,
     }
 
 

@@ -2612,3 +2612,40 @@ def q_cdc_reshard(sf_dir: str) -> pa.Table:
     eng2 = eng.reshard(os.path.join(work, "lake2"), factor=2)
     eng2.replay(ev_dir)
     return eng2.final_table()
+
+
+def q_rows_frame_agg(sf_dir: str):
+    """ROWS-frame window aggregate (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): per event, the sum and count of the user's last 3
+    values in event_id order — the fixed-row-count companion to the
+    RANGE-frame ``sliding_window_30m``. One hash shuffle on the key;
+    per group a sort + prefix-sum difference, no per-row loop.
+    Gate: pytest (hash-exact vs the DuckDB ROWS-frame window,
+    tests/test_rows_frame.py)."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    k = 2  # preceding rows
+
+    def frame(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(eid, kind="stable")
+        cents = (
+            np.round(g["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)[order]
+        )
+        n = len(cents)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.maximum(np.arange(n) - k, 0)
+        frame_sum = csum[np.arange(n) + 1] - csum[lo]
+        frame_n = np.arange(n) + 1 - lo
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": g["user_id"].take(pa.array(order)),
+                "frame_sum_cents": pa.array(frame_sum, pa.int64()),
+                "frame_n": pa.array(frame_n, pa.int64()),
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], frame)
