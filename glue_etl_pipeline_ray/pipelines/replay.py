@@ -1092,6 +1092,96 @@ class ReplayEngine:
     def final_sha256(self, as_of: int | None = None) -> str:
         return table_sha256(self.final_table(as_of), self.spec.key_cols)
 
+    def fsck(self) -> dict:
+        """Lake integrity check (the VACUUM dry-run / fsck an
+        operational lake needs): verify every state file the committed
+        manifest references exists, and list data files the manifest
+        does NOT reference (uncommitted orphans from a crash — safe to
+        delete, never safe to read). Metadata-only: O(manifest +
+        directory listing), no data reads, no mutation.
+
+        Returns ``{"ok", "missing", "orphans", "n_referenced"}`` —
+        ``ok`` is True iff nothing referenced is missing. Orphans are
+        normal debris after a crash mid-batch (deterministic names mean
+        the next replay overwrites them); MISSING files mean real
+        corruption (manual deletion / partial restore)."""
+        referenced: set[str] = set()
+        if self.state_mode == "delta":
+            from glue_etl_pipeline_ray.stages.merge import (
+                delta_name,
+                gdelta_name,
+            )
+
+            for b, d in self.ckpt.bucket_deltas.items():
+                if d.get("base") is not None:
+                    referenced.add(part_name(b, d["base"]))
+                for ent in d.get("deltas", ()):
+                    if isinstance(ent, int):
+                        referenced.add(delta_name(b, ent))
+                    else:
+                        referenced.add(gdelta_name(int(ent[1]), int(ent[0])))
+        else:
+            for b, v in self.ckpt.bucket_versions.items():
+                referenced.add(part_name(b, v))
+        # files retired but not yet purged are still legitimately present
+        retired = {
+            fname for fname, _ in self.ckpt._m.get("retired_files", [])
+        } | {
+            part_name(b, v)
+            for b, v, *_ in self.ckpt._m.get("retired", [])
+        }
+        missing = sorted(
+            f
+            for f in referenced
+            if not os.path.exists(os.path.join(self.lake_dir, f))
+        )
+        on_disk = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(self.lake_dir, "*.parquet"))
+        }
+        orphans = sorted(on_disk - referenced - retired)
+        return {
+            "ok": not missing,
+            "missing": missing,
+            "orphans": orphans,
+            "n_referenced": len(referenced),
+        }
+
+    def metrics(self) -> dict:
+        """Operational rollup from the lineage log: per-batch and total
+        events / dead-letters / upserts / deletes / live counts — the
+        run-report the reference surfaces through its workflow metrics,
+        assembled from the same per-batch manifests the engine already
+        commits (no data reads)."""
+        from glue_etl_pipeline_ray.state.lineage import read_lineage
+
+        per_batch = {}
+        for rec in read_lineage(self.lake_dir):
+            if rec.get("kind") == "batch_summary":
+                per_batch[rec["batch_id"]] = {
+                    k: rec[k]
+                    for k in (
+                        "n_events",
+                        "n_dead_lettered",
+                        "n_upserts",
+                        "n_deletes",
+                        "n_live",
+                    )
+                    if k in rec
+                }
+        totals = {
+            k: sum(s.get(k, 0) for s in per_batch.values())
+            for k in ("n_events", "n_dead_lettered", "n_upserts", "n_deletes")
+        }
+        last = per_batch.get(max(per_batch), {}) if per_batch else {}
+        return {
+            "watermark": self.ckpt.watermark,
+            "n_batches": len(per_batch),
+            "totals": totals,
+            "n_live": last.get("n_live"),
+            "per_batch": dict(sorted(per_batch.items())),
+        }
+
     def reshard(self, out_lake_dir: str, factor: int = 2) -> "ReplayEngine":
         """Scale-out re-bucketing (blue/green): write a new lake with
         ``num_buckets * factor`` buckets and return an engine over it
