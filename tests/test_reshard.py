@@ -138,3 +138,19 @@ def test_reshard_then_bounded_retention_continues(ray_session, tmp_path):
     with pytest.raises((ValueError, NotImplementedError)):
         eng2.final_sha256(as_of=1)
     assert eng2.final_sha256() == sha_tip  # reads didn't disturb state
+
+
+def test_fsck_clean_after_reshard_both_modes(ray_session, tmp_path):
+    ev = _stream(tmp_path)
+    spec = repo_file_spec(num_buckets=8)
+    for mode in ("rewrite", "delta"):
+        eng = ReplayEngine(
+            spec, str(tmp_path / f"fl_{mode}"), state_mode=mode
+        )
+        eng.replay(ev, max_batches=3)
+        eng2 = eng.reshard(str(tmp_path / f"fl2_{mode}"), factor=2)
+        r = eng2.fsck()
+        assert r["ok"] and not r["missing"] and not r["orphans"], (mode, r)
+        eng2.replay(ev)
+        r = eng2.fsck()
+        assert r["ok"] and not r["missing"], (mode, r)
