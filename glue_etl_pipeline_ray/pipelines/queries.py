@@ -2649,3 +2649,15 @@ def q_rows_frame_agg(sf_dir: str):
         )
 
     return grouped_apply(ds, ["user_id"], frame)
+
+
+def q_classifier_score(sf_dir: str):
+    """Hashed-feature linear classifier scoring (the fastText-style
+    quality/domain classifier stage): actor-pool model scoring with the
+    weight vector built once per actor, fully vectorized hashing +
+    gather + bincount per batch. Gate: pytest (bit-exact vs a
+    single-threaded reference of the same fixed float64 expression;
+    determinism across partitionings, tests/test_classifier.py)."""
+    from glue_etl_pipeline_ray.functions.classify import classifier_score
+
+    return classifier_score(_t(sf_dir, "documents", ["doc_id", "text"]))
