@@ -2661,3 +2661,52 @@ def q_classifier_score(sf_dir: str):
     from glue_etl_pipeline_ray.functions.classify import classifier_score
 
     return classifier_score(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_rank_functions(sf_dir: str):
+    """Rank-family window functions in one pass: per user, each event's
+    dense_rank and percent_rank over value cents (ties RANK together —
+    the tie semantics are the point of the family) plus ntile(4) over
+    the (cents, event_id) total order (ntile needs a deterministic tie
+    order to be well-defined). One hash shuffle on the key, one argsort
+    + vectorized rank math per group, no per-row loop. Gate: pytest
+    (hash-exact vs the DuckDB window trio, tests/test_rank_functions.py,
+    incl. a planted-ties fixture)."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def ranks(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            g["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.lexsort((eid, cents))
+        c_s, e_s = cents[order], eid[order]
+        n = len(c_s)
+        pos = np.arange(n)
+        # rank ties on cents ONLY (rank/dense_rank/percent_rank are
+        # about equal sort keys; event_id only serializes ntile below)
+        new_run = np.r_[True, c_s[1:] != c_s[:-1]]
+        run_first = np.maximum.accumulate(np.where(new_run, pos, 0))
+        rank = run_first + 1
+        # dense_rank: 1 + number of distinct smaller keys
+        dense = np.cumsum(new_run)
+        # percent_rank = (rank - 1) / (n - 1), 0 for single-row groups
+        pct = (rank - 1) / max(n - 1, 1)
+        # ntile(4): first (n % 4) tiles get ceil(n/4) rows (SQL rule)
+        tiles = 4
+        base, rem = divmod(n, tiles)
+        sizes = np.full(tiles, base) + (np.arange(tiles) < rem)
+        tile = np.repeat(np.arange(1, tiles + 1), sizes)[:n]
+        return pa.table(
+            {
+                "event_id": pa.array(e_s, pa.int64()),
+                "user_id": g["user_id"].take(pa.array(order)),
+                "dense_rank": pa.array(dense, pa.int64()),
+                "percent_rank": pa.array(pct, pa.float64()),
+                "tile4": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], ranks)
