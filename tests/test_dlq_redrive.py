@@ -120,3 +120,72 @@ def test_redrive_without_fixer_requeues_everything(ray_session, tmp_path):
                            recursive=True)
     )
     assert n1 == n0  # requeued once, not duplicated
+
+
+def test_redrive_crash_after_commit_before_cleanup_is_idempotent(
+    ray_session, tmp_path
+):
+    """Crash window: the redrive batch COMMITS but the source-DLQ
+    cleanup never runs. The re-run must (a) not change state (same-seq
+    re-application is an LWW no-op), (b) still prune the source dirs,
+    (c) end with the same sha and DLQ rows as a never-crashed redrive."""
+    spec = repo_file_spec()
+    meta = generate_change_events(
+        str(tmp_path / "gen"), n_events=6000, n_batches=3, dirty_frac=0.05,
+        seed=29,
+    )
+    ev = meta["events_dir"]
+
+    # control: the never-crashed redrive
+    lake_c = str(tmp_path / "lake_control")
+    eng_c = ReplayEngine(spec, lake_c)
+    eng_c.replay(ev)
+    eng_c.redrive_dlq(fixer=_fixer)
+    sha_control = eng_c.final_sha256()
+    dlq_control = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(lake_c, "_dlq", "**", "*.parquet"),
+                           recursive=True)
+    )
+
+    # crashed run: replay() commits the redrive batch, then we raise
+    # before redrive_dlq's cleanup executes
+    lake = str(tmp_path / "lake_crash")
+    eng = ReplayEngine(spec, lake)
+    eng.replay(ev)
+
+    real_replay = ReplayEngine.replay
+
+    def replay_then_crash(self, *a, **kw):
+        out = real_replay(self, *a, **kw)
+        raise RuntimeError("injected crash after redrive commit")
+
+    ReplayEngine.replay = replay_then_crash
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            eng.redrive_dlq(fixer=_fixer)
+    finally:
+        ReplayEngine.replay = real_replay
+
+    # the redrive batch IS committed; the source DLQ was NOT cleaned
+    assert eng.ckpt.watermark == 3
+    src_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(
+            os.path.join(lake, "_dlq", "batch=0000[0-2]", "*.parquet")
+        )
+    )
+    assert src_rows > 0  # cleanup never happened
+
+    # recovery: plain re-run
+    eng2 = ReplayEngine(spec, lake)
+    eng2.redrive_dlq(fixer=_fixer)
+    assert eng2.final_sha256() == sha_control
+    dlq_after = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(lake, "_dlq", "**", "*.parquet"),
+                           recursive=True)
+    )
+    assert dlq_after == dlq_control
