@@ -113,7 +113,9 @@ def phase_replay(args) -> int:
         state_mode=args.state_mode,
         fold_threshold=4,
     )
-    if args.state_mode == "delta" and args.retain_batches:
+    if args.keep_all:
+        kw["gc_old_versions"] = False
+    elif args.state_mode == "delta" and args.retain_batches:
         kw["retain_batches"] = args.retain_batches
     eng = ReplayEngine(repo_file_spec(num_buckets=args.num_buckets), lake, **kw)
 
@@ -142,7 +144,8 @@ def phase_replay(args) -> int:
     out = {
         "phase": "replay",
         "state_mode": args.state_mode,
-        "retain_batches": args.retain_batches,
+        "retain_batches": None if args.keep_all else args.retain_batches,
+        "keep_all": args.keep_all,
         "num_cpus": args.num_cpus,
         "n_events": N_EVENTS,
         "wall_sec": round(wall, 1),
@@ -216,6 +219,7 @@ def main() -> int:
     p.add_argument("--n-events", type=int, default=None)
     p.add_argument("--lake", default=None)
     p.add_argument("--keep-lake", action="store_true")
+    p.add_argument("--keep-all", action="store_true")
     args = p.parse_args()
     if args.n_events:
         global N_EVENTS
