@@ -106,7 +106,8 @@ def phase_replay(args) -> int:
     lake = args.lake or os.path.join(
         args.cache_dir, f"soak_lake_{args.state_mode}"
     )
-    shutil.rmtree(lake, ignore_errors=True)
+    if not args.resume:
+        shutil.rmtree(lake, ignore_errors=True)
 
     kw = dict(
         compute_bucket_hash=False,
@@ -122,6 +123,24 @@ def phase_replay(args) -> int:
     # chunked replay: 8-batch chunks keep the engine's cross-batch
     # pipelining window live while exposing interval timings (sustained
     # vs front-loaded throughput) and a mid-stream sha checkpoint
+    if args.fail_before is not None:
+        # crash-at-scale probe: inject the crash, report watermark, stop
+        try:
+            eng.replay(ev, fail_before_commit_of=args.fail_before)
+            print(json.dumps({"phase": "replay", "error": "no crash?"}))
+            return 1
+        except RuntimeError as e:
+            print(
+                json.dumps(
+                    {
+                        "phase": "replay-crash",
+                        "injected": str(e),
+                        "watermark": eng.ckpt.watermark,
+                        "state_mode": args.state_mode,
+                    }
+                )
+            )
+            return 0
     chunk = args.batches_per_chunk
     per_chunk = []
     t_all = time.perf_counter()
@@ -220,6 +239,8 @@ def main() -> int:
     p.add_argument("--lake", default=None)
     p.add_argument("--keep-lake", action="store_true")
     p.add_argument("--keep-all", action="store_true")
+    p.add_argument("--fail-before", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args()
     if args.n_events:
         global N_EVENTS
