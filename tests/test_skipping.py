@@ -129,9 +129,14 @@ def test_zorder_box_scan_prunes_both_dimensions(ray_session, tmp_path):
     assert list(gdf["event_id"]) == list(exp["event_id"])
     assert 0 < n_read < n_total  # the 2-D box pruned files
 
-    # single-dimension predicates prune too (z-order keeps BOTH tight)
-    _, n_read_u, _ = pruned_read_box(out, {"user_id": (u_lo, u_hi)})
-    _, n_read_v, _ = pruned_read_box(out, {"value_cents": (v_lo, v_hi)})
+    # single-dimension predicates prune too (z-order keeps BOTH tight).
+    # Narrow probes: Ray sort's sampled range boundaries shift file
+    # stats run-to-run, and a wide single-dim range can marginally
+    # touch every file on an unlucky layout (the once-per-suite flake
+    # documented in r3) — a tight range keeps the margin decisive
+    # while still proving per-dimension pruning.
+    _, n_read_u, _ = pruned_read_box(out, {"user_id": (10, 15)})
+    _, n_read_v, _ = pruned_read_box(out, {"value_cents": (1000, 1400)})
     assert n_read_u < n_total
     assert n_read_v < n_total
 
