@@ -24,6 +24,8 @@ _TYPE_BY_NAME: dict[str, pa.DataType] = {
     "large_string": pa.large_string(),
     "int64": pa.int64(),
     "int32": pa.int32(),
+    "int16": pa.int16(),
+    "int8": pa.int8(),
     "double": pa.float64(),
     "float": pa.float32(),
     "bool": pa.bool_(),

@@ -34,7 +34,10 @@ def event_schema(
 
 
 _INT_WIDTH = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
-_FLOAT_WIDTH = {"float32": 32, "float64": 64}
+# Arrow's canonical str() names floats "float"/"double"; accept the
+# width-suffixed aliases too so the lattice is name-convention-proof
+_FLOAT_WIDTH = {"float": 32, "float32": 32, "double": 64, "float64": 64}
+_FLOAT_CANON = {32: "float", 64: "double"}
 
 
 def widen_type(a: str, b: str) -> str | None:
@@ -49,14 +52,14 @@ def widen_type(a: str, b: str) -> str | None:
     if a in _INT_WIDTH and b in _INT_WIDTH:
         return a if _INT_WIDTH[a] >= _INT_WIDTH[b] else b
     if a in _FLOAT_WIDTH and b in _FLOAT_WIDTH:
-        return a if _FLOAT_WIDTH[a] >= _FLOAT_WIDTH[b] else b
+        return _FLOAT_CANON[max(_FLOAT_WIDTH[a], _FLOAT_WIDTH[b])]
     if (a in _INT_WIDTH and b in _FLOAT_WIDTH) or (
         a in _FLOAT_WIDTH and b in _INT_WIDTH
     ):
         # float64 holds every int32 exactly; int64 values past 2^53
         # lose precision in float64, so only promote small ints
         int_side = a if a in _INT_WIDTH else b
-        return "float64" if _INT_WIDTH[int_side] <= 32 else None
+        return _FLOAT_CANON[64] if _INT_WIDTH[int_side] <= 32 else None
     return None
 
 

@@ -158,3 +158,96 @@ def test_random_nested_stream_matches_oracle(ray_session, s):
     )
     eng.replay(ev_dir)
     assert eng.final_sha256() == oracle["sha256"], (n, n_batches, seed, mode)
+
+
+@settings(max_examples=5, deadline=None)
+@given(s=stream())
+def test_random_widening_stream_matches_oracle(ray_session, s):
+    """Random streams whose evolved column appears with RANDOM per-batch
+    widths (absent / int16 / int32 / int64 / float32 / float64 in any
+    order) must still satisfy engine sha == oracle sha in both state
+    modes — the widening registry is order-insensitive up to the final
+    joined type (the semilattice property) and conform upcasts every
+    historic narrow file."""
+    n, n_batches, seed = s
+    n_batches = max(2, n_batches)
+    rng = np.random.default_rng(seed ^ 0xBEEF)
+    work = f"/tmp/gepr_propw_{uuid.uuid4().hex[:12]}"
+    ev_dir = os.path.join(work, "events")
+    os.makedirs(ev_dir)
+
+    seq = rng.permutation(n).astype(np.int64)
+    t = pa.table(
+        {
+            "seq": pa.array(seq),
+            "batch_id": pa.array((seq % n_batches).astype(np.int64)),
+            "op": pa.array(
+                [rng.choice(["INSERT", "UPDATE", "DELETE"], p=[0.4, 0.4, 0.2])
+                 for _ in range(n)],
+                pa.string(),
+            ),
+            "repo": pa.array(
+                [rng.choice(["org0/repoA", "org1/repoC"]) for _ in range(n)],
+                pa.string(),
+            ),
+            "path": pa.array(
+                [rng.choice(["src/a.py", "docs/r.md"]) for _ in range(n)],
+                pa.string(),
+            ),
+            "commit": pa.array(
+                ["".join(rng.choice(list(HEX), 40)) for _ in range(n)],
+                pa.string(),
+            ),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array(
+                [None if o == "DELETE" else f"c{rng.integers(5)}"
+                 for o in None or []] or
+                [f"c{rng.integers(5)}" for _ in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+    # DELETEs need null content per the spec's nullable_for_ops
+    ops = t["op"].to_pylist()
+    content = [
+        None if o == "DELETE" else c
+        for o, c in zip(ops, t["content"].to_pylist())
+    ]
+    t = t.set_column(
+        t.column_names.index("content"), "content",
+        pa.array(content, pa.string()),
+    )
+
+    int_widths = [pa.int16(), pa.int32(), pa.int64()]
+    fl_widths = [pa.float32(), pa.float64()]
+    for b in range(n_batches):
+        part = t.filter(pa.compute.equal(t["batch_id"], b))
+        roll = rng.random()
+        if roll < 0.25:
+            pass  # column absent this batch
+        elif roll < 0.75:
+            typ = int_widths[rng.integers(len(int_widths))]
+            part = part.append_column(
+                "size_bytes",
+                pa.array(rng.integers(0, 1 << 14, part.num_rows), typ),
+            )
+        else:
+            typ = fl_widths[rng.integers(len(fl_widths))]
+            part = part.append_column(
+                "size_bytes",
+                pa.array(
+                    rng.integers(0, 1 << 14, part.num_rows).astype(float),
+                    typ,
+                ),
+            )
+        pq.write_table(part, os.path.join(ev_dir, f"batch={b:05d}.parquet"))
+
+    spec = repo_file_spec(num_buckets=4)
+    oracle = replay_oracle(spec, ev_dir)
+    mode = "delta" if seed % 2 else "rewrite"
+    eng = ReplayEngine(
+        spec, os.path.join(work, f"lake_{mode}"), state_mode=mode,
+        fold_threshold=2,
+    )
+    eng.replay(ev_dir)
+    assert eng.final_sha256() == oracle["sha256"], (n, n_batches, seed, mode)

@@ -81,9 +81,10 @@ def test_widen_type_lattice():
     assert widen_type("int32", "int64") == "int64"
     assert widen_type("int64", "int32") == "int64"  # order-insensitive
     assert widen_type("int8", "int16") == "int16"
-    assert widen_type("float32", "float64") == "float64"
-    assert widen_type("int32", "float64") == "float64"
-    assert widen_type("int16", "float32") == "float64"
+    assert widen_type("float32", "float64") == "double"
+    assert widen_type("float", "double") == "double"  # Arrow str() names
+    assert widen_type("int32", "float64") == "double"
+    assert widen_type("int16", "float32") == "double"
     assert widen_type("int64", "float64") is None  # 2^53 precision loss
     assert widen_type("int64", "string") is None
     assert widen_type("int32", "int32") == "int32"
@@ -95,7 +96,7 @@ def test_widen_type_semilattice_properties():
     from hypothesis import given
     from hypothesis import strategies as st
 
-    TYPES = ["int8", "int16", "int32", "int64", "float32", "float64",
+    TYPES = ["int8", "int16", "int32", "int64", "float", "double",
              "string", "list<float32>"]
 
     @given(st.sampled_from(TYPES), st.sampled_from(TYPES))
