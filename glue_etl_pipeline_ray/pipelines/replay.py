@@ -1174,11 +1174,16 @@ class ReplayEngine:
             for k in ("n_events", "n_dead_lettered", "n_upserts", "n_deletes")
         }
         last = per_batch.get(max(per_batch), {}) if per_batch else {}
+        n_live = last.get("n_live")
+        if n_live is not None and n_live < 0:
+            # -1 is the lineage sentinel for "not counted" (live counts
+            # are only tallied when bucket hashing is on)
+            n_live = None
         return {
             "watermark": self.ckpt.watermark,
             "n_batches": len(per_batch),
             "totals": totals,
-            "n_live": last.get("n_live"),
+            "n_live": n_live,
             "per_batch": dict(sorted(per_batch.items())),
         }
 
