@@ -164,11 +164,17 @@ def test_random_nested_stream_matches_oracle(ray_session, s):
 @given(s=stream())
 def test_random_widening_stream_matches_oracle(ray_session, s):
     """Random streams whose evolved column appears with RANDOM per-batch
-    widths (absent / int16 / int32 / int64 / float32 / float64 in any
-    order) must still satisfy engine sha == oracle sha in both state
-    modes — the widening registry is order-insensitive up to the final
-    joined type (the semilattice property) and conform upcasts every
-    historic narrow file."""
+    widths — in any order the widening lattice ACCEPTS — must still
+    satisfy engine sha == oracle sha in both state modes: the registry
+    is order-insensitive up to the final joined type (the semilattice
+    property) and conform upcasts every historic narrow file.
+
+    The lattice deliberately rejects {int64, float*} (evolve.py: int64
+    past 2^53 loses precision in float64 — the Delta Lake rule), so the
+    per-stream width plan never mixes them: a stream that may draw
+    floats caps its int draws at int32. The rejected combination is
+    pinned deterministically by test_int64_float_stream_both_raise
+    below and test_type_widening.py::test_incompatible_type_change_raises."""
     n, n_batches, seed = s
     n_batches = max(2, n_batches)
     rng = np.random.default_rng(seed ^ 0xBEEF)
@@ -218,14 +224,21 @@ def test_random_widening_stream_matches_oracle(ray_session, s):
         pa.array(content, pa.string()),
     )
 
-    int_widths = [pa.int16(), pa.int32(), pa.int64()]
+    # one compatible width PLAN per stream: if floats may appear, ints
+    # are capped at int32 (int64+float has no lossless join — rejected)
+    with_floats = rng.random() < 0.5
+    int_widths = (
+        [pa.int16(), pa.int32()]
+        if with_floats
+        else [pa.int16(), pa.int32(), pa.int64()]
+    )
     fl_widths = [pa.float32(), pa.float64()]
     for b in range(n_batches):
         part = t.filter(pa.compute.equal(t["batch_id"], b))
         roll = rng.random()
         if roll < 0.25:
             pass  # column absent this batch
-        elif roll < 0.75:
+        elif roll < 0.75 or not with_floats:
             typ = int_widths[rng.integers(len(int_widths))]
             part = part.append_column(
                 "size_bytes",
@@ -251,3 +264,48 @@ def test_random_widening_stream_matches_oracle(ray_session, s):
     )
     eng.replay(ev_dir)
     assert eng.final_sha256() == oracle["sha256"], (n, n_batches, seed, mode)
+
+
+def test_int64_float_stream_both_raise(ray_session):
+    """Deterministic companion to the property above: a stream whose
+    evolved column arrives int64 in one batch and float64 in another is
+    the lattice's documented REJECTED combination — engine AND oracle
+    must both raise, in both state modes, never silently cast."""
+    import pytest
+
+    rng = np.random.default_rng(11)
+    work = f"/tmp/gepr_propwbad_{uuid.uuid4().hex[:12]}"
+    ev_dir = os.path.join(work, "events")
+    os.makedirs(ev_dir)
+    n = 20
+    for b, typ in ((0, pa.int64()), (1, pa.float64())):
+        vals = rng.integers(0, 1 << 14, n)
+        t = pa.table(
+            {
+                "seq": pa.array(np.arange(n) + b * n),
+                "batch_id": pa.array(np.full(n, b, np.int64)),
+                "op": pa.array(["INSERT"] * n, pa.string()),
+                "repo": pa.array(["org0/repoA"] * n, pa.string()),
+                "path": pa.array([f"src/f{i}.py" for i in range(n)], pa.string()),
+                "commit": pa.array(
+                    ["".join(rng.choice(list(HEX), 40)) for _ in range(n)],
+                    pa.string(),
+                ),
+                "lang": pa.array(["py"] * n, pa.string()),
+                "content": pa.array([f"c{i}" for i in range(n)], pa.string()),
+                "size_bytes": pa.array(
+                    vals.astype(float) if typ == pa.float64() else vals, typ
+                ),
+            }
+        )
+        pq.write_table(t, os.path.join(ev_dir, f"batch={b:05d}.parquet"))
+
+    spec = repo_file_spec(num_buckets=4)
+    with pytest.raises(ValueError, match="incompatible schema evolution"):
+        replay_oracle(spec, ev_dir)
+    for mode in ("rewrite", "delta"):
+        eng = ReplayEngine(
+            spec, os.path.join(work, f"lake_{mode}"), state_mode=mode
+        )
+        with pytest.raises(ValueError, match="incompatible schema evolution"):
+            eng.replay(ev_dir)
