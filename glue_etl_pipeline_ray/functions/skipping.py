@@ -408,12 +408,28 @@ def compact_files(
     else:
         manifest = build_manifest(out_dir, sort_col)
 
-    # (0) orphan sweep: anything on disk the committed manifest doesn't
-    # reference is debris from a crashed compaction
+    # (0) orphan sweep — deletes ONLY files compaction provably owns:
+    # (a) names the committed manifest recorded as superseded inputs
+    # (a crash between commit and cleanup left them behind), and
+    # (b) ``compact-g*`` outputs not in the live set (a crash between
+    # stage-move and commit left them behind; the prefix is this
+    # function's own naming scheme). A file added out-of-band (a plain
+    # ds.write_parquet, a manual copy, a second writer) matches
+    # neither and is PRESERVED — reported under ``"foreign"`` in the
+    # return value, never destroyed.
     live = set(manifest["files"])
+    superseded_prev = set(manifest.get("superseded", []))
+    swept: list[str] = []
+    foreign: list[str] = []
     for path in glob.glob(os.path.join(out_dir, "*.parquet")):
-        if os.path.basename(path) not in live:
+        name = os.path.basename(path)
+        if name in live:
+            continue
+        if name in superseded_prev or name.startswith("compact-g"):
             os.remove(path)
+            swept.append(name)
+        else:
+            foreign.append(name)
     staging = os.path.join(out_dir, "_compact_staging")
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
@@ -489,13 +505,19 @@ def compact_files(
         "kind": manifest.get("kind"),
         "compaction_gen": gen,
         "files": new_files,
+        # inputs replaced by this generation — recorded AT the commit
+        # so a crash before step (4) leaves them deletable by name on
+        # the next run (the sweep never guesses from a glob)
+        "superseded": sorted(
+            n for g, out_name in plan if out_name is not None for n in g
+        ),
     }
     _write_manifest(mpath, manifest)
 
     # (4) post-commit cleanup of superseded inputs (crash here leaves
-    # unreferenced orphans only — swept by the next run)
+    # unreferenced orphans only — swept BY NAME by the next run)
     for g, out_name in plan:
         if out_name is not None:
             for n in g:
                 os.remove(os.path.join(out_dir, n))
-    return manifest
+    return {**manifest, "swept": swept, "foreign": foreign}

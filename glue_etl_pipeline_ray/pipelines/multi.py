@@ -229,17 +229,25 @@ class MultiTableReplayer:
 
         batches = discover_batches(events_dir)
         out: dict[str, list] = {n: [] for n in self.engines}
+        gw = self.group_watermark()
         for bid, _files in batches:
-            if all(e.ckpt.is_committed(bid) for e in self.engines.values()):
-                continue
             for n, e in self.engines.items():
                 if not e.ckpt.is_committed(bid):
                     out[n].append(e.replay(events_dir, max_batches=1))
-            p = self._group_manifest_path()
-            tmp = p + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"group_watermark": bid}, f)
-            os.replace(tmp, p)
+            # group commit point — written for EVERY batch all engines
+            # hold, including batches they had already committed before
+            # this call: a crash after the last table's commit of the
+            # FINAL batch but before this write would otherwise leave
+            # the group watermark one batch behind forever (the re-run
+            # would skip the fully-committed batch without ever
+            # recording it). The write is idempotent; monotone via gw.
+            if bid > gw:
+                p = self._group_manifest_path()
+                tmp = p + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"group_watermark": bid}, f)
+                os.replace(tmp, p)
+                gw = bid
         return out
 
     def consistent_tables(self) -> dict[str, pa.Table]:

@@ -2715,46 +2715,50 @@ def q_rank_functions(sf_dir: str):
 def q_pagerank_suppliers(sf_dir: str):
     """PageRank over the customer->supplier purchase graph (orders x
     lineitem edges, both directions so influence flows both ways): which
-    suppliers/customers sit centrally in the trade network. Driver-held
-    rank vector + one shuffle-free map pass per iteration (the k-means
-    partial-fold discipline). Gate: pytest (numpy power-iteration
-    reference within 1e-12, mass conservation, planted-hub ordering,
+    suppliers/customers sit centrally in the trade network.
+
+    Plan: orders is a DATA-scale table, so the orderkey->custkey lookup
+    is a native hash-shuffle equi-join (both sides partitioned on
+    orderkey — the hash_join_orders plan), never a driver-side
+    broadcast build. Node ids use a parity encoding (customer=2k,
+    supplier=2k+1) that is provably collision-free at every scale
+    factor. PageRank itself: driver-held rank vector + one shuffle-free
+    map pass per iteration, partials folded vectorized from Arrow block
+    refs (the k-means partial-fold discipline). Gate: pytest (numpy
+    power-iteration reference within 1e-12, mass conservation,
+    planted-hub ordering, distributed-path equality,
     tests/test_pagerank.py)."""
     from glue_etl_pipeline_ray.functions.pagerank import pagerank
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).metadata.num_rows
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=max(8, min(256, n_rows // 200_000)),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
 
-    # orders is the smaller side: broadcast its orderkey->custkey map
-    ot = pa.concat_tables(ray.get(orders.to_arrow_refs()))
-    ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
-    oc = ot["o_custkey"].to_numpy(zero_copy_only=False)
-    order_sort = np.argsort(ok)
-    ok_ref = ray.put(ok[order_sort])
-    oc_ref = ray.put(oc[order_sort])
-
-    def to_edges(t: pa.Table, _k=ok_ref, _c=oc_ref) -> pa.Table:
-        k = ray.get(_k)
-        c = ray.get(_c)
-        lo = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        sup = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(k, lo)
-        pos = np.minimum(pos, len(k) - 1)
-        ok_mask = k[pos] == lo
-        cust = c[pos][ok_mask]
-        sup = sup[ok_mask]
-        # customers and suppliers share the id space: offset suppliers
-        sup_node = sup + 1_000_000
+    def to_edges(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sup = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # disjoint id spaces by parity: customers even, suppliers odd
+        cust_node = cust * 2
+        sup_node = sup * 2 + 1
         return pa.table(
             {
                 "src": pa.array(
-                    np.concatenate([cust, sup_node]), pa.int64()
+                    np.concatenate([cust_node, sup_node]), pa.int64()
                 ),
                 "dst": pa.array(
-                    np.concatenate([sup_node, cust]), pa.int64()
+                    np.concatenate([sup_node, cust_node]), pa.int64()
                 ),
             }
         )
 
-    edges = li.map_batches(to_edges, batch_format="pyarrow", batch_size=None)
+    edges = joined.map_batches(to_edges, batch_format="pyarrow", batch_size=None)
     return pagerank(edges, iters=10)

@@ -739,14 +739,36 @@ class ReplayEngine:
         return {"compacted_buckets": len(new_versions), "dropped_tombstones": dropped}
 
     # ----------------------------------------------------------- final state
+    @staticmethod
+    def _reshard_floor(recs: list[dict]) -> int:
+        """Oldest as_of this lake can serve: a resharded lake carries
+        its base snapshot (batch == the reshard watermark) but NOTHING
+        older — pre-reshard history stays with the old lake. -1 when
+        the lake was never resharded (full history available)."""
+        return max(
+            (r["batch_id"] for r in recs if r.get("kind") == "reshard_base"),
+            default=-1,
+        )
+
     def versions_as_of(self, as_of_batch: int) -> dict[int, int]:
         """Snapshot pointer set as of a committed batch id, reconstructed
         from the lineage log (time travel; requires the engine to have
-        retained old versions — construct with ``gc_old_versions=False``)."""
+        retained old versions — construct with ``gc_old_versions=False``).
+        On a resharded lake, raises for ``as_of`` older than the reshard
+        base (that history lives in the OLD lake) instead of silently
+        returning a partial pointer set."""
         from glue_etl_pipeline_ray.state.lineage import read_lineage
 
+        recs = read_lineage(self.lake_dir)
+        floor = self._reshard_floor(recs)
+        if as_of_batch < floor:
+            raise ValueError(
+                f"as_of={as_of_batch} predates this lake's reshard base "
+                f"(batch {floor}); pre-reshard history stays with the "
+                "old lake — query it there or resync by snapshot"
+            )
         out: dict[int, int] = {}
-        for rec in read_lineage(self.lake_dir):
+        for rec in recs:
             if rec.get("kind") == "bucket" and rec["batch_id"] <= as_of_batch:
                 out[rec["bucket"]] = max(out.get(rec["bucket"], -1), rec["version"])
         return out
@@ -792,28 +814,46 @@ class ReplayEngine:
         truth. Bounded retention: deltas at or below a fold F may be
         purged once the horizon passes F, so anchor on the NEWEST fold
         <= as_of (exactly the deltas <= F) and replay only the chain
-        after it. ``buckets``: optional restriction (point lookups)."""
+        after it. A reshard-base lineage record is a PART-file anchor in
+        either mode (the reshard wrote full state at that version);
+        as_of older than the reshard base raises — that history stays
+        with the old lake. ``buckets``: optional restriction (point
+        lookups)."""
         from glue_etl_pipeline_ray.state.lineage import read_lineage
 
         from glue_etl_pipeline_ray.stages.merge import delta_entry_version
 
+        recs = read_lineage(self.lake_dir)
+        floor = self._reshard_floor(recs)
+        if as_of < floor:
+            raise ValueError(
+                f"as_of={as_of} predates this lake's reshard base "
+                f"(batch {floor}); pre-reshard history stays with the "
+                "old lake — query it there or resync by snapshot"
+            )
         chains: dict[int, list] = {}
-        for rec in read_lineage(self.lake_dir):
+        anchors: dict[int, int] = {}
+        for rec in recs:
             if (
                 rec.get("kind") == "bucket"
                 and rec["batch_id"] <= as_of
                 and (buckets is None or rec["bucket"] in buckets)
             ):
-                chains.setdefault(rec["bucket"], []).append(
-                    [rec["version"], rec["group"]]
-                    if "group" in rec
-                    else rec["version"]
-                )
-        bases: dict[int, int | None] = {}
+                if rec.get("reshard_base"):
+                    anchors[rec["bucket"]] = max(
+                        anchors.get(rec["bucket"], -1), rec["version"]
+                    )
+                else:
+                    chains.setdefault(rec["bucket"], []).append(
+                        [rec["version"], rec["group"]]
+                        if "group" in rec
+                        else rec["version"]
+                    )
+        bases: dict[int, int | None] = dict(anchors)
         if self.retain_batches is not None:
             for b, folds in self.ckpt.fold_history.items():
                 cand = [f for f in folds if f <= as_of]
-                if cand:
+                if cand and max(cand) > bases.get(b, -1):
                     bases[b] = max(cand)
         return [
             (
@@ -821,14 +861,14 @@ class ReplayEngine:
                 bases.get(b),
                 sorted(
                     (
-                        v for v in vs
+                        v for v in chains.get(b, [])
                         if bases.get(b) is None
                         or delta_entry_version(v) > bases[b]
                     ),
                     key=delta_entry_version,
                 ),
             )
-            for b, vs in sorted(chains.items())
+            for b in sorted(set(chains) | set(anchors))
         ]
 
     def _delta_live_refs(self, as_of: int | None = None) -> list:
@@ -1277,6 +1317,45 @@ class ReplayEngine:
             nb for r in ray.get([split.remote(b) for b in buckets]) for nb in r
         ]
 
+        # seed the NEW lake's lineage with the reshard base: one
+        # "bucket" record (version=wm) per written bucket so
+        # versions_as_of / _delta_chain_pointers anchor as-of reads on
+        # the reshard snapshot instead of rebuilding from an empty log
+        # (which would silently drop every pre-reshard row from any
+        # bucket not re-written afterwards). Earlier history stays with
+        # the OLD lake; the "reshard_base" marker makes as_of < wm
+        # RAISE on this lake rather than return a partial table.
+        lin_dir = os.path.join(out_lake_dir, "_lineage")
+        os.makedirs(lin_dir, exist_ok=True)
+        lpath = os.path.join(lin_dir, f"batch={wm:05d}.jsonl")
+        ltmp = f"{lpath}.tmp.{os.getpid()}"
+        with open(ltmp, "w") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "kind": "reshard_base",
+                        "batch_id": wm,
+                        "factor": factor,
+                        "num_buckets": nb_new,
+                    }
+                )
+                + "\n"
+            )
+            for nb in sorted(new_buckets):
+                f.write(
+                    _json.dumps(
+                        {
+                            "kind": "bucket",
+                            "bucket": nb,
+                            "batch_id": wm,
+                            "version": wm,
+                            "reshard_base": True,
+                        }
+                    )
+                    + "\n"
+                )
+        os.replace(ltmp, lpath)
+
         # commit: one atomic manifest write makes the new lake live
         ckpt_dir = os.path.join(out_lake_dir, "_checkpoint")
         os.makedirs(ckpt_dir, exist_ok=True)
@@ -1360,9 +1439,13 @@ class ReplayEngine:
         seqs = t[self.spec.seq_col].to_numpy(zero_copy_only=False)
         first = np.unique(seqs, return_index=True)[1]
         t = t.take(pa.array(np.sort(first)))
-        redriven_seqs = set(t[self.spec.seq_col].to_pylist())
         if fixer is not None:
             t = fixer(t)
+        # cleanup set = seqs actually written to the redrive batch,
+        # computed AFTER the fixer: rows a fixer drops as unrecoverable
+        # stay quarantined in the source DLQ (purging them without
+        # reapplying or re-quarantining would silently lose them)
+        redriven_seqs = set(t[self.spec.seq_col].to_pylist())
         new_bid = self.ckpt.watermark + 1
         if self.spec.batch_col in t.column_names:
             t = t.drop_columns([self.spec.batch_col])

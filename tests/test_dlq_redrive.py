@@ -189,3 +189,63 @@ def test_redrive_crash_after_commit_before_cleanup_is_idempotent(
                            recursive=True)
     )
     assert dlq_after == dlq_control
+
+def test_fixer_dropped_rows_stay_quarantined(ray_session, tmp_path):
+    """A fixer that DROPS unrecoverable rows must leave them in the
+    source DLQ — the cleanup set is computed from the table actually
+    written to the redrive batch, not from what was read (the r4
+    ADVICE finding: purging pre-fixer seqs silently lost dropped rows
+    without them ever re-entering the pipeline). A later redrive with
+    a better fixer can still recover them."""
+    spec = repo_file_spec()
+    meta = generate_change_events(
+        str(tmp_path / "gen"), n_events=6000, n_batches=3, dirty_frac=0.05,
+        seed=41,
+    )
+    ev = meta["events_dir"]
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake)
+    eng.replay(ev)
+
+    dlq_files = glob.glob(
+        os.path.join(lake, "_dlq", "**", "*.parquet"), recursive=True
+    )
+    dlq0 = pa.concat_tables(
+        [pq.read_table(f).drop_columns(["error"]) for f in dlq_files],
+        promote_options="permissive",
+    )
+    seqs0 = sorted(set(dlq0["seq"].to_pylist()))
+    assert len(seqs0) > 4
+    drop_set = set(seqs0[: len(seqs0) // 2])  # "unrecoverable" half
+
+    def dropping_fixer(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            [s not in drop_set for s in t["seq"].to_pylist()]
+        )
+        return _fixer(t.filter(keep))
+
+    sha_before = eng.final_sha256()
+    out = eng.redrive_dlq(fixer=dropping_fixer)
+    assert out["n_redriven"] == len(seqs0) - len(drop_set)
+
+    # every dropped seq is still quarantined under its ORIGINAL batch
+    remaining_src = pa.concat_tables(
+        [
+            pq.read_table(f)
+            for f in glob.glob(
+                os.path.join(lake, "_dlq", "batch=0000[0-2]", "*.parquet")
+            )
+        ],
+        promote_options="permissive",
+    )
+    assert set(remaining_src["seq"].to_pylist()) == drop_set
+
+    # second redrive with the full fixer recovers them: final state ==
+    # a single full-fixer redrive on a control lake
+    eng.redrive_dlq(fixer=_fixer)
+    lake_c = str(tmp_path / "lake_control")
+    eng_c = ReplayEngine(spec, lake_c)
+    eng_c.replay(ev)
+    eng_c.redrive_dlq(fixer=_fixer)
+    assert eng.final_sha256() == eng_c.final_sha256()
+    assert eng.final_sha256() != sha_before  # the recovery really landed

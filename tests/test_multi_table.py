@@ -147,3 +147,51 @@ def test_atomic_group_commit_survives_mid_lockstep_crash(tmp_path):
     multi2.replay_atomic(meta["events_dir"])
     assert multi2.group_watermark() == 2
     assert multi2.final_sha256() == multi.final_sha256()
+
+def test_group_watermark_catches_up_after_final_batch_crash(tmp_path):
+    """Crash AFTER the last table's commit of the FINAL batch but
+    BEFORE the group-manifest write: every per-table watermark is at
+    the tip, the group watermark is one behind. The re-run has no
+    per-table work left — it must still record the fully-committed
+    batch, or consistent_tables() stays pinned to a stale snapshot
+    forever (the r4 ADVICE finding)."""
+
+    def _route_org0(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+
+    def _route_rest(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+        )
+
+    meta = generate_change_events(
+        str(tmp_path), n_events=3000, n_repos=10, n_paths=20, n_batches=3,
+        seed=7, delete_frac=0.1, dirty_frac=0.02,
+    )
+    spec = repo_file_spec(num_buckets=8)
+    multi = MultiTableReplayer(
+        str(tmp_path / "lakes"),
+        {"a": (spec, _route_org0), "b": (spec, _route_rest)},
+        state_mode="delta",
+        gc_old_versions=False,
+    )
+    # both engines commit ALL batches directly (per-table machinery),
+    # then the "crash": the group manifest was last written for batch 1
+    multi.engines["a"].replay(meta["events_dir"])
+    multi.engines["b"].replay(meta["events_dir"])
+    import json
+
+    with open(multi._group_manifest_path(), "w") as f:
+        json.dump({"group_watermark": 1}, f)
+    assert multi.group_watermark() == 1
+    assert multi.engines["a"].ckpt.watermark == 2
+    assert multi.engines["b"].ckpt.watermark == 2
+
+    # re-run: no engine has work, the group watermark must still catch up
+    out = multi.replay_atomic(meta["events_dir"])
+    assert all(not runs for runs in out.values())  # nothing re-applied
+    assert multi.group_watermark() == 2
+    # and the consistent snapshot now serves the tip
+    snap = multi.consistent_tables()
+    assert snap["a"].equals(multi.engines["a"].final_table())
+    assert snap["b"].equals(multi.engines["b"].final_table())

@@ -60,6 +60,43 @@ def test_pagerank_planted_hub_ranks_first(ray_session):
     assert ranks[0] > 3 * others[len(others) // 2]
 
 
+def test_pagerank_distributed_path_matches_driver_path(ray_session):
+    """The billion-node path (rank vector as a keyed Dataset, one
+    hash-join + one keyed groupby per iteration) must land the SAME
+    ranks as the driver-held path on the same graph, at two partition
+    counts — and conserve mass. Graph includes dangling nodes."""
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 80, 600)
+    dst = rng.integers(0, 100, 600)  # nodes 80..99 are pure sinks
+    base = pagerank(_edges_ds(src, dst), iters=6)
+    for nparts in (2, 5):
+        out = pagerank(
+            _edges_ds(src, dst),
+            iters=6,
+            nodes_fit_driver=False,
+            num_partitions=nparts,
+        )
+        assert out["node"].to_pylist() == base["node"].to_pylist(), nparts
+        np.testing.assert_allclose(
+            out["rank"].to_numpy(), base["rank"].to_numpy(),
+            rtol=0, atol=1e-9,
+        )
+        assert abs(out["rank"].to_numpy().sum() - 1.0) < 1e-9
+
+
+def test_pagerank_tree_combine_matches_plain(ray_session):
+    """The bounded tree-combine fold level is a pure reassociation of
+    float sums over disjoint (i, m) partials — results identical."""
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 150, 2000)
+    dst = rng.integers(0, 150, 2000)
+    a = pagerank(_edges_ds(src, dst, nparts=6), iters=8)
+    b = pagerank(_edges_ds(src, dst, nparts=6), iters=8, tree_combine=2)
+    np.testing.assert_allclose(
+        a["rank"].to_numpy(), b["rank"].to_numpy(), rtol=0, atol=1e-15
+    )
+
+
 def test_pagerank_partition_invariant_and_dangling(ray_session):
     # node 7 is a pure sink (dangling): mass must still sum to 1 and
     # results must not depend on edge partitioning

@@ -140,6 +140,48 @@ def test_reshard_then_bounded_retention_continues(ray_session, tmp_path):
     assert eng2.final_sha256() == sha_tip  # reads didn't disturb state
 
 
+def test_reshard_time_travel_anchors_on_base(ray_session, tmp_path):
+    """As-of reads on a resharded lake must return the SAME snapshot
+    the uninterrupted lake serves — the reshard seeds its lineage with
+    per-bucket base records so buckets untouched after the reshard are
+    not silently dropped (the r4 ADVICE repro: as_of=4 returned 634 of
+    727 rows). As-of older than the reshard base raises: that history
+    stays with the old lake."""
+    import pytest
+
+    ev = _stream(tmp_path)
+    spec = repo_file_spec(num_buckets=16)
+    for mode, kw in (
+        ("delta", {"state_mode": "delta", "fold_threshold": 2,
+                   "gc_old_versions": False}),
+        ("rewrite", {"gc_old_versions": False}),
+    ):
+        # uninterrupted reference lake over the full stream
+        ref = ReplayEngine(spec, str(tmp_path / f"ref_{mode}"), **kw)
+        ref.replay(ev)
+
+        eng = ReplayEngine(spec, str(tmp_path / f"a_{mode}"), **kw)
+        eng.replay(ev, max_batches=2)  # commits batches 0, 1
+        eng2 = eng.reshard(str(tmp_path / f"a2_{mode}"), factor=2)
+        eng2.replay(ev)  # batches 2..5 on the new lake
+
+        # tip and every post-reshard snapshot match the uninterrupted lake
+        assert eng2.final_sha256() == ref.final_sha256(), mode
+        for as_of in (1, 2, 4):  # 1 == the reshard base itself
+            assert (
+                eng2.final_sha256(as_of=as_of)
+                == ref.final_sha256(as_of=as_of)
+            ), (mode, as_of)
+            assert (
+                eng2.final_table(as_of=as_of).num_rows
+                == ref.final_table(as_of=as_of).num_rows
+            ), (mode, as_of)
+
+        # pre-reshard history raises loudly, never a partial table
+        with pytest.raises(ValueError, match="reshard base"):
+            eng2.final_sha256(as_of=0)
+
+
 def test_fsck_clean_after_reshard_both_modes(ray_session, tmp_path):
     ev = _stream(tmp_path)
     spec = repo_file_spec(num_buckets=8)

@@ -207,6 +207,42 @@ def test_compaction_crash_windows_never_double_count(ray_session, tmp_path):
     assert list(gdf["event_id"]) == list(full["event_id"])
 
 
+def test_compaction_sweep_preserves_out_of_band_files(ray_session, tmp_path):
+    """The orphan sweep deletes ONLY files compaction owns (its own
+    compact-g* outputs and manifest-recorded superseded inputs). A
+    parquet file someone else dropped into the directory — a plain
+    write_parquet, a manual copy — must survive and be reported as
+    foreign, never destroyed (the r4 ADVICE finding: the old sweep
+    removed ANY unreferenced *.parquet)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from glue_etl_pipeline_ray.functions.skipping import compact_files
+
+    ds, out, before = _events_cents(tmp_path)
+    stranger = os.path.join(out, "external-export.parquet")
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int64())}), stranger)
+
+    after = compact_files(out, "value_cents", target_rows=700)
+    assert os.path.exists(stranger)  # preserved
+    assert "external-export.parquet" in after["foreign"]
+    assert "external-export.parquet" not in after["files"]
+    # the compaction itself still happened and reads stay exact
+    assert 1 < len(after["files"]) < len(before["files"])
+    full = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    got, _, _ = pruned_read(
+        out, "value_cents", int(full["value_cents"].min()),
+        int(full["value_cents"].max()),
+    )
+    gdf = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(gdf["event_id"]) == list(full["event_id"])
+    # a second compaction still leaves the foreign file alone
+    after2 = compact_files(out, "value_cents", target_rows=700)
+    assert os.path.exists(stranger)
+    assert "external-export.parquet" in after2["foreign"]
+
+
 def test_pruning_typed_comparisons_timestamp_and_numeric_strings(
     ray_session, tmp_path
 ):
