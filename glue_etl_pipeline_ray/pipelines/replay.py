@@ -1317,6 +1317,21 @@ class ReplayEngine:
             nb for r in ray.get([split.remote(b) for b in buckets]) for nb in r
         ]
 
+        # carry the quarantine queue: the DLQ is keyed by BATCH, not
+        # bucket, so it re-buckets trivially — and redrive_dlq must
+        # keep working on the new lake (without this, every row
+        # quarantined before the reshard would be silently lost to the
+        # repair loop). Blue/green copy; the old lake stays intact.
+        import shutil as _shutil
+
+        src_dlq = os.path.join(lake, "_dlq")
+        if os.path.isdir(src_dlq):
+            _shutil.copytree(
+                src_dlq,
+                os.path.join(out_lake_dir, "_dlq"),
+                dirs_exist_ok=True,
+            )
+
         # seed the NEW lake's lineage with the reshard base: one
         # "bucket" record (version=wm) per written bucket so
         # versions_as_of / _delta_chain_pointers anchor as-of reads on

@@ -309,3 +309,115 @@ def test_int64_float_stream_both_raise(ray_session):
         )
         with pytest.raises(ValueError, match="incompatible schema evolution"):
             eng.replay(ev_dir)
+
+@st.composite
+def ops_plan(draw):
+    n = draw(st.integers(120, 320))
+    seed = draw(st.integers(0, 2**31 - 1))
+    n_runs = draw(st.integers(2, 4))
+    # between-run actions: 0 = nothing, 1 = reshard, 2 = redrive, 3 = both
+    actions = tuple(
+        draw(st.sampled_from([0, 1, 2, 3])) for _ in range(n_runs - 1)
+    )
+    return n, seed, n_runs, actions
+
+
+@settings(max_examples=4, deadline=None)
+@given(s=ops_plan())
+def test_interleaved_reshard_redrive_matches_oracle(ray_session, s):
+    """Random dirty streams with reshard() and redrive_dlq() calls
+    INTERLEAVED between ingest runs (both state modes) must land the
+    patched-stream oracle sha: a reshard is state-neutral and carries
+    the DLQ, a redrive applies recovered rows at their ORIGINAL seq so
+    LWW converges to the stream-as-if-never-dirty state regardless of
+    when the repairs happen. (r4 gated these only on fixed scenarios.)"""
+    import pyarrow.compute as pc
+
+    n, seed, n_runs, actions = s
+    rng = np.random.default_rng(seed ^ 0xD1CE)
+    work = f"/tmp/gepr_propx_{uuid.uuid4().hex[:12]}"
+    os.makedirs(work)
+
+    seq = rng.permutation(n).astype(np.int64)
+    ops = [rng.choice(["INSERT", "UPDATE", "DELETE"], p=[0.4, 0.4, 0.2])
+           for _ in range(n)]
+    content = [
+        None if o == "DELETE" or rng.random() < 0.12 else f"c{rng.integers(6)}"
+        for o in ops
+    ]  # ~12% of upserts dirty (null content -> DLQ), all fixable
+    t = pa.table(
+        {
+            "seq": pa.array(seq),
+            "op": pa.array(ops, pa.string()),
+            "repo": pa.array(
+                [rng.choice(["org0/repoA", "org1/repoC"]) for _ in range(n)],
+                pa.string(),
+            ),
+            "path": pa.array(
+                [rng.choice(["src/a.py", "src/b.js", "docs/r.md"])
+                 for _ in range(n)],
+                pa.string(),
+            ),
+            "commit": pa.array(
+                ["".join(rng.choice(list(HEX), 40)) for _ in range(n)],
+                pa.string(),
+            ),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array(content, pa.string()),
+        }
+    )
+
+    FIX = "recovered"
+
+    def fixer(bt: pa.Table) -> pa.Table:
+        is_up = pc.is_in(bt["op"], value_set=pa.array(["INSERT", "UPDATE"]))
+        needs = pc.and_(is_up, pc.is_null(bt["content"]))
+        return bt.set_column(
+            bt.column_names.index("content"), "content",
+            pc.if_else(needs, pa.scalar(FIX), bt["content"]),
+        )
+
+    spec = repo_file_spec(num_buckets=4)
+    mode = "delta" if seed % 2 else "rewrite"
+    eng = ReplayEngine(
+        spec, os.path.join(work, "lake0"), state_mode=mode, fold_threshold=2
+    )
+
+    # split rows into n_runs chunks; each ingest run writes its chunk
+    # under the NEXT free batch id (a redrive consumes one id, exactly
+    # like a production stream whose ingest ids keep increasing)
+    bounds = np.linspace(0, n, n_runs + 1).astype(int)
+    lake_i = 0
+    for run in range(n_runs):
+        bid = eng.ckpt.watermark + 1
+        chunk = t.slice(bounds[run], bounds[run + 1] - bounds[run])
+        chunk = chunk.append_column(
+            "batch_id", pa.array(np.full(chunk.num_rows, bid, np.int64))
+        )
+        run_dir = os.path.join(work, f"run{run}")
+        os.makedirs(run_dir)
+        pq.write_table(
+            chunk, os.path.join(run_dir, f"batch={bid:05d}.parquet")
+        )
+        eng.replay(run_dir)
+        if run < n_runs - 1:
+            a = actions[run]
+            if a in (2, 3):
+                eng.redrive_dlq(fixer=fixer)
+            if a in (1, 3):
+                lake_i += 1
+                eng = eng.reshard(
+                    os.path.join(work, f"lake{lake_i}"), factor=2
+                )
+    # final repair pass: every still-quarantined fixable row recovers
+    eng.redrive_dlq(fixer=fixer)
+
+    # oracle: the same stream as if the dirty rows had never been dirty
+    patched_dir = os.path.join(work, "patched")
+    os.makedirs(patched_dir)
+    pt = fixer(t).append_column(
+        "batch_id", pa.array(np.zeros(n, np.int64))
+    )
+    pq.write_table(pt, os.path.join(patched_dir, "batch=00000.parquet"))
+    oracle = replay_oracle(spec, patched_dir)
+    assert eng.final_sha256() == oracle["sha256"], (n, seed, n_runs, actions, mode)

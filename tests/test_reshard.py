@@ -196,3 +196,60 @@ def test_fsck_clean_after_reshard_both_modes(ray_session, tmp_path):
         eng2.replay(ev)
         r = eng2.fsck()
         assert r["ok"] and not r["missing"], (mode, r)
+
+def test_reshard_carries_dlq_for_later_redrive(ray_session, tmp_path):
+    """The DLQ must survive a reshard: rows quarantined BEFORE the
+    re-bucketing are redriven from the NEW lake afterwards, landing the
+    patched-stream oracle sha. Without the carry, every pre-reshard
+    quarantined row silently drops out of the repair loop."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    meta = generate_change_events(
+        str(tmp_path / "gen"), n_events=4000, n_batches=3, n_repos=12,
+        n_paths=30, delete_frac=0.1, dirty_frac=0.05, seed=33,
+    )
+    ev = meta["events_dir"]
+    spec = repo_file_spec(num_buckets=8)
+
+    FIX = "recovered content"
+
+    def fixer(t: pa.Table) -> pa.Table:
+        is_up = pc.is_in(t["op"], value_set=pa.array(["INSERT", "UPDATE"]))
+        needs = pc.and_(is_up, pc.is_null(t["content"]))
+        return t.set_column(
+            t.column_names.index("content"), "content",
+            pc.if_else(needs, pa.scalar(FIX), t["content"]),
+        )
+
+    for mode in ("rewrite", "delta"):
+        eng = ReplayEngine(
+            spec, str(tmp_path / f"q_{mode}"), state_mode=mode,
+            fold_threshold=2,
+        )
+        eng.replay(ev)
+        n_dlq = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(
+                _os.path.join(eng.lake_dir, "_dlq", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+        assert n_dlq > 0
+
+        eng2 = eng.reshard(str(tmp_path / f"q2_{mode}"), factor=2)
+        out = eng2.redrive_dlq(fixer=fixer)
+        assert out["n_redriven"] == n_dlq, mode
+
+        # control: redrive on the UN-resharded lake gives the same state
+        ctrl = ReplayEngine(
+            spec, str(tmp_path / f"qc_{mode}"), state_mode=mode,
+            fold_threshold=2,
+        )
+        ctrl.replay(ev)
+        ctrl.redrive_dlq(fixer=fixer)
+        assert eng2.final_sha256() == ctrl.final_sha256(), mode

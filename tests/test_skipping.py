@@ -207,6 +207,53 @@ def test_compaction_crash_windows_never_double_count(ray_session, tmp_path):
     assert list(gdf["event_id"]) == list(full["event_id"])
 
 
+def test_compaction_killed_between_rename_and_commit(ray_session, tmp_path):
+    """TRUE injected kill in the window the r4 ADVICE flagged: merged
+    outputs have been renamed into out_dir but the manifest commit
+    never ran. Reads must stay exact (the committed manifest is the
+    truth), and the re-run must sweep the orphaned outputs by its own
+    naming scheme and complete the compaction."""
+    import glob
+    import os
+
+    import pytest
+
+    import glue_etl_pipeline_ray.functions.skipping as sk
+
+    ds, out, before = _events_cents(tmp_path)
+    full = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    lo, hi = int(full["value_cents"].min()), int(full["value_cents"].max())
+
+    real = sk._write_manifest
+
+    def crash_at_commit(mpath, manifest):
+        raise RuntimeError("injected kill before manifest commit")
+
+    sk._write_manifest = crash_at_commit
+    try:
+        with pytest.raises(RuntimeError, match="injected kill"):
+            sk.compact_files(out, "value_cents", target_rows=700)
+    finally:
+        sk._write_manifest = real
+
+    # the crash left renamed compact outputs next to the live files
+    orphans = glob.glob(os.path.join(out, "compact-g*.parquet"))
+    assert orphans, "crash window should leave renamed outputs behind"
+    # but reads never double-count: the committed manifest is the truth
+    got, _, _ = pruned_read(out, "value_cents", lo, hi)
+    gdf = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(gdf["event_id"]) == list(full["event_id"])
+
+    # re-run sweeps the orphans (they match compaction's own naming
+    # scheme) and completes; reads still exact, files actually packed
+    after = sk.compact_files(out, "value_cents", target_rows=700)
+    assert set(after["swept"]) == {os.path.basename(p) for p in orphans}
+    assert 1 < len(after["files"]) < len(before["files"])
+    got, _, _ = pruned_read(out, "value_cents", lo, hi)
+    gdf = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(gdf["event_id"]) == list(full["event_id"])
+
+
 def test_compaction_sweep_preserves_out_of_band_files(ray_session, tmp_path):
     """The orphan sweep deletes ONLY files compaction owns (its own
     compact-g* outputs and manifest-recorded superseded inputs). A
