@@ -537,3 +537,111 @@ def interval_join(
         )
 
     return grouped_apply(both, [key, "__bucket"], join_group)
+
+
+def cartesian_chunks(
+    left: pa.Table,
+    right: pa.Table,
+    chunk_rows: int = 1 << 18,
+) -> list[pa.Table]:
+    """Per-key cross product emitted as a list of tables of at most
+    ``chunk_rows`` rows each: one hot key duplicated on BOTH sides
+    produces n_l x n_r output rows no matter what, but chunked emission
+    keeps the PEAK single allocation (the repeat/tile index arrays and
+    each take) bounded instead of one quadratic spike. Column names
+    must not overlap."""
+    n_l, n_r = left.num_rows, right.num_rows
+    rows_per_slice = max(1, chunk_rows // max(1, n_r))
+    out = []
+    for lo in range(0, n_l, rows_per_slice):
+        ls = left.slice(lo, rows_per_slice)
+        k = ls.num_rows
+        li = np.repeat(np.arange(k), n_r)
+        ri = np.tile(np.arange(n_r), k)
+        cols = {name: ls[name].take(pa.array(li)) for name in left.column_names}
+        cols.update(
+            {name: right[name].take(pa.array(ri)) for name in right.column_names}
+        )
+        out.append(pa.table(cols))
+    return out
+
+
+def left_outer_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    num_partitions: int = 64,
+    chunk_rows: int = 1 << 18,
+    max_group_rows: int = 100_000_000,
+) -> Dataset:
+    """Left-outer hash join (large-large plan): every left row appears
+    once per matching right row, or once with nulls for the right
+    columns when no match exists; unmatched RIGHT rows are dropped.
+    The probe side can't broadcast because left rows must survive
+    without a match, so both sides hash-partition on ``on`` through
+    the collision-guarded ``grouped_apply`` — one keyed exchange.
+
+    Duplicate-key safety: a key duplicated on BOTH sides emits its
+    cartesian in ``chunk_rows``-bounded chunks (peak allocation stays
+    flat — see :func:`cartesian_chunks`), and a group whose output
+    would exceed ``max_group_rows`` raises a loud ValueError naming
+    the key instead of silently blowing one task (the output is
+    inherently quadratic in that key's duplication; the cap makes the
+    modeling error visible). Non-key column names must be disjoint
+    across the two sides."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = [n for n in l_schema.names if n != on]
+    r_cols = [n for n in r_schema.names if n != on]
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"column names must be disjoint: {sorted(overlap)}")
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    out_cols = [on] + l_cols + r_cols
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {on: t[on]}
+        cols.update({n: t[n] for n in l_cols})
+        cols.update({n: pa.nulls(t.num_rows, r_types[n]) for n in r_cols})
+        cols[_SIDE] = pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {on: t[on]}
+        cols.update({n: pa.nulls(t.num_rows, l_types[n]) for n in l_cols})
+        cols.update({n: t[n] for n in r_cols})
+        cols[_SIDE] = pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    both = left.map_batches(
+        tag_left, batch_format="pyarrow", batch_size=None
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    )
+
+    def outer(group: pa.Table) -> pa.Table:
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0))
+        rt = group.filter(pa.array(side == 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            # right-only: dropped; left-only: survives with null right
+            return lt.select(out_cols)
+        n_out = lt.num_rows * rt.num_rows
+        if n_out > max_group_rows:
+            raise ValueError(
+                f"left_outer_join: key {group[on][0].as_py()!r} would "
+                f"emit {n_out} rows ({lt.num_rows} x {rt.num_rows}) — "
+                f"over max_group_rows={max_group_rows}; a key this "
+                "duplicated on both sides is almost always a modeling "
+                "error (raise the cap explicitly if the cross product "
+                "is intended)"
+            )
+        chunks = cartesian_chunks(
+            lt.select([on] + l_cols), rt.select(r_cols), chunk_rows
+        )
+        return pa.concat_tables([c.select(out_cols) for c in chunks])
+
+    return grouped_apply(both, [on], outer, num_partitions=num_partitions)

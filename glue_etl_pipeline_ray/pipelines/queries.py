@@ -2503,17 +2503,10 @@ def q_left_outer_join(sf_dir: str):
     large-large plan; the probe side can't broadcast because LEFT rows
     must survive without a match. Gate: pytest (DuckDB LEFT JOIN,
     hash-exact)."""
-    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+    from glue_etl_pipeline_ray.functions.joins import left_outer_join
 
     cust = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
-        lambda t: pa.table(
-            {
-                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
-                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
-                "o_total_cents": pa.nulls(t.num_rows, pa.int64()),
-                "__side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
-            }
-        ),
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64())}),
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -2525,34 +2518,12 @@ def q_left_outer_join(sf_dir: str):
                 "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
                 "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
                 "o_total_cents": _cents(t["o_totalprice"]),
-                "__side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
             }
         ),
         batch_format="pyarrow",
         batch_size=None,
     )
-
-    def outer(group: pa.Table) -> pa.Table:
-        side = group["__side"].to_numpy(zero_copy_only=False)
-        left = group.filter(pa.array(side == 0))
-        right = group.filter(pa.array(side == 1))
-        cols = ["c_custkey", "o_orderkey", "o_total_cents"]
-        if left.num_rows == 0:  # orders without a customer: dropped
-            return left.select(cols)
-        if right.num_rows == 0:  # left preserved with null order cols
-            return left.select(cols)
-        n_l, n_r = left.num_rows, right.num_rows
-        li = np.repeat(np.arange(n_l), n_r)
-        ri = np.tile(np.arange(n_r), n_l)
-        return pa.table(
-            {
-                "c_custkey": left["c_custkey"].take(pa.array(li)),
-                "o_orderkey": right["o_orderkey"].take(pa.array(ri)),
-                "o_total_cents": right["o_total_cents"].take(pa.array(ri)),
-            }
-        )
-
-    return grouped_apply(cust.union(orders), ["c_custkey"], outer)
+    return left_outer_join(cust, orders, on="c_custkey")
 
 
 def q_grouped_distinct_hll(sf_dir: str):
