@@ -214,8 +214,17 @@ def minhash_lsh_pairs(
             }
         )
 
+    # the banded signature table is shingle-exploded (docs x bands rows
+    # of binary sigs) — the streaming sort-shuffle pipelines the band
+    # map straight into the exchange, while auto/raycore would first
+    # materialize the whole exploded intermediate (measured ~20% slower
+    # at sf0.1 and linearly worse with scale)
     pairs = grouped_apply(
-        sig_ds, ["band_id", "band_hash"], bucket_pairs, min_group_size=2
+        sig_ds,
+        ["band_id", "band_hash"],
+        bucket_pairs,
+        min_group_size=2,
+        exchange="sort",
     )
     # a pair can collide in several bands -> distinct
     return grouped_first(pairs, ["doc_id_a", "doc_id_b", "n_agree"])

@@ -41,6 +41,68 @@ def _true_key_groups(sl: pa.Table, keys: list[str]):
     return [sl.take(idxs) for idxs in groups.values()]
 
 
+def _walk_partition(
+    part: pa.Table,
+    keys: list[str],
+    fn: Callable[[pa.Table], pa.Table],
+    min_group_size: int,
+    passthrough_singletons: bool,
+    empty_out: pa.Table | None = None,
+) -> pa.Table:
+    """Shared per-partition kernel for BOTH exchange paths: stable-sort
+    the partition by key hash, walk the per-key runs, apply ``fn`` per
+    true key group (collision-guarded). Stable argsort preserves input
+    (block, row) order within a key, so "first row per key" semantics
+    are identical whichever exchange delivered the partition.
+    ``empty_out`` is a precomputed ``fn(typed 0-row input)`` used for
+    schema stability when the partition produces nothing — the raycore
+    exchange probes it once driver-side so group fns that assume >=1
+    row never see an empty input on workers."""
+    kh = key_hash_u64(*(part[k] for k in keys))
+    order = np.argsort(kh, kind="stable")
+    part = part.take(order)
+    khs = kh[order]
+    starts = np.flatnonzero(np.r_[True, khs[1:] != khs[:-1]])
+    ends = np.r_[starts[1:], len(khs)]
+    sizes = ends - starts
+    bad = _collision_runs(part, keys, starts, ends)
+    outs = []
+    if passthrough_singletons:
+        singles = starts[sizes == 1]
+        if len(singles):
+            outs.append(part.take(singles))
+    floor = max(min_group_size, 2 if passthrough_singletons else 1)
+    for ri in np.flatnonzero(sizes >= floor):
+        s, e = int(starts[ri]), int(ends[ri])
+        if bad and int(ri) in bad:
+            subs = _true_key_groups(part.slice(s, e - s), keys)
+        else:
+            subs = [part.slice(s, e - s)]
+        for g in subs:
+            if g.num_rows < min_group_size:
+                if passthrough_singletons and g.num_rows == 1:
+                    outs.append(g)
+                continue
+            if passthrough_singletons and g.num_rows == 1:
+                outs.append(g)
+                continue
+            o = fn(g)
+            if o.num_rows:
+                outs.append(o)
+    if not outs:  # typed empty output for schema stability (0-row in,
+        outs = [  # so fn can't invent rows)
+            empty_out if empty_out is not None else fn(part.slice(0, 0))
+        ]
+    return pa.concat_tables(outs)
+
+
+# A split task returns one object per (block, group) pair, so the raycore
+# exchange creates num_blocks x num_groups refs. Past this cap the ref
+# bookkeeping (not the data) dominates and the streaming sort-shuffle is
+# the right plan — at 100 TB (~10^5-10^6 blocks) auto always picks sort.
+_RAYCORE_MAX_REFS = 65536
+
+
 def grouped_apply(
     ds: Dataset,
     keys: list[str],
@@ -48,6 +110,7 @@ def grouped_apply(
     num_partitions: int = 64,
     min_group_size: int = 1,
     passthrough_singletons: bool = False,
+    exchange: str = "auto",
 ) -> Dataset:
     """Exact ``groupby(keys) -> fn(group)`` with Ray group count =
     ``num_partitions``. ``fn`` receives each key-group as a contiguous
@@ -59,7 +122,59 @@ def grouped_apply(
     ``min_group_size=2`` skips smaller runs entirely (pair generators emit
     nothing for them anyway); ``passthrough_singletons=True`` emits
     singleton rows unchanged in ONE take (for keep-first/distinct shapes,
-    where fn is the identity on singletons)."""
+    where fn is the identity on singletons).
+
+    ``exchange`` picks the all-to-all plan:
+
+    - ``"sort"`` — Ray Data's streaming sort-shuffle (groupby on a hash
+      partition column). Scales to any block count; pays ~seconds of
+      fixed sampling/scheduling overhead regardless of data size.
+    - ``"raycore"`` — the two-stage raw-task exchange (split each block
+      into G hash slices, G reduce tasks). 4-5x lower fixed overhead at
+      small/medium inputs, but creates blocks x G refs.
+    - ``"auto"`` (default) — materialize the input (a sort-shuffle
+      materializes everything at its barrier anyway, so this is not a
+      streaming regression) and choose by measured block count: raycore
+      while blocks x G stays under ``_RAYCORE_MAX_REFS``, else the
+      streaming sort-shuffle. At 100 TB auto always degrades to sort.
+    """
+    if exchange not in ("auto", "sort", "raycore"):
+        raise ValueError(f"unknown exchange {exchange!r}")
+    if exchange != "sort":
+        try:
+            mat = ds.materialize()
+            n_blocks = mat.num_blocks()
+        except Exception:
+            mat = None
+        empty_out = None
+        if mat is not None:
+            # probe fn on a typed empty input ONCE, driver-side: its
+            # result is the schema-stability fallback for empty hash
+            # groups. A fn that (latently) can't take 0 rows keeps the
+            # sort exchange, where only non-empty partitions exist.
+            try:
+                sch = mat.schema()
+                empty_in = getattr(sch, "base_schema", sch).empty_table()
+                empty_out = fn(empty_in)
+            except Exception:
+                empty_out = None
+        if mat is not None and empty_out is not None:
+            if (
+                exchange == "raycore"
+                or n_blocks * num_partitions <= _RAYCORE_MAX_REFS
+            ):
+                return raycore_grouped_apply(
+                    mat,
+                    keys,
+                    fn,
+                    num_groups=num_partitions,
+                    min_group_size=min_group_size,
+                    passthrough_singletons=passthrough_singletons,
+                    empty_out=empty_out,
+                )
+            ds = mat  # fall through to the streaming sort on the blocks
+        elif mat is not None:
+            ds = mat
 
     def add_part(batch: pa.Table) -> pa.Table:
         h = key_hash_u64(*(batch[k] for k in keys))
@@ -67,41 +182,13 @@ def grouped_apply(
         return batch.append_column(_PART_COL, pa.array(part, pa.int64()))
 
     def per_partition(part: pa.Table) -> pa.Table:
-        part = part.drop_columns([_PART_COL])
-        kh = key_hash_u64(*(part[k] for k in keys))
-        order = np.argsort(kh, kind="stable")
-        part = part.take(order)
-        khs = kh[order]
-        starts = np.flatnonzero(np.r_[True, khs[1:] != khs[:-1]])
-        ends = np.r_[starts[1:], len(khs)]
-        sizes = ends - starts
-        bad = _collision_runs(part, keys, starts, ends)
-        outs = []
-        if passthrough_singletons:
-            singles = starts[sizes == 1]
-            if len(singles):
-                outs.append(part.take(singles))
-        floor = max(min_group_size, 2 if passthrough_singletons else 1)
-        for ri in np.flatnonzero(sizes >= floor):
-            s, e = int(starts[ri]), int(ends[ri])
-            if bad and int(ri) in bad:
-                subs = _true_key_groups(part.slice(s, e - s), keys)
-            else:
-                subs = [part.slice(s, e - s)]
-            for g in subs:
-                if g.num_rows < min_group_size:
-                    if passthrough_singletons and g.num_rows == 1:
-                        outs.append(g)
-                    continue
-                if passthrough_singletons and g.num_rows == 1:
-                    outs.append(g)
-                    continue
-                o = fn(g)
-                if o.num_rows:
-                    outs.append(o)
-        if not outs:  # typed empty output for schema stability (0-row in,
-            outs = [fn(part.slice(0, 0))]  # so fn can't invent rows)
-        return pa.concat_tables(outs)
+        return _walk_partition(
+            part.drop_columns([_PART_COL]),
+            keys,
+            fn,
+            min_group_size,
+            passthrough_singletons,
+        )
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
@@ -128,13 +215,18 @@ def raycore_grouped_apply(
     fn: Callable[[pa.Table], pa.Table],
     num_groups: int = 16,
     min_group_size: int = 1,
+    passthrough_singletons: bool = False,
+    empty_out: pa.Table | None = None,
 ) -> Dataset:
     """`grouped_apply` on the raw-Ray two-stage exchange instead of the
     Dataset sort-shuffle (same pattern as stages/exchange.py: map tasks
     split blocks into G hash-range slices, G reduce tasks walk per-key
-    runs). ~5-10x lower shuffle overhead at materialized-input sizes;
-    use when the input Dataset is already materialized (it consumes
-    block refs)."""
+    runs). ~5x lower shuffle overhead at materialized-input sizes; it
+    consumes block refs, so the input should already be materialized.
+    Same kernel as the sort path (``_walk_partition``), so semantics —
+    including ``passthrough_singletons`` and the collision guard — are
+    identical; creates blocks x G refs, so ``grouped_apply``'s auto
+    policy only picks it under ``_RAYCORE_MAX_REFS``."""
     import ray
     import ray.data
 
@@ -145,6 +237,13 @@ def raycore_grouped_apply(
 
     @ray.remote
     def split(t: pa.Table, G: int):
+        if t.num_rows == 0:
+            # Ray emits zero-column placeholder blocks for empty splits
+            # (the UDF is never called on them), so an empty block may
+            # lack the key columns entirely — pass it through unhashed;
+            # reduce drops zero-row slices.
+            e = t.slice(0, 0)
+            return tuple(e for _ in range(G)) if G > 1 else e
         kh = key_hash_u64(*(t[k] for k in keys))
         g = (kh % np.uint64(G)).astype(np.int64)
         order = np.argsort(g, kind="stable")
@@ -161,30 +260,30 @@ def raycore_grouped_apply(
     def reduce(*slices: pa.Table) -> pa.Table:
         live = [s for s in slices if s.num_rows]
         if not live:
-            return fn(slices[0].slice(0, 0))
-        t = live[0] if len(live) == 1 else pa.concat_tables(live)
-        kh = key_hash_u64(*(t[k] for k in keys))
-        order = np.argsort(kh, kind="stable")
-        t = t.take(order)
-        khs = kh[order]
-        starts = np.flatnonzero(np.r_[True, khs[1:] != khs[:-1]])
-        ends = np.r_[starts[1:], len(khs)]
-        bad = _collision_runs(t, keys, starts, ends)
-        outs = [
-            o
-            for ri, (s, e) in enumerate(zip(starts, ends))
-            for g in (
-                _true_key_groups(t.slice(int(s), int(e - s)), keys)
-                if bad and ri in bad
-                else [t.slice(int(s), int(e - s))]
+            if empty_out is not None:
+                return empty_out
+            # all-empty group: fn still needs a typed 0-row input for
+            # schema stability; placeholder blocks may be zero-column,
+            # so anchor on a slice that carries the key columns.
+            base = next(
+                (
+                    s
+                    for s in slices
+                    if all(k in s.schema.names for k in keys)
+                ),
+                slices[0],
             )
-            if g.num_rows >= min_group_size
-            for o in [fn(g)]
-            if o.num_rows
-        ]
-        if not outs:
-            outs = [fn(t.slice(0, 0))]
-        return pa.concat_tables(outs)
+            t = base.slice(0, 0)
+        else:
+            t = live[0] if len(live) == 1 else pa.concat_tables(live)
+        return _walk_partition(
+            t,
+            keys,
+            fn,
+            min_group_size,
+            passthrough_singletons,
+            empty_out=empty_out,
+        )
 
     map_refs = [split.options(num_returns=G).remote(r, G) for r in refs]
     if G == 1:

@@ -668,7 +668,7 @@ def q_media_decode(sf_dir: str):
         FakeMediaDecoder,
         batch_format="pyarrow",
         batch_size=256,  # binary payloads dominate memory: small batches
-        concurrency=(1, 2),
+        concurrency=(1, 8),
     )
     return decoded.select_columns(
         ["doc_id", "n_bytes", "width", "height", "content_digest"]
@@ -709,7 +709,7 @@ def q_media_decode_real(sf_dir: str):
         synth_png_payloads, batch_format="pyarrow", batch_size=256
     )
     return binary.map_batches(
-        PngDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2)
+        PngDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 8)
     )
 
 
@@ -754,10 +754,10 @@ def q_frame_sample_real(sf_dir: str):
         fn_constructor_kwargs=dict(stride=2),
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 2),
+        concurrency=(1, 8),
     )
     return frames.map_batches(
-        PngDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2)
+        PngDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 8)
     )
 
 
@@ -775,7 +775,7 @@ def q_media_embed_real(sf_dir: str):
     )
     return binary.map_batches(
         PngHistogramEmbedder, batch_format="pyarrow", batch_size=128,
-        concurrency=(1, 2),
+        concurrency=(1, 8),
     )
 
 
@@ -791,7 +791,7 @@ def q_frame_sample(sf_dir: str):
     frames = ds.map_batches(
         to_binary, batch_format="pyarrow", batch_size=None
     ).map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
     )
 
     def meta(t: pa.Table) -> pa.Table:
@@ -1162,10 +1162,10 @@ def q_media_resize(sf_dir: str):
 
     binary = ds.map_batches(to_binary, batch_format="pyarrow", batch_size=None)
     decoded = binary.map_batches(
-        FakeMediaDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+        FakeMediaDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
     )
     return decoded.map_batches(
-        FakeResizer, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+        FakeResizer, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
     )
 
 
@@ -1185,7 +1185,7 @@ def q_media_embed(sf_dir: str):
 
     frames = (
         ds.map_batches(to_binary, batch_format="pyarrow", batch_size=None)
-        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 2))
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
         .map_batches(embed_bytes(), batch_format="pyarrow", batch_size=256)
     )
 

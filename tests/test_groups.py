@@ -117,3 +117,64 @@ def test_topk_sketch_matches_exact_on_testdata(ray_session):
     assert [r["key"] for r in sk] == list(ex.user_id)
     assert [r["count_min"] for r in sk] == list(ex.total_cents)
     assert all(r["count_max"] == r["count_min"] for r in sk)
+
+
+def test_exchange_paths_agree_incl_passthrough_and_empty_groups(ray_session):
+    """The three exchange settings must be semantically identical —
+    including passthrough_singletons (grouped_first shapes), empty hash
+    groups (raycore G > n_keys), and group fns that cannot take a 0-row
+    input (auto must quietly keep the sort path for those)."""
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(29)
+    n = 4000
+    t = pa.table(
+        {
+            "k": rng.integers(0, 37, n),  # 37 keys << 64 groups
+            "v": rng.integers(0, 100, n),
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    def group_sum(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": g["k"].slice(0, 1),
+                "s": pa.array([pc.sum(g["v"]).as_py() or 0], pa.int64()),
+            }
+        )
+
+    want = {
+        r["k"]: r["s"]
+        for r in grouped_apply(ds, ["k"], group_sum, exchange="sort").take_all()
+    }
+    for ex in ("raycore", "auto"):
+        got = {
+            r["k"]: r["s"]
+            for r in grouped_apply(ds, ["k"], group_sum, exchange=ex).take_all()
+        }
+        assert got == want, ex
+
+    # passthrough_singletons: first-row-per-key identical across paths
+    t2 = pa.table({"k": [1, 1, 2, 3, 3, 3], "v": [10, 11, 20, 30, 31, 32]})
+    for ex in ("sort", "raycore", "auto"):
+        out = grouped_apply(
+            rd.from_arrow(t2),
+            ["k"],
+            lambda g: g.slice(0, 1),
+            passthrough_singletons=True,
+            exchange=ex,
+        ).take_all()
+        assert sorted((r["k"], r["v"]) for r in out) == [
+            (1, 10),
+            (2, 20),
+            (3, 30),
+        ], ex
+
+    # a fn that indexes row 0 unconditionally (raises on 0-row input):
+    # auto's driver-side probe must detect it and keep the sort path
+    def head_unsafe(g: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array([g["k"][0].as_py()], pa.int64())})
+
+    out = grouped_apply(ds, ["k"], head_unsafe, exchange="auto").take_all()
+    assert sorted(set(r["k"] for r in out)) == sorted(set(t["k"].to_pylist()))

@@ -83,12 +83,14 @@ def test_left_outer_join_cap_raises_naming_key(ray_session):
                    "lv": pa.array(range(200), pa.int64())})
     rt = pa.table({"k": pa.array([9] * 200, pa.int64()),
                    "rv": pa.array(range(200), pa.int64())})
-    ds = left_outer_join(
-        rd.from_arrow(lt), rd.from_arrow(rt), on="k",
-        num_partitions=2, max_group_rows=10_000,
-    )
+    # the raycore exchange surfaces the error at construction (it
+    # blocks on reduce metadata); the sort exchange at materialize —
+    # cover both raise points inside the context
     with pytest.raises(Exception, match="max_group_rows"):
-        ds.materialize()
+        left_outer_join(
+            rd.from_arrow(lt), rd.from_arrow(rt), on="k",
+            num_partitions=2, max_group_rows=10_000,
+        ).materialize()
 
 
 def test_left_outer_join_overlapping_columns_raise(ray_session):
