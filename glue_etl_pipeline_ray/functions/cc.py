@@ -128,15 +128,79 @@ def _cc_distributed(
         batch_format="pyarrow",
     ).materialize()
 
-    def emit(g: pa.Table) -> pa.Table:
-        lab = pc.min(g["label"]).as_py()  # the node's single label row
-        nbrs = g["nbr"].drop_null()
-        return pa.table(
+    _I64MAX = (1 << 63) - 1
+
+    def emit_partition(part: pa.Table) -> pa.Table:
+        """Vectorized per-partition message emit: one stable sort by
+        node, one segment-min over label rows, one repeat — every node
+        in the partition handled with zero per-key Python calls (the
+        per-group emit measured 2-4x slower at high node counts)."""
+        empty = pa.table(
             {
-                "node": nbrs,
-                "label": pa.nulls(len(nbrs), pa.int64()).fill_null(lab),
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
             }
         )
+        if part.num_rows == 0:
+            return empty
+        node = part["node"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node_s = node[order]
+        lab = (
+            part["label"]
+            .fill_null(_I64MAX)
+            .to_numpy(zero_copy_only=False)[order]
+        )
+        # null mask from Arrow (a float view would corrupt ids > 2^53)
+        adj_mask = (
+            pc.is_valid(part["nbr"]).to_numpy(zero_copy_only=False)[order]
+        )
+        nbr = (
+            part["nbr"]
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)[order]
+        )
+        starts = np.flatnonzero(np.r_[True, node_s[1:] != node_s[:-1]])
+        counts = np.diff(np.r_[starts, len(node_s)])
+        seg_min = np.minimum.reduceat(lab, starts)
+        row_lab = np.repeat(seg_min, counts)
+        if not adj_mask.any():
+            return empty
+        return pa.table(
+            {
+                "node": pa.array(
+                    nbr[adj_mask].astype(np.int64), pa.int64()
+                ),
+                "label": pa.array(row_lab[adj_mask], pa.int64()),
+            }
+        )
+
+    def fold_min_partition(part: pa.Table) -> pa.Table:
+        """(node, label) -> per-node min, vectorized (segment reduce)."""
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        node = part["node"].to_numpy(zero_copy_only=False)
+        lab = part["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node_s, lab_s = node[order], lab[order]
+        starts = np.flatnonzero(np.r_[True, node_s[1:] != node_s[:-1]])
+        return pa.table(
+            {
+                "node": pa.array(node_s[starts], pa.int64()),
+                "label": pa.array(
+                    np.minimum.reduceat(lab_s, starts), pa.int64()
+                ),
+            }
+        )
+
+    from glue_etl_pipeline_ray.functions.groups import (
+        grouped_apply_partitions,
+    )
 
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
     for _ in range(max_rounds):
@@ -150,18 +214,19 @@ def _cc_distributed(
             ),
             batch_format="pyarrow",
         )
-        msgs = grouped_apply(adj.union(lab_rows), ["node"], emit)
-        # repartition each round: union + Aggregate emit roughly
-        # (inputs + messages) blocks, so without coalescing the block
-        # count DOUBLES per round (measured 5 -> 191 blocks in 5 rounds,
-        # with round wall time doubling alongside). The label table is
-        # node-count sized; a fixed partition count keeps every round's
-        # task count flat.
-        labels = (
-            labels.union(msgs)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .repartition(8)
+        msgs = grouped_apply_partitions(
+            adj.union(lab_rows), ["node"], emit_partition, num_partitions=16
+        )
+        # the min-fold is a second keyed exchange (messages group by
+        # TARGET node); its output block count == num_partitions, so
+        # every round's task count stays flat without a repartition
+        # (pre-rewrite the union+aggregate doubled blocks per round —
+        # measured 5 -> 191 blocks in 5 rounds)
+        labels = grouped_apply_partitions(
+            labels.union(msgs),
+            ["node"],
+            fold_min_partition,
+            num_partitions=16,
         ).materialize()
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:  # labels only decrease; equal sum = fixpoint

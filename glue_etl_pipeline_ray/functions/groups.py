@@ -197,6 +197,112 @@ def grouped_apply(
     )
 
 
+def grouped_apply_partitions(
+    ds: Dataset,
+    keys: list[str],
+    partition_fn: Callable[[pa.Table], pa.Table],
+    num_partitions: int = 64,
+    exchange: str = "auto",
+) -> Dataset:
+    """Keyed exchange delivering WHOLE hash partitions to
+    ``partition_fn`` (all rows of every key that hashes there, in one
+    table) instead of walking per-key groups. For operators with a
+    fully vectorized multi-key kernel — joins via searchsorted, segment
+    reductions — where a per-key Python call (grouped_apply) would pay
+    key-cardinality overhead. ``partition_fn`` must handle 0-row input
+    (typed empty) and must not depend on which keys share a partition.
+    Same cost-based exchange policy as :func:`grouped_apply`."""
+    if exchange not in ("auto", "sort", "raycore"):
+        raise ValueError(f"unknown exchange {exchange!r}")
+    if exchange != "sort":
+        try:
+            mat = ds.materialize()
+            n_blocks = mat.num_blocks()
+        except Exception:
+            mat = None
+        if mat is not None:
+            if (
+                exchange == "raycore"
+                or n_blocks * num_partitions <= _RAYCORE_MAX_REFS
+            ):
+                return _raycore_exchange_partitions(
+                    mat, keys, partition_fn, num_partitions
+                )
+            ds = mat
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = key_hash_u64(*(batch[k] for k in keys))
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column(_PART_COL, pa.array(part, pa.int64()))
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        return partition_fn(part.drop_columns([_PART_COL]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby(_PART_COL)
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+
+def _raycore_exchange_partitions(
+    ds: Dataset,
+    keys: list[str],
+    partition_fn: Callable[[pa.Table], pa.Table],
+    num_groups: int,
+) -> Dataset:
+    """Two-stage raw-task exchange variant for whole-partition fns."""
+    import ray
+    import ray.data
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    G = max(1, num_groups)
+
+    @ray.remote
+    def split(t: pa.Table, G: int):
+        if t.num_rows == 0:
+            e = t.slice(0, 0)
+            return tuple(e for _ in range(G)) if G > 1 else e
+        kh = key_hash_u64(*(t[k] for k in keys))
+        g = (kh % np.uint64(G)).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        t = t.take(order)
+        gs = g[order]
+        bounds = np.searchsorted(gs, np.arange(G + 1))
+        slices = [
+            t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            for i in range(G)
+        ]
+        return tuple(slices) if G > 1 else slices[0]
+
+    @ray.remote
+    def reduce(*slices: pa.Table) -> pa.Table:
+        live = [s for s in slices if s.num_rows]
+        if not live:
+            base = next(
+                (
+                    s
+                    for s in slices
+                    if all(k in s.schema.names for k in keys)
+                ),
+                slices[0],
+            )
+            return partition_fn(base.slice(0, 0))
+        t = live[0] if len(live) == 1 else pa.concat_tables(live)
+        return partition_fn(t)
+
+    map_refs = [split.options(num_returns=G).remote(r, G) for r in refs]
+    if G == 1:
+        map_refs = [[r] for r in map_refs]
+    red = [
+        reduce.remote(*(map_refs[m][g] for m in range(len(map_refs))))
+        for g in range(G)
+    ]
+    return ray.data.from_arrow_refs(red)
+
+
 def grouped_first(ds: Dataset, keys: list[str], num_partitions: int = 64) -> Dataset:
     """Exact distinct-by-keys keeping the first row per key (input order);
     singleton keys — the common case — pass through in one take."""

@@ -98,3 +98,41 @@ def test_left_outer_join_overlapping_columns_raise(ray_session):
     rt = rd.from_arrow(pa.table({"k": [1], "v": [2]}))
     with pytest.raises(ValueError, match="disjoint"):
         left_outer_join(lt, rt, on="k")
+
+
+def test_inner_join_matches_duckdb_and_drops_nulls(ray_session):
+    # null keys must match NOTHING on either side (SQL semantics);
+    # inner drops unmatched rows entirely
+    lt = pa.table({
+        "k": pa.array([5, 5, None, 6, 8], pa.int64()),
+        "lv": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array([5, None, 7, 8], pa.int64()),
+        "rv": pa.array([10, 20, 50, 60], pa.int64()),
+    })
+    from glue_etl_pipeline_ray.functions.joins import inner_join
+
+    got = inner_join(rd.from_arrow(lt), rd.from_arrow(rt), on="k")
+    got_tbl = pa.Table.from_pandas(got.to_pandas())
+    exp = duckdb.sql(
+        "SELECT l.k, l.lv, r.rv FROM lt l JOIN rt r ON l.k = r.k"
+    ).arrow()
+    assert _sorted_rows(got_tbl.select(["k", "lv", "rv"])) == _sorted_rows(
+        exp.select(["k", "lv", "rv"])
+    )
+    assert got_tbl.num_rows == 3  # (5,1),(5,2) match 5; (8,5) matches 8
+
+
+def test_left_outer_join_null_left_key_null_extends(ray_session):
+    lt = pa.table({"k": pa.array([None, 1], pa.int64()),
+                   "lv": pa.array([7, 8], pa.int64())})
+    rt = pa.table({"k": pa.array([None, 1], pa.int64()),
+                   "rv": pa.array([70, 80], pa.int64())})
+    got = left_outer_join(rd.from_arrow(lt), rd.from_arrow(rt), on="k")
+    df = got.to_pandas().sort_values("lv").reset_index(drop=True)
+    # null-keyed left row survives null-extended; never matches the
+    # null-keyed right row
+    assert df["lv"].tolist() == [7, 8]
+    assert df["rv"].isna().tolist() == [True, False]
+    assert df["rv"].dropna().tolist() == [80.0]
