@@ -261,10 +261,23 @@ def _raycore_exchange_partitions(
     G = max(1, num_groups)
 
     @ray.remote
-    def split(t: pa.Table, G: int):
-        if t.num_rows == 0:
-            e = t.slice(0, 0)
+    def split(G: int, *tabs: pa.Table):
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            # Ray emits zero-column placeholder blocks for empty splits
+            # (the UDF is never called on them), so an empty block may
+            # lack the key columns entirely — pass one through unhashed;
+            # reduce drops zero-row slices.
+            e = next(
+                (
+                    t
+                    for t in tabs
+                    if all(k in t.schema.names for k in keys)
+                ),
+                tabs[0],
+            ).slice(0, 0)
             return tuple(e for _ in range(G)) if G > 1 else e
+        t = live[0] if len(live) == 1 else pa.concat_tables(live)
         kh = key_hash_u64(*(t[k] for k in keys))
         g = (kh % np.uint64(G)).astype(np.int64)
         order = np.argsort(g, kind="stable")
@@ -293,7 +306,10 @@ def _raycore_exchange_partitions(
         t = live[0] if len(live) == 1 else pa.concat_tables(live)
         return partition_fn(t)
 
-    map_refs = [split.options(num_returns=G).remote(r, G) for r in refs]
+    bundles = _bundle_refs(refs)
+    map_refs = [
+        split.options(num_returns=G).remote(G, *b) for b in bundles
+    ]
     if G == 1:
         map_refs = [[r] for r in map_refs]
     red = [
@@ -313,6 +329,28 @@ def grouped_first(ds: Dataset, keys: list[str], num_partitions: int = 64) -> Dat
         num_partitions,
         passthrough_singletons=True,
     )
+
+
+
+def _bundle_refs(refs: list) -> list[list]:
+    """Group block refs into at most ~CPU-count contiguous bundles so
+    the raycore split-task count (and the blocks x groups ref count)
+    tracks cores, not input block count — 128 tiny blocks would
+    otherwise mean 128 split tasks x G slices each. Contiguity
+    preserves (block, row) order for first-row-per-key semantics."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 32)) or 32
+    except Exception:
+        cpus = 32
+    n_bundles = max(1, min(len(refs), cpus))
+    bounds = np.linspace(0, len(refs), n_bundles + 1).astype(int)
+    return [
+        refs[bounds[i] : bounds[i + 1]]
+        for i in range(n_bundles)
+        if bounds[i + 1] > bounds[i]
+    ]
 
 
 def raycore_grouped_apply(
@@ -342,14 +380,23 @@ def raycore_grouped_apply(
     G = max(1, num_groups)
 
     @ray.remote
-    def split(t: pa.Table, G: int):
-        if t.num_rows == 0:
+    def split(G: int, *tabs: pa.Table):
+        live = [t for t in tabs if t.num_rows]
+        if not live:
             # Ray emits zero-column placeholder blocks for empty splits
             # (the UDF is never called on them), so an empty block may
-            # lack the key columns entirely — pass it through unhashed;
+            # lack the key columns entirely — pass one through unhashed;
             # reduce drops zero-row slices.
-            e = t.slice(0, 0)
+            e = next(
+                (
+                    t
+                    for t in tabs
+                    if all(k in t.schema.names for k in keys)
+                ),
+                tabs[0],
+            ).slice(0, 0)
             return tuple(e for _ in range(G)) if G > 1 else e
+        t = live[0] if len(live) == 1 else pa.concat_tables(live)
         kh = key_hash_u64(*(t[k] for k in keys))
         g = (kh % np.uint64(G)).astype(np.int64)
         order = np.argsort(g, kind="stable")
@@ -391,7 +438,10 @@ def raycore_grouped_apply(
             empty_out=empty_out,
         )
 
-    map_refs = [split.options(num_returns=G).remote(r, G) for r in refs]
+    bundles = _bundle_refs(refs)
+    map_refs = [
+        split.options(num_returns=G).remote(G, *b) for b in bundles
+    ]
     if G == 1:
         map_refs = [[r] for r in map_refs]
     red = [

@@ -82,7 +82,6 @@ def asof_join_backward(
         cols[on] = t[on]
         cols["__rv"] = pa.nulls(t.num_rows, rv_type)
         cols[_SIDE] = pa.array(np.zeros(t.num_rows, np.int8))
-        cols[_PART] = pa.array(bucket_of(num_partitions, t[by]), pa.int64())
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -92,7 +91,6 @@ def asof_join_backward(
         cols[on] = t[on]
         cols["__rv"] = t[right_value_col]
         cols[_SIDE] = pa.array(np.ones(n, np.int8))
-        cols[_PART] = pa.array(bucket_of(num_partitions, t[by]), pa.int64())
         return pa.table(cols)
 
     lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
@@ -117,7 +115,7 @@ def asof_join_backward(
         return lpos, vals
 
     def join_partition(g: pa.Table) -> pa.Table:
-        g = g.drop_columns([_PART]).combine_chunks()
+        g = g.combine_chunks()
         n = g.num_rows
         side = g[_SIDE].to_numpy(zero_copy_only=False)
         if n == 0 or not (side == 0).any():
@@ -167,7 +165,13 @@ def asof_join_backward(
         out[out_col] = pa.array(vals.tolist(), rv_type)
         return pa.table(out)
 
-    return both.groupby(_PART).map_groups(join_partition, batch_format="pyarrow")
+    from glue_etl_pipeline_ray.functions.groups import (
+        grouped_apply_partitions,
+    )
+
+    return grouped_apply_partitions(
+        both, [by], join_partition, num_partitions=num_partitions
+    )
 
 
 def _carry_lookup(qk: np.ndarray, qb: np.ndarray, ent) -> np.ndarray:
@@ -327,7 +331,6 @@ def asof_join_backward_sharded(
         cols["__bucket"] = bkt
         cols["__rv"] = pa.nulls(t.num_rows, rv_type)
         cols[_SIDE] = pa.array(np.zeros(t.num_rows, np.int8))
-        cols[_PART] = pa.array(bucket_of(num_partitions, t[by], bkt), pa.int64())
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -340,7 +343,6 @@ def asof_join_backward_sharded(
         cols["__bucket"] = bkt
         cols["__rv"] = t[right_value_col]
         cols[_SIDE] = pa.array(np.ones(n, np.int8))
-        cols[_PART] = pa.array(bucket_of(num_partitions, t[by], bkt), pa.int64())
         return pa.table(cols)
 
     lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
@@ -348,7 +350,7 @@ def asof_join_backward_sharded(
     both = lt.union(rt)
 
     def join_partition(g: pa.Table) -> pa.Table:
-        g = g.drop_columns([_PART]).combine_chunks()
+        g = g.combine_chunks()
         n = g.num_rows
         k = g[by].to_numpy(zero_copy_only=False).astype(np.int64)
         b = g["__bucket"].to_numpy(zero_copy_only=False)
@@ -393,7 +395,16 @@ def asof_join_backward_sharded(
         out[out_col] = pa.array(vals.tolist(), rv_type)
         return pa.table(out)
 
-    return both.groupby(_PART).map_groups(join_partition, batch_format="pyarrow")
+    from glue_etl_pipeline_ray.functions.groups import (
+        grouped_apply_partitions,
+    )
+
+    return grouped_apply_partitions(
+        both,
+        [by, "__bucket"],
+        join_partition,
+        num_partitions=num_partitions,
+    )
 
 
 def interval_join(

@@ -72,8 +72,19 @@ def generate_change_events(
     content_pool_size: int = 2_000,
     seed: int = 42,
     row_group_size: int = 16_384,
+    rename_from_batch: int | None = None,
+    renamed_source: str = "sz_bytes",
+    noise_col_from_batch: int | None = None,
 ) -> dict:
-    """Write per-batch Parquet change-event files; return metadata."""
+    """Write per-batch Parquet change-event files; return metadata.
+
+    ``rename_from_batch``: batches >= it carry the evolved column under
+    the upstream's NEW name ``renamed_source`` instead of ``size_bytes``
+    (same values) — the column-rename fixture; replay with a spec whose
+    ``renames=((renamed_source, "size_bytes"),)`` must produce the same
+    final state as the un-renamed stream. ``noise_col_from_batch``:
+    batches >= it carry an extra ``__ingest_ts`` column for the
+    ``ignored_cols`` fixture."""
     rng = np.random.default_rng(seed)
     pool = make_content_pool(rng, content_pool_size)
 
@@ -140,7 +151,16 @@ def generate_change_events(
         }
         if evolve_from_batch is not None and b >= evolve_from_batch:
             sb = np.array([len(c) if c is not None else 0 for c in content[m]], np.int64)
-            cols["size_bytes"] = pa.array(sb)
+            name = (
+                renamed_source
+                if rename_from_batch is not None and b >= rename_from_batch
+                else "size_bytes"
+            )
+            cols[name] = pa.array(sb)
+        if noise_col_from_batch is not None and b >= noise_col_from_batch:
+            cols["__ingest_ts"] = pa.array(
+                np.full(int(m.sum()), 1_700_000_000 + b, np.int64)
+            )
         f = os.path.join(ev_dir, f"batch={b:05d}.parquet")
         # small row groups = the fan-out unit for the raw-Ray exchange
         pq.write_table(pa.table(cols), f, row_group_size=row_group_size)

@@ -77,10 +77,25 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
     dlq: list[dict] = []
     n_applied = n_deleted = 0
 
+    rmap = spec.rename_map
+    ignored = set(spec.ignored_cols)
     for f in files:
         t = pq.read_table(f)
+        if rmap:
+            # column mapping, independently re-implemented from the
+            # engine's apply_renames (same ambiguity contract)
+            present = set(t.column_names)
+            for src, dst in rmap.items():
+                if src in present and dst in present:
+                    raise ValueError(
+                        f"ambiguous batch schema: both {src!r} and "
+                        f"{dst!r} present"
+                    )
+            t = t.rename_columns(
+                [rmap.get(n, n) for n in t.column_names]
+            )
         for fld in t.schema:
-            if fld.name in known:
+            if fld.name in known or fld.name in ignored:
                 continue
             tname = type_name(fld.type)
             names = {n: i for i, (n, _) in enumerate(evolved)}

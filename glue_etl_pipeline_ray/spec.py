@@ -144,10 +144,35 @@ class TableSpec:
     rules: tuple[Rule, ...] = ()
     num_buckets: int = 64
     extra_meta_cols: tuple[str, ...] = field(default=())  # carried to DLQ only
+    # column-mapping schema evolution (Delta/Iceberg "column mapping"
+    # analog): incoming batches whose source renamed a column keep
+    # landing in ONE canonical lake column. (source_name, canonical)
+    # pairs; applied before validation, so rules and keys see canonical
+    # names. A canonical name must not itself be a rename source.
+    renames: tuple[tuple[str, str], ...] = ()
+    # columns the downstream has explicitly dropped: ingest ignores them
+    # (never evolves them in) instead of growing the lake schema
+    ignored_cols: tuple[str, ...] = ()
 
     @property
     def base_col_names(self) -> tuple[str, ...]:
         return tuple(n for n, _ in self.base_cols)
+
+    @property
+    def rename_map(self) -> dict[str, str]:
+        """source -> canonical, validated: no chained renames (a
+        canonical target must not itself be a rename source) and no
+        renaming of the engine's own meta columns."""
+        m = dict(self.renames)
+        meta = {self.seq_col, self.op_col, self.batch_col}
+        for src, dst in m.items():
+            if dst in m:
+                raise ValueError(
+                    f"chained rename {src!r} -> {dst!r} -> {m[dst]!r}"
+                )
+            if src in meta or dst in meta:
+                raise ValueError(f"cannot rename meta column: {src}->{dst}")
+        return m
 
     def base_type(self, name: str) -> pa.DataType:
         for n, t in self.base_cols:

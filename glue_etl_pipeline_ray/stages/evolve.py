@@ -19,6 +19,54 @@ import pyarrow.compute as pc
 from glue_etl_pipeline_ray.spec import TableSpec, type_from_name, type_name
 
 
+def apply_renames(spec: TableSpec, batch: pa.Table) -> pa.Table:
+    """Column-mapping step (Delta/Iceberg column-mapping analog): map
+    source-renamed columns to their canonical lake names, FIRST in the
+    ingest chain so validation rules and key extraction see canonical
+    names. A batch carrying BOTH a source name and its canonical target
+    is ambiguous (which values win?) and raises instead of guessing."""
+    rmap = spec.rename_map
+    if not rmap:
+        return batch
+    names = batch.column_names
+    present = set(names)
+    hit = False
+    for src, dst in rmap.items():
+        if src in present:
+            if dst in present:
+                raise ValueError(
+                    f"ambiguous batch schema: both {src!r} and its "
+                    f"canonical name {dst!r} present — a rename era "
+                    "must not overlap the canonical column"
+                )
+            hit = True
+    if not hit:
+        return batch
+    return batch.rename_columns([rmap.get(n, n) for n in names])
+
+
+def renamed_schema(spec: TableSpec, file_schema: pa.Schema) -> pa.Schema:
+    """The footer-level analog of :func:`apply_renames` (discovery reads
+    schemas, not data)."""
+    rmap = spec.rename_map
+    if not rmap:
+        return file_schema
+    names = set(file_schema.names)
+    fields = []
+    for f in file_schema:
+        dst = rmap.get(f.name)
+        if dst is not None:
+            if dst in names:
+                raise ValueError(
+                    f"ambiguous batch schema: both {f.name!r} and its "
+                    f"canonical name {dst!r} present — a rename era "
+                    "must not overlap the canonical column"
+                )
+            f = f.with_name(dst)
+        fields.append(f)
+    return pa.schema(fields)
+
+
 def event_schema(
     spec: TableSpec, evolved: tuple[tuple[str, str], ...]
 ) -> pa.Schema:
@@ -83,10 +131,12 @@ def discover_evolved(
         spec.batch_col,
         *spec.extra_meta_cols,
     }
+    file_schema = renamed_schema(spec, file_schema)
+    ignored = set(spec.ignored_cols)
     by_name = {n: i for i, (n, _) in enumerate(known_evolved)}
     out = list(known_evolved)
     for f in file_schema:
-        if f.name in known:
+        if f.name in known or f.name in ignored:
             continue
         # type_name round-trips nested list/struct types through the
         # JSON manifest (str(f.type) would not parse back)

@@ -132,6 +132,12 @@ class ValidateFn:
         n = batch.num_rows
         if n == 0:
             return batch
+        if spec.renames:
+            # column mapping FIRST: rules, key extraction and the DLQ
+            # all see canonical names (stages/evolve.apply_renames)
+            from glue_etl_pipeline_ray.stages.evolve import apply_renames
+
+            batch = apply_renames(spec, batch)
         op = batch[spec.op_col] if spec.op_col in batch.column_names else pa.nulls(n, pa.string())
         fails: list[tuple[str, pa.Array]] = []
         any_fail = pa.array([False] * n)
