@@ -62,11 +62,7 @@ def asof_join_backward(
     dominated at 10^5 keys). Key identity inside a partition is the
     64-bit hash, verified by the real-key collision guard; a colliding
     run falls back to a per-true-key walk (vanishingly rare)."""
-    from glue_etl_pipeline_ray.hashing import (
-        bucket_of,
-        collision_runs,
-        key_hash_u64,
-    )
+    from glue_etl_pipeline_ray.hashing import collision_runs, key_hash_u64
 
     # resolve types driver-side: Dataset handles must not leak into UDFs
     ls = left.schema()
@@ -74,7 +70,6 @@ def asof_join_backward(
     rs = right.schema()
     rv_type = dict(zip(rs.names, rs.types))[right_value_col]
     left_types = {c: left_all[c] for c in left_cols}
-    _PART = "__part"
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in left_cols}
@@ -318,9 +313,6 @@ def asof_join_backward_sharded(
     # fully vectorized kernel per PARTITION (not per group). Partition
     # identity uses the real (key, shard) values inside the kernel, so
     # no hash-collision exposure either.
-    from glue_etl_pipeline_ray.hashing import bucket_of
-
-    _PART = "__part"
 
     def tag_left(t: pa.Table) -> pa.Table:
         onv = _on_i64(t[on])
