@@ -738,6 +738,182 @@ class ReplayEngine:
                             pass
         return {"compacted_buckets": len(new_versions), "dropped_tombstones": dropped}
 
+    # --------------------------------------------------------------- backfill
+    def backfill(self, transform, _fail_before_commit: bool = False) -> dict:
+        """Lake-wide payload transform (recompute a column, or ADD one
+        derived from existing data) as a crash-safe in-place version
+        bump — compaction's discipline, not a change batch, so per-row
+        ``seq`` values are untouched and upstream LWW ordering is never
+        disturbed.
+
+        ``transform``: ``pa.Table -> pa.Table`` over ONE bucket's live
+        rows in canonical layout; must return the same row count with
+        identical key-column values (order preserved). Columns it adds
+        become schema evolution (registered exactly as if they had
+        arrived via a change batch; tombstone rows carry nulls); key
+        columns must not change; existing columns must keep their types.
+
+        Crash safety: every bucket writes to a deterministic version in
+        a namespace no batch can collide with (``10^9 + watermark``),
+        then ONE atomic manifest write commits pointers + ledger +
+        evolution registry. A crash before that write leaves only
+        orphans a re-run overwrites; the ledger allows one backfill per
+        watermark (re-running at the same watermark after success
+        raises — advance the watermark first), which is what makes the
+        re-run read pristine inputs. Delta mode folds each chain to a
+        single base first (tombstones kept), then rewrites the base.
+
+        On a history-retaining lake (``gc_old_versions=False``) the old
+        versions stay on disk, so ``final_table(as_of=...)`` keeps
+        resolving pre-backfill snapshots with the pre-backfill schema."""
+        from glue_etl_pipeline_ray.spec import type_name
+        from glue_etl_pipeline_ray.stages.merge import (
+            SEQ_COL,
+            write_atomic,
+        )
+
+        wm = self.ckpt.watermark
+        if wm < 0:
+            raise ValueError("nothing to backfill: empty lake")
+        if any(bf.get("watermark") == wm for bf in self.ckpt.backfills):
+            raise ValueError(
+                f"already backfilled at watermark {wm}: apply another "
+                "batch before backfilling again (one backfill per "
+                "watermark keeps re-runs reading pristine inputs)"
+            )
+        out_v = 1_000_000_000 + wm
+        spec = self.spec
+        evolved = self.ckpt.evolved
+
+        if self.state_mode == "delta":
+            targets = {
+                b: d
+                for b, d in self.ckpt.bucket_deltas.items()
+                if d["deltas"]
+            }
+            if targets:
+                self._fold_buckets(targets)
+            in_versions = {
+                b: d["base"]
+                for b, d in self.ckpt.bucket_deltas.items()
+                if d["base"] is not None
+            }
+        else:
+            in_versions = self.ckpt.bucket_versions
+
+        @ray.remote
+        def backfill_bucket(
+            lake_dir: str, bucket: int, in_version: int
+        ) -> tuple:
+            st = state_schema(spec, evolved)
+            t = conform(
+                pq.read_table(
+                    os.path.join(lake_dir, part_name(bucket, in_version))
+                ),
+                st,
+            )
+            dead = pc.fill_null(t[DELETED_COL], False)
+            live = t.filter(pc.invert(dead))
+            canon_cols = spec.canonical_cols(evolved)
+            canon = live.select(canon_cols)
+            out = transform(canon)
+            if out.num_rows != canon.num_rows:
+                raise ValueError(
+                    f"backfill transform changed the row count in bucket "
+                    f"{bucket}: {canon.num_rows} -> {out.num_rows}"
+                )
+            for k in spec.key_cols:
+                same = pc.all(
+                    pc.fill_null(pc.equal(out[k], canon[k]), False)
+                ).as_py()
+                if canon.num_rows and same is not True:
+                    raise ValueError(
+                        f"backfill transform modified key column {k!r}"
+                    )
+            for c in canon_cols:
+                if c in out.column_names and not out.schema.field(
+                    c
+                ).type.equals(canon.schema.field(c).type):
+                    raise ValueError(
+                        f"backfill transform changed the type of "
+                        f"existing column {c!r} — widen via a change "
+                        "batch instead"
+                    )
+            reserved = {
+                spec.seq_col,
+                spec.op_col,
+                spec.batch_col,
+                SEQ_COL,
+                DELETED_COL,
+            }
+            added = tuple(
+                (f.name, type_name(f.type))
+                for f in out.schema
+                if f.name not in canon_cols
+            )
+            if any(n in reserved for n, _ in added):
+                raise ValueError(
+                    "backfill transform added a reserved meta column"
+                )
+            st_new = state_schema(spec, evolved + added)
+            live_cols = {}
+            for f in st_new:
+                if f.name == SEQ_COL:
+                    live_cols[f.name] = live[SEQ_COL]
+                elif f.name == DELETED_COL:
+                    live_cols[f.name] = live[DELETED_COL]
+                elif f.name in out.column_names:
+                    live_cols[f.name] = out[f.name]
+                else:
+                    live_cols[f.name] = pa.nulls(out.num_rows, f.type)
+            parts = [conform(pa.table(live_cols), st_new)]
+            if (pc.sum(dead).as_py() or 0) > 0:
+                parts.append(conform(t.filter(dead), st_new))
+            write_atomic(
+                os.path.join(lake_dir, part_name(bucket, out_v)),
+                pa.concat_tables(parts),
+            )
+            return (bucket, added)
+
+        results = ray.get(
+            [
+                backfill_bucket.remote(self.lake_dir, b, v)
+                for b, v in sorted(in_versions.items())
+            ]
+        )
+        added_sets = {added for _, added in results}
+        if len(added_sets) > 1:
+            raise ValueError(
+                "backfill transform added inconsistent columns across "
+                f"buckets: {sorted(added_sets)}"
+            )
+        added = results[0][1] if results else ()
+        new_evolved = evolved + added
+        summary = {
+            "kind": "backfill",
+            "watermark": wm,
+            "buckets": len(results),
+            "added_cols": [list(a) for a in added],
+            "out_version": out_v,
+        }
+        if _fail_before_commit:
+            raise RuntimeError("injected crash before backfill commit")
+        new_ptrs = {b: out_v for b in in_versions}
+        if self.state_mode == "delta":
+            self.ckpt.record_backfill(summary, None, new_ptrs, new_evolved)
+        else:
+            self.ckpt.record_backfill(summary, new_ptrs, None, new_evolved)
+        if self.gc_old_versions:
+            for b, v_old in in_versions.items():
+                if v_old != out_v:
+                    try:
+                        os.remove(
+                            os.path.join(self.lake_dir, part_name(b, v_old))
+                        )
+                    except FileNotFoundError:
+                        pass
+        return summary
+
     # ----------------------------------------------------------- final state
     @staticmethod
     def _reshard_floor(recs: list[dict]) -> int:

@@ -103,6 +103,38 @@ class CheckpointManager:
             bv[str(b)] = int(v)
         self._write(m)
 
+    @property
+    def backfills(self) -> list[dict]:
+        return list(self._m.get("backfills", []))
+
+    def record_backfill(
+        self,
+        summary: dict,
+        new_versions: dict[int, int] | None,
+        new_bases: dict[int, int] | None,
+        evolved: tuple[tuple[str, str], ...],
+    ) -> None:
+        """Commit a lake-wide backfill in ONE atomic manifest write:
+        append the ledger entry (idempotence guard — one backfill per
+        watermark), bump every bucket pointer (rewrite mode:
+        ``bucket_versions``; delta mode: chain bases), and register any
+        columns the transform added in the evolution registry. Like
+        compactions, backfills are not batches: no batch summary, no
+        watermark change."""
+        m = self._m
+        m.setdefault("backfills", []).append(summary)
+        if new_versions:
+            bv = m.setdefault("bucket_versions", {})
+            for b, v in new_versions.items():
+                bv[str(b)] = int(v)
+        if new_bases:
+            bd = m.setdefault("bucket_deltas", {})
+            for b, v in new_bases.items():
+                ent = bd.setdefault(str(b), {"base": None, "deltas": []})
+                ent["base"] = int(v)
+        m["evolved"] = [list(e) for e in evolved]
+        self._write(m)
+
     def apply_folds(self, folds: dict[int, dict]) -> None:
         """Atomically record compaction results: ``bucket -> {"base":
         new_base_version, "folded_deltas": [...]}``. Chain entries may be
