@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_distinct_hll": Q.q_grouped_distinct_hll,
         "cdc_redrive": Q.q_cdc_redrive,
         "cdc_reshard": Q.q_cdc_reshard,
+        "cdc_backfill": Q.q_cdc_backfill,
         "rows_frame_agg": Q.q_rows_frame_agg,
         "classifier_score": Q.q_classifier_score,
         "rank_functions": Q.q_rank_functions,

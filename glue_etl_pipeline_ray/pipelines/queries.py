@@ -2585,6 +2585,30 @@ def q_cdc_reshard(sf_dir: str) -> pa.Table:
     return eng2.final_table()
 
 
+def q_cdc_backfill(sf_dir: str) -> pa.Table:
+    """Lake-wide backfill surface: replay the CDC stream, then derive a
+    new ``value_dollars`` column across every bucket as a crash-safe
+    in-place version bump (``ReplayEngine.backfill`` — seq untouched,
+    one atomic manifest commit, added column registered as schema
+    evolution). Gate: pytest (hash-exact vs the DuckDB LWW window with
+    the same derived column, tests/test_cdc_backfill_query.py)."""
+    work = tempfile.mkdtemp(prefix="gepr_backfill_")
+    ev_dir = _events_as_cdc(sf_dir, work)
+    eng = ReplayEngine(user_state_spec(), os.path.join(work, "lake"))
+    eng.replay(ev_dir)
+
+    def add_dollars(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "value_dollars",
+            pc.divide(
+                pc.cast(t["value_cents"], pa.float64()), 100.0
+            ),
+        )
+
+    eng.backfill(add_dollars)
+    return eng.final_table()
+
+
 def q_rows_frame_agg(sf_dir: str):
     """ROWS-frame window aggregate (ROWS BETWEEN 2 PRECEDING AND
     CURRENT ROW): per event, the sum and count of the user's last 3
