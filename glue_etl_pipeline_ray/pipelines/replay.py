@@ -904,14 +904,29 @@ class ReplayEngine:
         else:
             self.ckpt.record_backfill(summary, new_ptrs, None, new_evolved)
         if self.gc_old_versions:
+            # bounded retention (delta + retain_batches): superseded
+            # bases are still the ONLY source for as-of <= watermark
+            # reads inside the window — RETIRE them tagged with the
+            # current watermark (purged once the horizon passes it),
+            # exactly like _apply_fold_results; otherwise remove now.
+            retire = (
+                []
+                if self.state_mode == "delta" and self.retain_batches
+                else None
+            )
             for b, v_old in in_versions.items():
-                if v_old != out_v:
-                    try:
-                        os.remove(
-                            os.path.join(self.lake_dir, part_name(b, v_old))
-                        )
-                    except FileNotFoundError:
-                        pass
+                if v_old == out_v:
+                    continue
+                fname = part_name(b, v_old)
+                if retire is not None:
+                    retire.append((fname, wm))
+                    continue
+                try:
+                    os.remove(os.path.join(self.lake_dir, fname))
+                except FileNotFoundError:
+                    pass
+            if retire:
+                self.ckpt.retire_files(retire)
         return summary
 
     # ----------------------------------------------------------- final state

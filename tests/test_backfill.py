@@ -164,3 +164,37 @@ def test_backfill_time_travel_on_history_lake(ray_session, tmp_path):
     old = eng.final_table(as_of=wm)
     assert "content_len" not in old.column_names
     assert table_sha256(old, spec.key_cols) == pre_sha
+
+
+def test_backfill_delta_retention_keeps_window_time_travel(
+    ray_session, tmp_path
+):
+    # delta + retain_batches: the superseded bases are the only source
+    # for within-window as-of reads — backfill must RETIRE them (purge
+    # at horizon), never delete them outright
+    gen = generate_change_events(str(tmp_path / "w"), **GEN)
+    spec = repo_file_spec()
+    eng = ReplayEngine(
+        spec,
+        str(tmp_path / "lake"),
+        state_mode="delta",
+        retain_batches=4,
+    )
+    eng.replay(gen["events_dir"])
+    wm = eng.ckpt.watermark
+    pre_sha = eng.final_sha256(as_of=wm)
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "content_len",
+            pc.cast(
+                pc.fill_null(pc.utf8_length(t["content"]), 0), pa.int64()
+            ),
+        )
+
+    eng.backfill(add_len)
+    # within-window snapshot still resolves to the pre-backfill state
+    old = eng.final_table(as_of=wm)
+    assert "content_len" not in old.column_names
+    assert table_sha256(old, spec.key_cols) == pre_sha
+    assert eng.fsck()["ok"]
