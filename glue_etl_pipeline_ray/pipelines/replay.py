@@ -929,6 +929,140 @@ class ReplayEngine:
                 self.ckpt.retire_files(retire)
         return summary
 
+    # ---------------------------------------------------------------- export
+    def export_snapshot(
+        self, out_dir: str, incremental: bool = True
+    ) -> dict:
+        """Publish the live table as plain partitioned Parquet for
+        downstream consumers (the serving handoff — the reference's
+        final `convert_to_parquet` output analog): one file per bucket,
+        canonical layout, live rows only, key-sorted within the bucket,
+        plus `_export_manifest.json` written LAST (tmp + atomic rename)
+        so readers never see a torn export and a crashed export re-runs
+        over its own orphans.
+
+        ``incremental=True``: buckets untouched since the prior export
+        (per the lineage batch records) keep their existing files —
+        cost O(changed buckets), the CDC point. Any backfill or schema
+        evolution since the prior export, a missing prior file, or a
+        missing/foreign manifest forces the full pass. Compactions and
+        folds don't force one (they never change live content)."""
+        import json as _json
+
+        from glue_etl_pipeline_ray.stages.merge import (
+            read_bucket_state,
+            write_atomic,
+        )
+        from glue_etl_pipeline_ray.state.lineage import read_lineage
+
+        wm = self.ckpt.watermark
+        if wm < 0:
+            raise ValueError("nothing to export: empty lake")
+        spec, evolved = self.spec, self.ckpt.evolved
+        cols = spec.canonical_cols(evolved)
+        os.makedirs(out_dir, exist_ok=True)
+        man_path = os.path.join(out_dir, "_export_manifest.json")
+        prior = None
+        if incremental and os.path.exists(man_path):
+            with open(man_path) as f:
+                prior = _json.load(f)
+
+        if self.state_mode == "delta":
+            pointers = {
+                b: (d["base"], d["deltas"])
+                for b, d in self.ckpt.bucket_deltas.items()
+            }
+        else:
+            pointers = {
+                b: (v, None) for b, v in self.ckpt.bucket_versions.items()
+            }
+
+        evolved_l = [list(e) for e in evolved]
+        n_bf = len(self.ckpt.backfills)
+        full_needed = (
+            prior is None
+            or prior.get("evolved") != evolved_l
+            or prior.get("n_backfills", 0) != n_bf
+            or prior.get("watermark", -1) > wm
+        )
+
+        def fname(b: int) -> str:
+            return f"part-{b:05d}.parquet"
+
+        if full_needed:
+            todo = set(pointers)
+        else:
+            prior_wm = prior["watermark"]
+            touched = {
+                int(r["bucket"])
+                for r in read_lineage(self.lake_dir)
+                if r.get("kind") == "bucket"
+                and int(r.get("batch_id", -1)) > prior_wm
+            }
+            prior_buckets = {int(b) for b in prior.get("buckets", {})}
+            missing = {
+                b
+                for b in pointers
+                if not os.path.exists(os.path.join(out_dir, fname(b)))
+            }
+            todo = (
+                (touched & set(pointers))
+                | missing
+                | (set(pointers) - prior_buckets)
+            )
+
+        @ray.remote
+        def export_bucket(lake_dir, dest, b, base, deltas):
+            if deltas is None:
+                st = state_schema(spec, evolved)
+                t = conform(
+                    pq.read_table(os.path.join(lake_dir, part_name(b, base))),
+                    st,
+                )
+            else:
+                t = read_bucket_state(spec, evolved, lake_dir, base, deltas, b)
+            live = (
+                t.filter(pc.invert(pc.fill_null(t[DELETED_COL], False)))
+                .select(cols)
+                .sort_by([(k, "ascending") for k in spec.key_cols])
+            )
+            write_atomic(dest, live)
+            return (b, live.num_rows)
+
+        results = ray.get(
+            [
+                export_bucket.remote(
+                    self.lake_dir,
+                    os.path.join(out_dir, fname(b)),
+                    b,
+                    *pointers[b],
+                )
+                for b in sorted(todo)
+            ]
+        )
+        buckets = dict(prior["buckets"]) if prior and not full_needed else {}
+        for b, n in results:
+            buckets[str(b)] = {"rows": n, "file": fname(b)}
+        manifest = {
+            "watermark": wm,
+            "evolved": evolved_l,
+            "n_backfills": n_bf,
+            "key_cols": list(spec.key_cols),
+            "columns": cols,
+            "buckets": buckets,
+        }
+        tmp = f"{man_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, man_path)
+        return {
+            "exported_buckets": len(results),
+            "reused_buckets": len(buckets) - len(results),
+            "rows": sum(int(v["rows"]) for v in buckets.values()),
+            "watermark": wm,
+            "full": bool(full_needed),
+        }
+
     # ----------------------------------------------------------- final state
     @staticmethod
     def _reshard_floor(recs: list[dict]) -> int:
