@@ -173,3 +173,137 @@ def generate_change_events(
         "n_batches": n_batches,
         "batch_ids": list(range(n_batches)),
     }
+
+
+def generate_change_events_parallel(
+    out_dir: str,
+    n_events: int = 10_000,
+    n_repos: int = 20,
+    n_paths: int = 50,
+    n_batches: int = 4,
+    dirty_frac: float = 0.02,
+    delete_frac: float = 0.08,
+    evolve_from_batch: int | None = None,
+    zipf_a: float = 1.3,
+    content_pool_size: int = 2_000,
+    seed: int = 42,
+    row_group_size: int = 16_384,
+    num_cpus_per_task: int = 4,
+) -> dict:
+    """Parallel fixture generator: one Ray task per batch, each batch
+    drawn from its own ``default_rng([seed, batch])`` stream — so the
+    output is deterministic for a given seed AND independent of task
+    scheduling, but is a DIFFERENT (equally valid) stream than the
+    serial :func:`generate_change_events` at the same seed (the serial
+    path draws one global RNG sequence; recorded soak sha256s are tied
+    to whichever generator produced the stream).
+
+    Exists because the serial generator's per-row string formatting
+    (event ids, commit hexes) is the 10^8+ soak bottleneck (~1530 s at
+    1e8); here those loops run per-batch across the cluster. The
+    content pool is built once on the driver and broadcast via
+    ``ray.put``. ``num_cpus_per_task`` bounds concurrent generators so
+    peak memory (each task holds one batch's object-string columns)
+    stays within the node.
+
+    Same fixture semantics as the serial path (FIXTURES.md F1-F4):
+    Zipf hot-repo key skew, INSERT/UPDATE/DELETE mix, per-batch dirty
+    injection cycling the five dirt modes, ``size_bytes`` evolution
+    from ``evolve_from_batch``. Schema is identical to the serial
+    generator's (gated by tests/test_gen_parallel.py)."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    pool_ref = ray.put(make_content_pool(rng, content_pool_size))
+    repos_all = np.array(
+        [f"org{i % 7}/repo{i}" for i in range(n_repos)], dtype=object
+    )
+    paths_all = np.array(
+        [f"src/dir{j % 10}/file{j}.{_LANGS[j % len(_LANGS)]}" for j in range(n_paths)],
+        dtype=object,
+    )
+    langs_all = np.array(_LANGS, dtype=object)
+
+    ev_dir = os.path.join(out_dir, "events")
+    os.makedirs(ev_dir, exist_ok=True)
+    batch_size = -(-n_events // n_batches)
+
+    @ray.remote(num_cpus=num_cpus_per_task)
+    def gen_batch(b: int, pool: np.ndarray) -> tuple[str, int]:
+        brng = np.random.default_rng([seed, b])
+        lo = b * batch_size
+        hi = min(n_events, lo + batch_size)
+        m = hi - lo
+        seq = np.arange(lo, hi, dtype=np.int64)
+        repo_idx = np.minimum(brng.zipf(zipf_a, m) - 1, n_repos - 1)
+        path_idx = brng.integers(0, n_paths, m)
+        repos = repos_all[repo_idx]
+        paths = paths_all[path_idx]
+        lang = langs_all[path_idx % len(_LANGS)].copy()
+        op = np.where(
+            brng.random(m) < delete_frac, "DELETE", "UPSERT"
+        ).astype(object)
+        first = brng.random(m) < 0.3
+        op[(op == "UPSERT") & first] = "INSERT"
+        op[op == "UPSERT"] = "UPDATE"
+        commit = _hex40(brng, m)
+        content = pool[brng.integers(0, content_pool_size, m)].copy()
+        content[op == "DELETE"] = None
+        lang[op == "DELETE"] = None
+        rnd = brng.integers(0, 1 << 30, m)
+        event_id = np.array(
+            [f"ev-{s:012d}-{r:08x}" for s, r in zip(seq, rnd)],
+            dtype=object,
+        )
+        ts = 1_700_000_000_000 + seq * 137
+        n_dirty = int(m * dirty_frac)
+        if n_dirty:
+            dirty_pos = brng.choice(m, size=n_dirty, replace=False)
+            for k, pos in enumerate(dirty_pos):
+                mode = k % 5
+                if mode == 0:
+                    repos[pos] = None
+                elif mode == 1:
+                    commit[pos] = "not-a-sha"
+                elif mode == 2:
+                    op[pos] = "TAG_IMAGE"
+                elif mode == 3:
+                    lang[pos] = "klingon"
+                else:
+                    op[pos] = "UPDATE"
+                    content[pos] = None
+        cols = {
+            "seq": pa.array(seq),
+            "batch_id": pa.array(np.full(m, b, np.int64)),
+            "op": pa.array(op, pa.string()),
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commit, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "content": pa.array(content, pa.string()),
+            "event_id": pa.array(event_id, pa.string()),
+            "ts": pa.array(ts),
+        }
+        if evolve_from_batch is not None and b >= evolve_from_batch:
+            cols["size_bytes"] = pa.array(
+                np.array(
+                    [len(c) if c is not None else 0 for c in content],
+                    np.int64,
+                )
+            )
+        f = os.path.join(ev_dir, f"batch={b:05d}.parquet")
+        tmp = f"{f}.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols), tmp, row_group_size=row_group_size)
+        os.replace(tmp, f)
+        return f, m
+
+    results = ray.get(
+        [gen_batch.remote(b, pool_ref) for b in range(n_batches)]
+    )
+    return {
+        "events_dir": ev_dir,
+        "files": [f for f, _ in results],
+        "n_events": int(sum(m for _, m in results)),
+        "n_batches": n_batches,
+        "batch_ids": list(range(n_batches)),
+    }

@@ -945,8 +945,13 @@ class ReplayEngine:
         (per the lineage batch records) keep their existing files —
         cost O(changed buckets), the CDC point. Any backfill or schema
         evolution since the prior export, a missing prior file, or a
-        missing/foreign manifest forces the full pass. Compactions and
-        folds don't force one (they never change live content)."""
+        missing/foreign manifest forces the full pass (the manifest
+        records the source lake's identity, so an out_dir last fed by a
+        DIFFERENT lake is detected even when watermark/evolved happen
+        to agree). Compactions and folds don't force one (they never
+        change live content). A full pass also sweeps part files this
+        exporter owns (exact ``part-NNNNN.parquet`` names) that the new
+        manifest no longer references; foreign files are preserved."""
         import json as _json
 
         from glue_etl_pipeline_ray.stages.merge import (
@@ -979,8 +984,14 @@ class ReplayEngine:
 
         evolved_l = [list(e) for e in evolved]
         n_bf = len(self.ckpt.backfills)
+        # lake identity: an out_dir last exported from a DIFFERENT lake
+        # must never reuse its files — two lakes with the same spec can
+        # coincidentally agree on watermark/evolved while holding
+        # different rows (a moved lake just pays one full pass)
+        lake_id = os.path.realpath(self.lake_dir)
         full_needed = (
             prior is None
+            or prior.get("lake") != lake_id
             or prior.get("evolved") != evolved_l
             or prior.get("n_backfills", 0) != n_bf
             or prior.get("watermark", -1) > wm
@@ -1044,6 +1055,7 @@ class ReplayEngine:
         for b, n in results:
             buckets[str(b)] = {"rows": n, "file": fname(b)}
         manifest = {
+            "lake": lake_id,
             "watermark": wm,
             "evolved": evolved_l,
             "n_backfills": n_bf,
@@ -1055,12 +1067,27 @@ class ReplayEngine:
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
         os.replace(tmp, man_path)
+        # a FULL pass owns the whole out_dir: sweep part files this
+        # exporter provably wrote (exact naming scheme) that the new
+        # manifest no longer references (e.g. a prior export from a
+        # different lake). AFTER the atomic manifest commit, so a crash
+        # mid-sweep only leaves unreferenced orphans, never a manifest
+        # pointing at deleted files. Foreign files are preserved.
+        stale = 0
+        if full_needed:
+            keep = {v["file"] for v in buckets.values()}
+            for p in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+                bn = os.path.basename(p)
+                if re.fullmatch(r"part-\d{5}\.parquet", bn) and bn not in keep:
+                    os.remove(p)
+                    stale += 1
         return {
             "exported_buckets": len(results),
             "reused_buckets": len(buckets) - len(results),
             "rows": sum(int(v["rows"]) for v in buckets.values()),
             "watermark": wm,
             "full": bool(full_needed),
+            "stale_removed": stale,
         }
 
     # ----------------------------------------------------------- final state

@@ -115,6 +115,39 @@ def test_backfill_forces_full_export(ray_session, tmp_path):
     )
 
 
+def test_foreign_lake_manifest_forces_full(ray_session, tmp_path):
+    # Two lakes with the same spec, watermark count, and evolved set
+    # but DIFFERENT rows (different seed). Exporting lake B into lake
+    # A's out_dir must take the full path — incremental reuse keyed
+    # only on watermark/evolved would silently keep A's files.
+    spec = repo_file_spec()
+    gen_a = generate_change_events(str(tmp_path / "wa"), **GEN)
+    eng_a = ReplayEngine(spec, str(tmp_path / "lake_a"))
+    eng_a.replay(gen_a["events_dir"])
+    gen_b = generate_change_events(
+        str(tmp_path / "wb"), **{**GEN, "seed": 556}
+    )
+    eng_b = ReplayEngine(spec, str(tmp_path / "lake_b"))
+    eng_b.replay(gen_b["events_dir"])
+    exp = str(tmp_path / "exp")
+    eng_a.export_snapshot(exp)
+    # plant a foreign file (out-of-band writer) and a stale owned-name
+    # file for a bucket neither lake populates: the full pass must
+    # preserve the former and sweep the latter
+    foreign = os.path.join(exp, "extra_report.parquet")
+    pq.write_table(pa.table({"x": [1]}), foreign)
+    stale = os.path.join(exp, "part-99999.parquet")
+    pq.write_table(pa.table({"x": [1]}), stale)
+    out = eng_b.export_snapshot(exp)  # incremental=True, foreign prior
+    assert out["full"] and out["stale_removed"] >= 1
+    assert os.path.exists(foreign)
+    assert not os.path.exists(stale)
+    got = _read_export(exp, spec.key_cols)
+    assert table_sha256(got, spec.key_cols) == table_sha256(
+        eng_b.final_table(), spec.key_cols
+    )
+
+
 def test_missing_part_file_self_heals(ray_session, tmp_path):
     gen = generate_change_events(str(tmp_path / "w"), **GEN)
     spec = repo_file_spec()

@@ -38,13 +38,18 @@ N_EVENTS = 100_000_000  # overridable via --n-events (smoke tests)
 N_BATCHES = 32
 
 
+PARALLEL_GEN = False
+
+
 def events_dir(cache_dir: str) -> str:
-    return os.path.join(cache_dir, f"soak_{N_EVENTS}_b{N_BATCHES}")
+    suffix = "_par" if PARALLEL_GEN else ""
+    return os.path.join(cache_dir, f"soak_{N_EVENTS}_b{N_BATCHES}{suffix}")
 
 
-def phase_gen(cache_dir: str) -> int:
-    from glue_etl_pipeline_ray.gen import generate_change_events
-
+def phase_gen(cache_dir: str, parallel: bool = False) -> int:
+    # parallel streams cache under a "_par" suffix (events_dir): same
+    # seed, different (equally valid) stream than the serial generator
+    # — recorded sha256s are per-stream
     ev = events_dir(cache_dir)
     done = os.path.join(ev, "_GEN_DONE")
     if os.path.exists(done):
@@ -53,8 +58,7 @@ def phase_gen(cache_dir: str) -> int:
     shutil.rmtree(ev, ignore_errors=True)
     os.makedirs(ev, exist_ok=True)
     t0 = time.perf_counter()
-    generate_change_events(
-        ev,
+    kw = dict(
         n_events=N_EVENTS,
         n_repos=max(50, N_EVENTS // 2_000),
         n_paths=200,
@@ -64,6 +68,20 @@ def phase_gen(cache_dir: str) -> int:
         evolve_from_batch=N_BATCHES - 1,
         seed=42,
     )
+    if parallel:
+        import ray
+
+        from glue_etl_pipeline_ray.gen import (
+            generate_change_events_parallel,
+        )
+
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        generate_change_events_parallel(ev, **kw)
+        ray.shutdown()
+    else:
+        from glue_etl_pipeline_ray.gen import generate_change_events
+
+        generate_change_events(ev, **kw)
     with open(done, "w") as f:
         f.write("ok")
     nbytes = sum(
@@ -241,13 +259,15 @@ def main() -> int:
     p.add_argument("--keep-all", action="store_true")
     p.add_argument("--fail-before", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--parallel-gen", action="store_true")
     args = p.parse_args()
+    global N_EVENTS, PARALLEL_GEN
     if args.n_events:
-        global N_EVENTS
         N_EVENTS = args.n_events
+    PARALLEL_GEN = args.parallel_gen
     os.makedirs(args.cache_dir, exist_ok=True)
     if args.phase == "gen":
-        return phase_gen(args.cache_dir)
+        return phase_gen(args.cache_dir, parallel=args.parallel_gen)
     if args.phase == "replay":
         return phase_replay(args)
     return phase_oracle(args)
