@@ -189,6 +189,7 @@ def generate_change_events_parallel(
     seed: int = 42,
     row_group_size: int = 16_384,
     num_cpus_per_task: int = 4,
+    batch_ids: "list[int] | range | None" = None,
 ) -> dict:
     """Parallel fixture generator: one Ray task per batch, each batch
     drawn from its own ``default_rng([seed, batch])`` stream — so the
@@ -210,7 +211,15 @@ def generate_change_events_parallel(
     Zipf hot-repo key skew, INSERT/UPDATE/DELETE mix, per-batch dirty
     injection cycling the five dirt modes, ``size_bytes`` evolution
     from ``evolve_from_batch``. Schema is identical to the serial
-    generator's (gated by tests/test_gen_parallel.py)."""
+    generator's (gated by tests/test_gen_parallel.py).
+
+    ``batch_ids`` generates only that subset of the global batch range
+    (default ``range(n_batches)``). Because every batch draws from its
+    own ``default_rng([seed, batch])`` stream and ``seq``/``ts`` derive
+    from the batch id, generating in segments yields byte-identical
+    files to a single full run — the disk-bounded 10^9+ soak generates,
+    replays, and deletes one segment at a time
+    (gated by tests/test_gen_parallel.py::test_segmented_equals_full)."""
     import ray
 
     rng = np.random.default_rng(seed)
@@ -297,13 +306,12 @@ def generate_change_events_parallel(
         os.replace(tmp, f)
         return f, m
 
-    results = ray.get(
-        [gen_batch.remote(b, pool_ref) for b in range(n_batches)]
-    )
+    ids = list(batch_ids) if batch_ids is not None else list(range(n_batches))
+    results = ray.get([gen_batch.remote(b, pool_ref) for b in ids])
     return {
         "events_dir": ev_dir,
         "files": [f for f, _ in results],
         "n_events": int(sum(m for _, m in results)),
         "n_batches": n_batches,
-        "batch_ids": list(range(n_batches)),
+        "batch_ids": ids,
     }

@@ -57,13 +57,29 @@ def _row_errors(spec: TableSpec, row: dict) -> list[str]:
     return errs
 
 
-def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
-    """Replay every ``batch=*.parquet`` in order; return final state.
+def apply_renames_oracle(spec: TableSpec, t: pa.Table) -> pa.Table:
+    """Column mapping, independently re-implemented from the engine's
+    apply_renames (same ambiguity contract)."""
+    rmap = spec.rename_map
+    if not rmap:
+        return t
+    present = set(t.column_names)
+    for src, dst in rmap.items():
+        if src in present and dst in present:
+            raise ValueError(
+                f"ambiguous batch schema: both {src!r} and {dst!r} present"
+            )
+    return t.rename_columns([rmap.get(n, n) for n in t.column_names])
 
-    Returns dict with: ``table`` (live rows, canonical layout), ``sha256``,
-    ``evolved`` (first-seen extra columns), ``dlq`` rows, counters.
-    """
-    files = sorted(glob.glob(os.path.join(events_dir, "batch=*.parquet")))
+
+def register_evolution(
+    spec: TableSpec, schema: pa.Schema, evolved: list[tuple[str, str]]
+) -> None:
+    """Register (mutating ``evolved``) any extra columns in a batch
+    schema, mirroring the engine's safe type widening
+    (evolve.widen_type); raises on an incompatible change."""
+    from glue_etl_pipeline_ray.stages.evolve import widen_type
+
     known = {
         *spec.key_cols,
         *spec.base_col_names,
@@ -72,49 +88,59 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
         spec.batch_col,
         *spec.extra_meta_cols,
     }
+    ignored = set(spec.ignored_cols)
+    for fld in schema:
+        if fld.name in known or fld.name in ignored:
+            continue
+        tname = type_name(fld.type)
+        names = {n: i for i, (n, _) in enumerate(evolved)}
+        if fld.name not in names:
+            evolved.append((fld.name, tname))
+        else:
+            idx = names[fld.name]
+            registered = evolved[idx][1]
+            if tname != registered:
+                widened = widen_type(registered, tname)
+                if widened is None:
+                    raise ValueError(
+                        f"incompatible schema evolution for column "
+                        f"{fld.name!r}: {registered} vs {tname}"
+                    )
+                evolved[idx] = (fld.name, widened)
+
+
+def assemble_live(
+    spec: TableSpec, evolved_t: tuple, live: list[tuple[tuple, dict]]
+) -> pa.Table:
+    """Canonical-layout Arrow table from sorted (key, payload) pairs."""
+    cols = spec.canonical_cols(evolved_t)
+    schema = spec.canonical_schema(evolved_t)
+    arrays = []
+    for i, c in enumerate(cols):
+        if c in spec.key_cols:
+            ki = spec.key_cols.index(c)
+            vals = [k[ki] for k, _ in live]
+        else:
+            vals = [r.get(c) for _, r in live]
+        arrays.append(pa.array(vals, schema.field(i).type))
+    return pa.table(dict(zip(cols, arrays)))
+
+
+def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
+    """Replay every ``batch=*.parquet`` in order; return final state.
+
+    Returns dict with: ``table`` (live rows, canonical layout), ``sha256``,
+    ``evolved`` (first-seen extra columns), ``dlq`` rows, counters.
+    """
+    files = sorted(glob.glob(os.path.join(events_dir, "batch=*.parquet")))
     evolved: list[tuple[str, str]] = []
     state: dict[tuple, dict] = {}  # key -> {"seq": int, "deleted": bool, "row": dict}
     dlq: list[dict] = []
     n_applied = n_deleted = 0
 
-    rmap = spec.rename_map
-    ignored = set(spec.ignored_cols)
     for f in files:
-        t = pq.read_table(f)
-        if rmap:
-            # column mapping, independently re-implemented from the
-            # engine's apply_renames (same ambiguity contract)
-            present = set(t.column_names)
-            for src, dst in rmap.items():
-                if src in present and dst in present:
-                    raise ValueError(
-                        f"ambiguous batch schema: both {src!r} and "
-                        f"{dst!r} present"
-                    )
-            t = t.rename_columns(
-                [rmap.get(n, n) for n in t.column_names]
-            )
-        for fld in t.schema:
-            if fld.name in known or fld.name in ignored:
-                continue
-            tname = type_name(fld.type)
-            names = {n: i for i, (n, _) in enumerate(evolved)}
-            if fld.name not in names:
-                evolved.append((fld.name, tname))
-            else:
-                # mirror the engine's safe type widening (evolve.widen_type)
-                from glue_etl_pipeline_ray.stages.evolve import widen_type
-
-                idx = names[fld.name]
-                registered = evolved[idx][1]
-                if tname != registered:
-                    widened = widen_type(registered, tname)
-                    if widened is None:
-                        raise ValueError(
-                            f"incompatible schema evolution for column "
-                            f"{fld.name!r}: {registered} vs {tname}"
-                        )
-                    evolved[idx] = (fld.name, widened)
+        t = apply_renames_oracle(spec, pq.read_table(f))
+        register_evolution(spec, t.schema, evolved)
         rows = t.to_pylist()
         rows.sort(key=lambda r: r[spec.seq_col])
         for row in rows:
@@ -137,18 +163,8 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
                 n_applied += 1
 
     evolved_t = tuple(evolved)
-    cols = spec.canonical_cols(evolved_t)
-    schema = spec.canonical_schema(evolved_t)
     live = sorted((k, v["row"]) for k, v in state.items() if not v["deleted"])
-    arrays = []
-    for i, c in enumerate(cols):
-        if c in spec.key_cols:
-            ki = spec.key_cols.index(c)
-            vals = [k[ki] for k, _ in live]
-        else:
-            vals = [r.get(c) for _, r in live]
-        arrays.append(pa.array(vals, schema.field(i).type))
-    table = pa.table(dict(zip(cols, arrays)))
+    table = assemble_live(spec, evolved_t, live)
     return {
         "table": table,
         "sha256": table_sha256(table, spec.key_cols),

@@ -1,0 +1,262 @@
+"""Parallel (sharded) reference replayer: the oracle at 10^9+ events.
+
+The serial :func:`glue_etl_pipeline_ray.oracle.replay_oracle` is a
+single-threaded dict replay (~30 us/row: 3,032 s at 10^8 events,
+BASELINE.md) — the right independence trade at test scale, but ~8.4 h
+at 10^9. This module shards that SAME row-at-a-time logic by key hash:
+last-writer-wins state is per-key, so any partition of the key space
+replays independently and the union of shard states is the global
+state (the analog of the reference's per-file independence,
+``update_workflow_properties.py:141-151``, generalized to keys).
+
+Independence from the engine is preserved where it matters:
+- routing uses ``zlib.crc32`` over the key tuple — NOT the engine's
+  bucket hash — so a routing bug in either cannot cancel out;
+- per-row validation / LWW / evolution are the serial oracle's own
+  functions (``_row_errors``, ``register_evolution``), not the
+  engine's vectorized kernels;
+- the final sha256 is :func:`hashing.table_sha256`, which re-sorts the
+  assembled table globally, so shard order cannot leak into the digest.
+
+Memory: shard actors intern repeated strings (content is drawn from a
+bounded pool; repo/path/lang are low-cardinality) so 10^7+ live rows
+hold one Python object per distinct string, not per row. DLQ rows can
+be counted instead of kept (``keep_dlq=False``) — at 2% dirt and 10^9
+events the quarantine is 2x10^7 rows, only the count is asserted at
+soak scale (row-level DLQ equality is pinned by the small-scale gates).
+
+Gated against the serial oracle at small scale (dirt, deletes, schema
+evolution, renames) in tests/test_oracle_sharded.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from glue_etl_pipeline_ray.hashing import table_sha256
+from glue_etl_pipeline_ray.oracle import (
+    _row_errors,
+    apply_renames_oracle,
+    assemble_live,
+    register_evolution,
+)
+from glue_etl_pipeline_ray.spec import TableSpec
+
+_NULLK = "\x00<null>\x00"  # key-part marker for null key columns
+
+
+def _shard_ids(t: pa.Table, key_cols, num_shards: int) -> np.ndarray:
+    """crc32-of-key shard id per row (independent of the engine hash)."""
+    cols = [t[k].to_pylist() for k in key_cols]
+    out = np.empty(t.num_rows, np.int64)
+    for i, parts in enumerate(zip(*cols)):
+        key = "\x1f".join(_NULLK if p is None else str(p) for p in parts)
+        out[i] = zlib.crc32(key.encode("utf-8")) % num_shards
+    return out
+
+
+class _OracleShard:
+    """One key-hash shard of the reference dict replay (a Ray actor).
+
+    Batches MUST be applied in global batch order; Ray actor task
+    ordering (submission order per actor) provides that for free.
+    """
+
+    def __init__(self, spec: TableSpec, keep_dlq: bool):
+        self.spec = spec
+        self.keep_dlq = keep_dlq
+        self.state: dict[tuple, dict] = {}
+        self.dlq: list[dict] = []
+        self.n_dlq = 0
+        self.n_applied = 0
+        self.n_deleted = 0
+        self._intern: dict[str, str] = {}
+
+    def _i(self, v):
+        if type(v) is str:
+            return self._intern.setdefault(v, v)
+        return v
+
+    def apply(self, chunk: pa.Table) -> int:
+        spec = self.spec
+        rows = chunk.to_pylist()
+        rows.sort(key=lambda r: r[spec.seq_col])
+        state, intern = self.state, self._i
+        for row in rows:
+            errs = _row_errors(spec, row)
+            if errs:
+                self.n_dlq += 1
+                if self.keep_dlq:
+                    self.dlq.append({**row, "error": ";".join(errs)})
+                continue
+            key = tuple(intern(row[k]) for k in spec.key_cols)
+            cur = state.get(key)
+            seq = row[spec.seq_col]
+            if cur is not None and cur["seq"] >= seq:
+                continue  # LWW: stale writer loses
+            if row[spec.op_col] == "DELETE":
+                state[key] = {"seq": seq, "deleted": True, "row": None}
+                self.n_deleted += 1
+            else:
+                payload = {
+                    c: intern(row.get(c)) for c in spec.base_col_names
+                }
+                payload.update(
+                    {
+                        c: intern(v)
+                        for c, v in row.items()
+                        if c not in payload
+                        and c not in (spec.seq_col, spec.op_col, spec.batch_col)
+                        and c not in spec.key_cols
+                        and c not in spec.extra_meta_cols
+                        and c not in spec.ignored_cols
+                    }
+                )
+                state[key] = {"seq": seq, "deleted": False, "row": payload}
+                self.n_applied += 1
+        return len(rows)
+
+    def snapshot(self, evolved_t: tuple) -> pa.Table:
+        """Current live rows as a canonical-layout table (non-mutating)."""
+        live = sorted(
+            (k, v["row"]) for k, v in self.state.items() if not v["deleted"]
+        )
+        return assemble_live(self.spec, evolved_t, live)
+
+    def counters(self) -> dict:
+        return {
+            "n_applied": self.n_applied,
+            "n_deleted": self.n_deleted,
+            "n_dead_lettered": self.n_dlq,
+            "n_live": sum(1 for v in self.state.values() if not v["deleted"]),
+        }
+
+    def dlq_rows(self) -> list[dict]:
+        return self.dlq
+
+
+class ShardedOracle:
+    """Incremental sharded oracle: feed batch files (in order) across
+    any number of calls; snapshot the sha at any point — the shape the
+    disk-bounded segmented soak needs (apply a segment, delete its
+    files, keep going)."""
+
+    def __init__(
+        self,
+        spec: TableSpec,
+        num_shards: int = 16,
+        keep_dlq: bool = True,
+        actor_num_cpus: float = 0.5,
+    ):
+        import ray
+
+        self.spec = spec
+        self.num_shards = num_shards
+        self.evolved: list[tuple[str, str]] = []
+        # fractional default: a shard actor is busy only while an apply
+        # runs, and shard count must not be capped by the CPU count of
+        # a small test session
+        actor = ray.remote(num_cpus=actor_num_cpus)(_OracleShard)
+        self.shards = [
+            actor.remote(spec, keep_dlq) for _ in range(num_shards)
+        ]
+        self._route = ray.remote(num_returns=num_shards)(_route_file)
+        self._pending: list = []
+
+    def apply_files(self, files: list[str]) -> None:
+        """Route + apply a list of batch files, in the given order."""
+        import ray
+
+        spec, n = self.spec, self.num_shards
+        # evolution registry is driver-side, from file footers in batch
+        # order (rows can only carry a column their file schema declares,
+        # so actors don't need the running registry)
+        routed = []
+        for f in files:
+            register_evolution(
+                spec,
+                apply_renames_oracle(
+                    spec, pq.read_schema(f).empty_table()
+                ).schema,
+                self.evolved,
+            )
+            routed.append(self._route.remote(f, spec, n))
+        for chunk_refs in routed:
+            refs = (
+                [chunk_refs] if n == 1 else list(chunk_refs)
+            )
+            self._pending.extend(
+                self.shards[p].apply.remote(refs[p]) for p in range(n)
+            )
+        # keep the pipeline bounded: drain applies every call
+        ray.get(self._pending)
+        self._pending = []
+
+    def apply_dir(self, events_dir: str) -> None:
+        self.apply_files(
+            sorted(glob.glob(os.path.join(events_dir, "batch=*.parquet")))
+        )
+
+    def result(self, with_table: bool = True) -> dict:
+        import ray
+
+        evolved_t = tuple(self.evolved)
+        tables = ray.get(
+            [s.snapshot.remote(evolved_t) for s in self.shards]
+        )
+        counters = ray.get([s.counters.remote() for s in self.shards])
+        table = pa.concat_tables(tables).sort_by(
+            [(k, "ascending") for k in self.spec.key_cols]
+        )
+        out = {
+            "sha256": table_sha256(table, self.spec.key_cols),
+            "evolved": evolved_t,
+            "n_applied": sum(c["n_applied"] for c in counters),
+            "n_deleted": sum(c["n_deleted"] for c in counters),
+            "n_dead_lettered": sum(c["n_dead_lettered"] for c in counters),
+            "n_live": table.num_rows,
+        }
+        if with_table:
+            out["table"] = table
+        return out
+
+    def dlq_rows(self) -> list[dict]:
+        import ray
+
+        rows: list[dict] = []
+        for part in ray.get([s.dlq_rows.remote() for s in self.shards]):
+            rows.extend(part)
+        rows.sort(key=lambda r: r[self.spec.seq_col])
+        return rows
+
+
+def _route_file(f: str, spec: TableSpec, num_shards: int):
+    """Read one batch file, rename, split into per-shard sub-tables."""
+    t = apply_renames_oracle(spec, pq.read_table(f))
+    if num_shards == 1:
+        return t
+    sh = _shard_ids(t, spec.key_cols, num_shards)
+    return tuple(
+        t.take(np.flatnonzero(sh == p)) for p in range(num_shards)
+    )
+
+
+def replay_oracle_sharded(
+    spec: TableSpec,
+    events_dir: str,
+    num_shards: int = 16,
+    keep_dlq: bool = True,
+) -> dict:
+    """One-shot wrapper matching :func:`oracle.replay_oracle`'s shape."""
+    o = ShardedOracle(spec, num_shards=num_shards, keep_dlq=keep_dlq)
+    o.apply_dir(events_dir)
+    out = o.result()
+    if keep_dlq:
+        out["dlq"] = o.dlq_rows()
+    return out
