@@ -35,26 +35,51 @@ def _resolve_path(row: dict, path: str):
     return v
 
 
-def _row_errors(spec: TableSpec, row: dict) -> list[str]:
+def build_rule_plan(spec: TableSpec) -> list[tuple]:
+    """Pre-split rule paths and pre-compile regexes once per replay —
+    semantics identical to evaluating ``spec.rules`` directly; only the
+    per-row ``str.split``/``re`` cache lookups are hoisted (the oracle
+    stays row-at-a-time by design)."""
+    plan = []
+    for r in spec.rules:
+        rx = re.compile(r.pattern) if r.kind == "regex" else None
+        plan.append((tuple(r.col.split(".")), r, rx))
+    return plan
+
+
+def _row_errors_planned(spec: TableSpec, row: dict, plan: list) -> list[str]:
     errs = []
     op = row.get(spec.op_col)
-    for r in spec.rules:
-        v = _resolve_path(row, r.col)
-        if r.kind == "not_null":
+    for parts, r, rx in plan:
+        if len(parts) == 1:
+            v = row.get(parts[0])
+        else:
+            v = row
+            for part in parts:
+                if not isinstance(v, dict):
+                    v = None
+                    break
+                v = v.get(part)
+        kind = r.kind
+        if kind == "not_null":
             if v is None and op not in r.nullable_for_ops:
                 errs.append(r.error)
         elif v is None:
             continue  # remaining kinds are null-tolerant (open world)
-        elif r.kind == "enum":
+        elif kind == "enum":
             if v not in r.allowed:
                 errs.append(r.error)
-        elif r.kind == "regex":
-            if not re.fullmatch(r.pattern, str(v)):
+        elif kind == "regex":
+            if not rx.fullmatch(str(v)):
                 errs.append(r.error)
-        elif r.kind == "range":
+        elif kind == "range":
             if not (r.lo <= v <= r.hi):
                 errs.append(r.error)
     return errs
+
+
+def _row_errors(spec: TableSpec, row: dict) -> list[str]:
+    return _row_errors_planned(spec, row, build_rule_plan(spec))
 
 
 def apply_renames_oracle(spec: TableSpec, t: pa.Table) -> pa.Table:
@@ -137,6 +162,7 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
     state: dict[tuple, dict] = {}  # key -> {"seq": int, "deleted": bool, "row": dict}
     dlq: list[dict] = []
     n_applied = n_deleted = 0
+    plan = build_rule_plan(spec)
 
     for f in files:
         t = apply_renames_oracle(spec, pq.read_table(f))
@@ -144,7 +170,7 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
         rows = t.to_pylist()
         rows.sort(key=lambda r: r[spec.seq_col])
         for row in rows:
-            errs = _row_errors(spec, row)
+            errs = _row_errors_planned(spec, row, plan)
             if errs:
                 dlq.append({**row, "error": ";".join(errs)})
                 continue

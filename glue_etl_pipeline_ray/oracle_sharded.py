@@ -41,9 +41,10 @@ import pyarrow.parquet as pq
 
 from glue_etl_pipeline_ray.hashing import table_sha256
 from glue_etl_pipeline_ray.oracle import (
-    _row_errors,
+    _row_errors_planned,
     apply_renames_oracle,
     assemble_live,
+    build_rule_plan,
     register_evolution,
 )
 from glue_etl_pipeline_ray.spec import TableSpec
@@ -52,13 +53,31 @@ _NULLK = "\x00<null>\x00"  # key-part marker for null key columns
 
 
 def _shard_ids(t: pa.Table, key_cols, num_shards: int) -> np.ndarray:
-    """crc32-of-key shard id per row (independent of the engine hash)."""
-    cols = [t[k].to_pylist() for k in key_cols]
-    out = np.empty(t.num_rows, np.int64)
-    for i, parts in enumerate(zip(*cols)):
-        key = "\x1f".join(_NULLK if p is None else str(p) for p in parts)
-        out[i] = zlib.crc32(key.encode("utf-8")) % num_shards
-    return out
+    """crc32-of-key shard id per row (independent of the engine hash).
+
+    crc32 runs only once per DISTINCT key (dictionary-encode first,
+    hash the dictionary, gather by index): at CDC scale a batch holds
+    many events per key, so this is the difference between hashing
+    10^9 rows and hashing the touched key set."""
+    import pyarrow.compute as pc
+
+    joined = pc.fill_null(
+        pc.cast(t[key_cols[0]], pa.string()), _NULLK
+    )
+    for k in key_cols[1:]:
+        joined = pc.binary_join_element_wise(
+            joined, pc.fill_null(pc.cast(t[k], pa.string()), _NULLK), "\x1f"
+        )
+    d = pc.dictionary_encode(joined).combine_chunks()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.chunk(0)
+    uniq = d.dictionary.to_pylist()
+    h = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % num_shards for u in uniq),
+        np.int64,
+        len(uniq),
+    )
+    return h[d.indices.to_numpy(zero_copy_only=False)]
 
 
 class _OracleShard:
@@ -67,6 +86,13 @@ class _OracleShard:
     Batches MUST be applied in global batch order; Ray actor task
     ordering (submission order per actor) provides that for free.
     """
+
+    # columns whose values repeat across rows (keys, enums, pooled
+    # content) — worth interning so 10^7+ live rows share one Python
+    # object per distinct string. Per-event-unique columns (commit,
+    # event ids) must NOT be interned: the cache would retain every
+    # value ever applied, not just the live set.
+    _NEVER_INTERN = ("commit",)
 
     def __init__(self, spec: TableSpec, keep_dlq: bool):
         self.spec = spec
@@ -77,49 +103,70 @@ class _OracleShard:
         self.n_applied = 0
         self.n_deleted = 0
         self._intern: dict[str, str] = {}
-
-    def _i(self, v):
-        if type(v) is str:
-            return self._intern.setdefault(v, v)
-        return v
+        self._plan = build_rule_plan(spec)
 
     def apply(self, chunk: pa.Table) -> int:
         spec = self.spec
+        # per-chunk column plan (rows of one chunk share the schema):
+        # which payload columns exist, and which of those to intern
+        never = set(self._NEVER_INTERN)
+        meta = {
+            spec.seq_col,
+            spec.op_col,
+            spec.batch_col,
+            *spec.key_cols,
+            *spec.extra_meta_cols,
+            *spec.ignored_cols,
+        }
+        base = list(spec.base_col_names)
+        extra = [
+            c
+            for c in chunk.column_names
+            if c not in meta and c not in base
+        ]
+        pay_intern = [c for c in base + extra if c not in never]
+        pay_raw = [c for c in base + extra if c in never]
+        seq_col, op_col = spec.seq_col, spec.op_col
+        key_cols = spec.key_cols
+        intern = self._intern.setdefault
+        state = self.state
+
+        plan = self._plan
         rows = chunk.to_pylist()
-        rows.sort(key=lambda r: r[spec.seq_col])
-        state, intern = self.state, self._i
+        rows.sort(key=lambda r: r[seq_col])
+        n_dlq = n_deleted = n_applied = 0
         for row in rows:
-            errs = _row_errors(spec, row)
+            errs = _row_errors_planned(spec, row, plan)
             if errs:
-                self.n_dlq += 1
+                n_dlq += 1
                 if self.keep_dlq:
                     self.dlq.append({**row, "error": ";".join(errs)})
                 continue
-            key = tuple(intern(row[k]) for k in spec.key_cols)
+            key = tuple(
+                intern(v, v) if type(v) is str else v
+                for v in (row[k] for k in key_cols)
+            )
             cur = state.get(key)
-            seq = row[spec.seq_col]
+            seq = row[seq_col]
             if cur is not None and cur["seq"] >= seq:
                 continue  # LWW: stale writer loses
-            if row[spec.op_col] == "DELETE":
+            if row[op_col] == "DELETE":
                 state[key] = {"seq": seq, "deleted": True, "row": None}
-                self.n_deleted += 1
+                n_deleted += 1
             else:
-                payload = {
-                    c: intern(row.get(c)) for c in spec.base_col_names
-                }
-                payload.update(
-                    {
-                        c: intern(v)
-                        for c, v in row.items()
-                        if c not in payload
-                        and c not in (spec.seq_col, spec.op_col, spec.batch_col)
-                        and c not in spec.key_cols
-                        and c not in spec.extra_meta_cols
-                        and c not in spec.ignored_cols
-                    }
-                )
+                payload = {}
+                for c in pay_intern:
+                    v = row.get(c)
+                    payload[c] = (
+                        intern(v, v) if type(v) is str else v
+                    )
+                for c in pay_raw:
+                    payload[c] = row.get(c)
                 state[key] = {"seq": seq, "deleted": False, "row": payload}
-                self.n_applied += 1
+                n_applied += 1
+        self.n_dlq += n_dlq
+        self.n_deleted += n_deleted
+        self.n_applied += n_applied
         return len(rows)
 
     def snapshot(self, evolved_t: tuple) -> pa.Table:
