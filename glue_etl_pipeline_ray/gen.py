@@ -59,6 +59,58 @@ def _hex40(rng: np.random.Generator, n: int) -> np.ndarray:
     )
 
 
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", np.uint8)
+_DEC_DIGITS = np.frombuffer(b"0123456789", np.uint8)
+
+
+def _hex_mat(v: np.ndarray, w: int) -> np.ndarray:
+    """(n, w) uint8 matrix of the w-digit zero-padded hex of each value
+    — the vectorized equivalent of ``"%0{w}x" % v`` (same characters)."""
+    out = np.empty((len(v), w), np.uint8)
+    x = v.astype(np.uint64, copy=True)
+    for i in range(w - 1, -1, -1):
+        out[:, i] = _HEX_DIGITS[(x & np.uint64(0xF)).astype(np.intp)]
+        x >>= np.uint64(4)
+    return out
+
+
+def _dec_mat(v: np.ndarray, w: int) -> np.ndarray:
+    """(n, w) uint8 matrix, zero-padded decimal (``"%0{w}d" % v``)."""
+    out = np.empty((len(v), w), np.uint8)
+    x = v.astype(np.uint64, copy=True)
+    for i in range(w - 1, -1, -1):
+        out[:, i] = _DEC_DIGITS[(x % np.uint64(10)).astype(np.intp)]
+        x //= np.uint64(10)
+    return out
+
+
+def _fixed_width_strings(mat: np.ndarray) -> pa.Array:
+    """Zero-copy Arrow string array from an (n, w) uint8 char matrix."""
+    n, w = mat.shape
+    offsets = np.arange(0, (n + 1) * w, w, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.string(),
+        n,
+        [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(mat))],
+    )
+
+
+def _hex40_arrow(rng: np.random.Generator, n: int) -> pa.Array:
+    """Same draws and characters as :func:`_hex40`, built columnar:
+    digit-table extraction instead of a per-row ``%``-format loop
+    (8.4 us/row -> ~0.5 us/row; the 10^9-soak generator bottleneck)."""
+    raw = rng.integers(0, 1 << 60, size=(n, 3), dtype=np.int64)
+    return _fixed_width_strings(
+        np.hstack(
+            [
+                _hex_mat(raw[:, 0], 15),
+                _hex_mat(raw[:, 1], 15),
+                _hex_mat(raw[:, 2] & 0xFFFFFFFFFF, 10),
+            ]
+        )
+    )
+
+
 def generate_change_events(
     out_dir: str,
     n_events: int = 10_000,
@@ -255,25 +307,39 @@ def generate_change_events_parallel(
         first = brng.random(m) < 0.3
         op[(op == "UPSERT") & first] = "INSERT"
         op[op == "UPSERT"] = "UPDATE"
-        commit = _hex40(brng, m)
+        # same draws, same characters as the serial path's _hex40 /
+        # f-string event ids — only the construction is columnar (the
+        # per-row %-format loops were the 10^9-soak bottleneck)
+        commit = _hex40_arrow(brng, m)
         content = pool[brng.integers(0, content_pool_size, m)].copy()
         content[op == "DELETE"] = None
         lang[op == "DELETE"] = None
         rnd = brng.integers(0, 1 << 30, m)
-        event_id = np.array(
-            [f"ev-{s:012d}-{r:08x}" for s, r in zip(seq, rnd)],
-            dtype=object,
+        event_id = _fixed_width_strings(
+            np.hstack(
+                [
+                    np.broadcast_to(
+                        np.frombuffer(b"ev-", np.uint8), (m, 3)
+                    ),
+                    _dec_mat(seq, 12),
+                    np.broadcast_to(np.frombuffer(b"-", np.uint8), (m, 1)),
+                    _hex_mat(rnd, 8),
+                ]
+            )
         )
         ts = 1_700_000_000_000 + seq * 137
         n_dirty = int(m * dirty_frac)
         if n_dirty:
+            import pyarrow.compute as pc
+
             dirty_pos = brng.choice(m, size=n_dirty, replace=False)
+            bad_commit = np.zeros(m, bool)
             for k, pos in enumerate(dirty_pos):
                 mode = k % 5
                 if mode == 0:
                     repos[pos] = None
                 elif mode == 1:
-                    commit[pos] = "not-a-sha"
+                    bad_commit[pos] = True
                 elif mode == 2:
                     op[pos] = "TAG_IMAGE"
                 elif mode == 3:
@@ -281,24 +347,30 @@ def generate_change_events_parallel(
                 else:
                     op[pos] = "UPDATE"
                     content[pos] = None
+            if bad_commit.any():
+                commit = pc.if_else(
+                    pa.array(bad_commit), pa.scalar("not-a-sha"), commit
+                )
+        content_arr = pa.array(content, pa.string())
         cols = {
             "seq": pa.array(seq),
             "batch_id": pa.array(np.full(m, b, np.int64)),
             "op": pa.array(op, pa.string()),
             "repo": pa.array(repos, pa.string()),
             "path": pa.array(paths, pa.string()),
-            "commit": pa.array(commit, pa.string()),
+            "commit": commit,
             "lang": pa.array(lang, pa.string()),
-            "content": pa.array(content, pa.string()),
-            "event_id": pa.array(event_id, pa.string()),
+            "content": content_arr,
+            "event_id": event_id,
             "ts": pa.array(ts),
         }
         if evolve_from_batch is not None and b >= evolve_from_batch:
-            cols["size_bytes"] = pa.array(
-                np.array(
-                    [len(c) if c is not None else 0 for c in content],
-                    np.int64,
-                )
+            import pyarrow.compute as pc
+
+            # len(content) in characters, 0 for null — content is ASCII
+            # so utf8_length == python len (gated by the parity test)
+            cols["size_bytes"] = pc.fill_null(
+                pc.cast(pc.utf8_length(content_arr), pa.int64()), 0
             )
         f = os.path.join(ev_dir, f"batch={b:05d}.parquet")
         tmp = f"{f}.tmp.{os.getpid()}"
