@@ -167,8 +167,48 @@ def canonical_bytes(table: pa.Table, key_cols: list[str] | tuple[str, ...]) -> b
     return (_ROW.join(joined.to_pylist()) + _ROW).encode("utf-8")
 
 
+def upcast_large_strings(table: pa.Table) -> pa.Table:
+    """string -> large_string on flat columns, so downstream take/sort/
+    combine can't overflow int32 offsets (a single string column past
+    ~2 GB — e.g. 15M+ wide ``content`` rows — breaks plain string on
+    concat). Metadata-light: one offsets pass, data buffers shared."""
+    fields, changed = [], False
+    for f in table.schema:
+        if pa.types.is_string(f.type):
+            fields.append(pa.field(f.name, pa.large_string()))
+            changed = True
+        else:
+            fields.append(f)
+    return table.cast(pa.schema(fields)) if changed else table
+
+
 def table_sha256(table: pa.Table, key_cols) -> str:
-    return hashlib.sha256(canonical_bytes(table, key_cols)).hexdigest()
+    """sha256 of the canonical serialization, computed streaming.
+
+    Byte-stream-identical to ``sha256(canonical_bytes(...))`` — the
+    trailing-separator form ``join(rows) + _ROW`` equals hashing each
+    ``row + _ROW`` in order — but processes the sorted table in bounded
+    row slices and upcasts string columns first, so a 10^9-scale live
+    table (tens of GB of ``content``) hashes without materializing one
+    giant buffer or overflowing int32 string offsets. Equivalence is
+    pinned by tests/test_hashing.py."""
+    h = hashlib.sha256()
+    if table.num_rows == 0:
+        return h.hexdigest()
+    table = upcast_large_strings(table)
+    table = table.sort_by([(k, "ascending") for k in key_cols])
+    row_sep = _ROW.encode("utf-8")
+    step = 1_000_000
+    for off in range(0, table.num_rows, step):
+        sl = table.slice(off, step)
+        str_cols = [_col_to_str(sl[name]) for name in sl.column_names]
+        joined = str_cols[0]
+        for c in str_cols[1:]:
+            joined = pc.binary_join_element_wise(joined, c, _SEP)
+        for v in joined.to_pylist():
+            h.update(v.encode("utf-8"))
+            h.update(row_sep)
+    return h.hexdigest()
 
 
 def combine_bucket_hashes(bucket_hashes: dict[int, str]) -> str:

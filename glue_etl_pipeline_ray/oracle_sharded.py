@@ -39,7 +39,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from glue_etl_pipeline_ray.hashing import table_sha256
+from glue_etl_pipeline_ray.hashing import table_sha256, upcast_large_strings
 from glue_etl_pipeline_ray.oracle import (
     _row_errors_planned,
     apply_renames_oracle,
@@ -258,9 +258,14 @@ class ShardedOracle:
             [s.snapshot.remote(evolved_t) for s in self.shards]
         )
         counters = ray.get([s.counters.remote() for s in self.shards])
-        table = pa.concat_tables(tables).sort_by(
-            [(k, "ascending") for k in self.spec.key_cols]
-        )
+        table = pa.concat_tables(tables)
+        if with_table:
+            # sorted table only on request: a driver-side sort of a
+            # 10^9-scale table is an int32-offset overflow; the sha
+            # sorts internally (upcast) either way
+            table = table.sort_by(
+                [(k, "ascending") for k in self.spec.key_cols]
+            )
         out = {
             "sha256": table_sha256(table, self.spec.key_cols),
             "evolved": evolved_t,
@@ -284,8 +289,13 @@ class ShardedOracle:
 
 
 def _route_file(f: str, spec: TableSpec, num_shards: int):
-    """Read one batch file, rename, split into per-shard sub-tables."""
-    t = apply_renames_oracle(spec, pq.read_table(f))
+    """Read one batch file, rename, split into per-shard sub-tables.
+
+    String columns are upcast to large_string first: a 15M-row batch's
+    ``content`` column passes 2 GB, and ``take`` concatenates chunks —
+    int32 offsets would overflow (actors see the same python values
+    either way)."""
+    t = upcast_large_strings(apply_renames_oracle(spec, pq.read_table(f)))
     if num_shards == 1:
         return t
     sh = _shard_ids(t, spec.key_cols, num_shards)

@@ -1450,8 +1450,15 @@ class ReplayEngine:
             live_view, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    def final_table(self, as_of: int | None = None) -> pa.Table:
-        """Live table assembled driver-side (test/oracle path only)."""
+    def final_table(
+        self, as_of: int | None = None, sort: bool = True
+    ) -> pa.Table:
+        """Live table assembled driver-side (test/oracle path only).
+
+        ``sort=False`` skips the key sort — the sha path re-sorts
+        inside ``table_sha256`` (with a large_string upcast), and a
+        driver-side sort of a 10^9-scale table would overflow int32
+        string offsets in take."""
         if self.state_mode == "delta":
             if as_of is not None:
                 self._require_delta_history(as_of)
@@ -1464,6 +1471,8 @@ class ReplayEngine:
             if not parts:
                 return self.spec.canonical_schema(ev).empty_table()
             out = pa.concat_tables(parts)
+            if not sort:
+                return out
             return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
         evolved = (
             self.ckpt.evolved if as_of is None else self.ckpt.evolved_as_of(as_of)
@@ -1479,10 +1488,14 @@ class ReplayEngine:
         if not parts:
             return self.spec.canonical_schema(evolved).empty_table()
         out = pa.concat_tables(parts)
+        if not sort:
+            return out
         return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
 
     def final_sha256(self, as_of: int | None = None) -> str:
-        return table_sha256(self.final_table(as_of), self.spec.key_cols)
+        return table_sha256(
+            self.final_table(as_of, sort=False), self.spec.key_cols
+        )
 
     def fsck(self) -> dict:
         """Lake integrity check (the VACUUM dry-run / fsck an

@@ -106,3 +106,43 @@ def test_guarded_last_per_key_null_keys():
     chosen = guarded_last_per_key(t, ["k"], kh, np.lexsort((seq, kh)))
     out = t.take(chosen)
     assert sorted(out["seq"].to_pylist()) == [2, 3]
+
+
+def test_streaming_sha_equals_canonical_bytes():
+    """table_sha256 streams in slices with a large_string upcast; its
+    byte stream must equal sha256(canonical_bytes(...)) exactly,
+    including duplicate sort keys (stable ties) and nulls."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 2500
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, n)),
+            "s": pa.array(
+                [None if i % 11 == 0 else f"v{i % 97}" for i in range(n)],
+                pa.string(),
+            ),
+            "f": pa.array(rng.random(n)),
+            "b": pa.array((rng.random(n) < 0.5).tolist()),
+        }
+    )
+    expect = hashlib.sha256(canonical_bytes(t, ["k"])).hexdigest()
+    assert table_sha256(t, ["k"]) == expect
+    # large_string input hashes identically to string input
+    big = t.cast(
+        pa.schema(
+            [
+                pa.field("k", pa.int64()),
+                pa.field("s", pa.large_string()),
+                pa.field("f", pa.float64()),
+                pa.field("b", pa.bool_()),
+            ]
+        )
+    )
+    assert table_sha256(big, ["k"]) == expect
+    assert table_sha256(t.slice(0, 0), ["k"]) == hashlib.sha256(
+        b""
+    ).hexdigest()
