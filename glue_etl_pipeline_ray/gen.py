@@ -63,24 +63,34 @@ _HEX_DIGITS = np.frombuffer(b"0123456789abcdef", np.uint8)
 _DEC_DIGITS = np.frombuffer(b"0123456789", np.uint8)
 
 
+_DIGIT_CHUNK = 1 << 18  # rows per block: keeps x + the strided output
+# window cache-resident — whole-column strided digit writes re-touch
+# DRAM w times and collapse under concurrent generator tasks
+# (measured 5.7x slower at 6-way parallelism)
+
+
 def _hex_mat(v: np.ndarray, w: int) -> np.ndarray:
     """(n, w) uint8 matrix of the w-digit zero-padded hex of each value
     — the vectorized equivalent of ``"%0{w}x" % v`` (same characters)."""
     out = np.empty((len(v), w), np.uint8)
-    x = v.astype(np.uint64, copy=True)
-    for i in range(w - 1, -1, -1):
-        out[:, i] = _HEX_DIGITS[(x & np.uint64(0xF)).astype(np.intp)]
-        x >>= np.uint64(4)
+    for s in range(0, len(v), _DIGIT_CHUNK):
+        x = v[s : s + _DIGIT_CHUNK].astype(np.uint64)
+        sub = out[s : s + _DIGIT_CHUNK]
+        for i in range(w - 1, -1, -1):
+            sub[:, i] = _HEX_DIGITS[(x & np.uint64(0xF)).astype(np.intp)]
+            x >>= np.uint64(4)
     return out
 
 
 def _dec_mat(v: np.ndarray, w: int) -> np.ndarray:
     """(n, w) uint8 matrix, zero-padded decimal (``"%0{w}d" % v``)."""
     out = np.empty((len(v), w), np.uint8)
-    x = v.astype(np.uint64, copy=True)
-    for i in range(w - 1, -1, -1):
-        out[:, i] = _DEC_DIGITS[(x % np.uint64(10)).astype(np.intp)]
-        x //= np.uint64(10)
+    for s in range(0, len(v), _DIGIT_CHUNK):
+        x = v[s : s + _DIGIT_CHUNK].astype(np.uint64)
+        sub = out[s : s + _DIGIT_CHUNK]
+        for i in range(w - 1, -1, -1):
+            sub[:, i] = _DEC_DIGITS[(x % np.uint64(10)).astype(np.intp)]
+            x //= np.uint64(10)
     return out
 
 

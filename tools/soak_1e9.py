@@ -80,6 +80,7 @@ def main() -> int:
         delete_frac=0.08,
         evolve_from_batch=args.n_batches - args.segment_batches,
         seed=42,
+        row_group_size=131_072,
     )
 
     import ray
@@ -128,22 +129,36 @@ def main() -> int:
         actor_num_cpus=0.5,
     )
 
+    import threading
+
     seg = args.segment_batches
+    segments = [
+        range(lo, min(lo + seg, args.n_batches))
+        for lo in range(0, args.n_batches, seg)
+    ]
+
+    def gen_segment(ids, out: dict):
+        t0 = time.perf_counter()
+        out["meta"] = generate_change_events_parallel(
+            work, batch_ids=ids, **gen_kw
+        )
+        out["sec"] = round(time.perf_counter() - t0, 1)
+
     per_segment = []
     n_dlq_engine = 0
     checkpoint = {}
     t_all = time.perf_counter()
     replay_wall = 0.0
-    for lo in range(0, args.n_batches, seg):
-        ids = range(lo, min(lo + seg, args.n_batches))
-        t0 = time.perf_counter()
-        meta = generate_change_events_parallel(
-            work, batch_ids=ids, **gen_kw
-        )
-        t_gen = time.perf_counter() - t0
+    cur: dict = {}
+    gen_segment(segments[0], cur)  # segment 0: nothing to overlap
+    for si, ids in enumerate(segments):
+        meta, t_gen = cur["meta"], cur["sec"]
         files = sorted(meta["files"])
         n_seg_events = meta["n_events"]
 
+        # replay runs with the box otherwise quiet (clean per-segment
+        # ev/s); generation of the NEXT segment overlaps the oracle
+        # phase below instead (gen is the wall-clock long pole)
         t0 = time.perf_counter()
         res = eng.replay(ev, max_batches=len(files))
         t_replay = time.perf_counter() - t0
@@ -152,6 +167,14 @@ def main() -> int:
             s["n_dead_lettered"] for s in res["summaries"]
         )
         assert res["applied_batches"] == list(ids), res["applied_batches"]
+
+        nxt: dict = {}
+        th = None
+        if si + 1 < len(segments):
+            th = threading.Thread(
+                target=gen_segment, args=(segments[si + 1], nxt)
+            )
+            th.start()
 
         t0 = time.perf_counter()
         oracle.apply_files(files)
@@ -188,6 +211,10 @@ def main() -> int:
                 flush=True,
             )
             assert checkpoint["equal"], "mid-stream sha mismatch"
+
+        if th is not None:
+            th.join()
+            cur = nxt
 
     t0 = time.perf_counter()
     tip_engine = eng.final_sha256()
