@@ -216,6 +216,12 @@ class ShardedOracle:
         self._route = ray.remote(num_returns=num_shards)(_route_file)
         self._pending: list = []
 
+    # files routed concurrently per wave: each in-flight router holds
+    # ~2x a batch in worker heap (read + upcast + per-shard takes), so
+    # unbounded fan-out over large batches OOMs the node — 3 in flight
+    # keeps routing ahead of the actors without that cliff
+    ROUTE_WAVE = 3
+
     def apply_files(self, files: list[str]) -> None:
         """Route + apply a list of batch files, in the given order."""
         import ray
@@ -224,7 +230,6 @@ class ShardedOracle:
         # evolution registry is driver-side, from file footers in batch
         # order (rows can only carry a column their file schema declares,
         # so actors don't need the running registry)
-        routed = []
         for f in files:
             register_evolution(
                 spec,
@@ -233,17 +238,21 @@ class ShardedOracle:
                 ).schema,
                 self.evolved,
             )
-            routed.append(self._route.remote(f, spec, n))
-        for chunk_refs in routed:
-            refs = (
-                [chunk_refs] if n == 1 else list(chunk_refs)
-            )
+        queue = list(files)
+        routed: list = []
+        while queue or routed:
+            while queue and len(routed) < self.ROUTE_WAVE:
+                routed.append(self._route.remote(queue.pop(0), spec, n))
+            chunk_refs = routed.pop(0)
+            refs = [chunk_refs] if n == 1 else list(chunk_refs)
             self._pending.extend(
                 self.shards[p].apply.remote(refs[p]) for p in range(n)
             )
-        # keep the pipeline bounded: drain applies every call
-        ray.get(self._pending)
-        self._pending = []
+            del refs, chunk_refs
+            # bound plasma: wait for this file's applies before freeing
+            # its chunks lets at most ROUTE_WAVE+1 batches live at once
+            ray.get(self._pending)
+            self._pending = []
 
     def apply_dir(self, events_dir: str) -> None:
         self.apply_files(
