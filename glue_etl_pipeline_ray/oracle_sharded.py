@@ -213,23 +213,35 @@ class ShardedOracle:
         self.shards = [
             actor.remote(spec, keep_dlq) for _ in range(num_shards)
         ]
-        self._route = ray.remote(num_returns=num_shards)(_route_file)
-        self._pending: list = []
+        self._route = ray.remote(num_cpus=1, num_returns=num_shards)(
+            _route_row_groups
+        )
 
-    # files routed concurrently per wave: each in-flight router holds
-    # ~2x a batch in worker heap (read + upcast + per-shard takes), so
-    # unbounded fan-out over large batches OOMs the node — 3 in flight
-    # keeps routing ahead of the actors without that cliff
-    ROUTE_WAVE = 3
+    # Routing pipeline shape (the 10^9-soak enabler): the unit of
+    # routing is a RANGE OF ROW GROUPS (~ROUTE_ROWS rows), not a whole
+    # batch file — a 15M-row batch routed as one task holds ~3 copies
+    # of ~8 GB in one worker heap and serializes the oracle behind a
+    # single reader. Small units let ROUTE_WAVE readers run
+    # concurrently while shard applies drain earlier units, and the
+    # LWW fold is order-independent (seq is globally unique and the
+    # state keeps the max-seq writer per key; gated against the serial
+    # oracle, which replays strictly in order, by
+    # tests/test_oracle_sharded.py), so units need no ordering at all.
+    ROUTE_ROWS = 1 << 20  # target rows per routing unit
+    ROUTE_WAVE = 6  # concurrent route tasks (each ~2x unit in heap)
+    APPLY_UNITS_PENDING = 3  # units whose applies may be outstanding
 
     def apply_files(self, files: list[str]) -> None:
         """Route + apply a list of batch files, in the given order."""
+        from collections import deque
+
         import ray
 
         spec, n = self.spec, self.num_shards
         # evolution registry is driver-side, from file footers in batch
         # order (rows can only carry a column their file schema declares,
         # so actors don't need the running registry)
+        units: deque = deque()
         for f in files:
             register_evolution(
                 spec,
@@ -238,21 +250,36 @@ class ShardedOracle:
                 ).schema,
                 self.evolved,
             )
-        queue = list(files)
-        routed: list = []
-        while queue or routed:
-            while queue and len(routed) < self.ROUTE_WAVE:
-                routed.append(self._route.remote(queue.pop(0), spec, n))
-            chunk_refs = routed.pop(0)
-            refs = [chunk_refs] if n == 1 else list(chunk_refs)
-            self._pending.extend(
-                self.shards[p].apply.remote(refs[p]) for p in range(n)
+            md = pq.ParquetFile(f).metadata
+            nrg = md.num_row_groups
+            if nrg == 0:
+                continue
+            per_unit = max(
+                1, self.ROUTE_ROWS // max(1, md.row_group(0).num_rows)
             )
-            del refs, chunk_refs
-            # bound plasma: wait for this file's applies before freeing
-            # its chunks lets at most ROUTE_WAVE+1 batches live at once
-            ray.get(self._pending)
-            self._pending = []
+            for lo in range(0, nrg, per_unit):
+                units.append((f, lo, min(lo + per_unit, nrg)))
+
+        routed: deque = deque()  # route futures, FIFO
+        pending: deque = deque()  # per-unit lists of apply futures
+        while units or routed or pending:
+            while units and len(routed) < self.ROUTE_WAVE:
+                f, lo, hi = units.popleft()
+                routed.append(self._route.remote(f, lo, hi, spec, n))
+            if routed:
+                chunk_refs = routed.popleft()
+                refs = [chunk_refs] if n == 1 else list(chunk_refs)
+                pending.append(
+                    [self.shards[p].apply.remote(refs[p]) for p in range(n)]
+                )
+                del refs, chunk_refs
+            # bound plasma: at most ROUTE_WAVE routed units plus
+            # APPLY_UNITS_PENDING units being applied live at once
+            while pending and (
+                len(pending) > self.APPLY_UNITS_PENDING
+                or not (units or routed)
+            ):
+                ray.get(pending.popleft())
 
     def apply_dir(self, events_dir: str) -> None:
         self.apply_files(
@@ -297,19 +324,31 @@ class ShardedOracle:
         return rows
 
 
-def _route_file(f: str, spec: TableSpec, num_shards: int):
-    """Read one batch file, rename, split into per-shard sub-tables.
+def _route_row_groups(
+    f: str, rg_lo: int, rg_hi: int, spec: TableSpec, num_shards: int
+):
+    """Read row groups [rg_lo, rg_hi) of one batch file, rename, split
+    into per-shard sub-tables.
 
-    String columns are upcast to large_string first: a 15M-row batch's
-    ``content`` column passes 2 GB, and ``take`` concatenates chunks —
-    int32 offsets would overflow (actors see the same python values
-    either way)."""
-    t = upcast_large_strings(apply_renames_oracle(spec, pq.read_table(f)))
+    String columns are upcast to large_string first: a unit's
+    ``content`` column can pass 2 GB, and ``take`` concatenates chunks
+    — int32 offsets would overflow (actors see the same python values
+    either way). The split is ONE stable-argsort gather followed by
+    zero-copy slices — measured 6x cheaper than a scattered ``take``
+    per shard, and Ray's Arrow serializer truncates sliced buffers, so
+    each shard ships only its own bytes."""
+    t = pq.ParquetFile(f).read_row_groups(list(range(rg_lo, rg_hi)))
+    t = upcast_large_strings(apply_renames_oracle(spec, t))
     if num_shards == 1:
         return t
     sh = _shard_ids(t, spec.key_cols, num_shards)
+    order = np.argsort(sh, kind="stable")
+    ts = t.take(order)
+    counts = np.bincount(sh, minlength=num_shards)
+    offs = np.concatenate([[0], np.cumsum(counts)])
     return tuple(
-        t.take(np.flatnonzero(sh == p)) for p in range(num_shards)
+        ts.slice(int(offs[p]), int(counts[p]))
+        for p in range(num_shards)
     )
 
 
