@@ -121,3 +121,27 @@ def test_segmented_generation_equals_full(ray_session, tmp_path):
         str(tmp_path / "seg")
     )
     assert h_full == h_seg and len(h_full) == 6
+
+
+def test_multi_unit_row_group_routing(ray_session, tmp_path):
+    """Force the routing pipeline into MANY units per file (tiny row
+    groups + a tiny ROUTE_ROWS) so units of the same file are applied
+    out of submission lockstep — the 10^9 soak's actual shape. The LWW
+    fold must still land the serial oracle's exact state, DLQ included:
+    order independence of the unit stream is the property this pins."""
+    kw = dict(GEN, n_events=12_000, seed=515)
+    generate_change_events(str(tmp_path), row_group_size=512, **kw)
+    ev = str(tmp_path / "events")
+    spec = repo_file_spec()
+    serial = replay_oracle(spec, ev)
+
+    o = ShardedOracle(spec, num_shards=5)
+    assert o.ROUTE_ROWS > 1000  # the scale default
+    o.ROUTE_ROWS = 1000  # ~2 row groups per unit -> 4+ units per file
+    o.ROUTE_WAVE = 4
+    o.apply_dir(ev)
+    out = o.result(with_table=False)
+    assert out["sha256"] == serial["sha256"]
+    assert out["n_dead_lettered"] == serial["n_dead_lettered"]
+    assert out["n_live"] == serial["n_live"]
+    assert _dlq_key(o.dlq_rows(), spec) == _dlq_key(serial["dlq"], spec)
