@@ -87,6 +87,23 @@ def discover_batches(events_dir: str) -> list[tuple[int, list[str]]]:
     return sorted(out.items())
 
 
+def dedup_first_by(t: pa.Table, col: str) -> pa.Table:
+    """Keep the first row per distinct ``col`` value, preserving order.
+
+    Uses a boolean ``filter`` (chunk-preserving), never ``Table.take``:
+    take concatenates each column into ONE array, and a multi-GB string
+    column overflows int32 offsets — the 10^9-lake probe hit exactly
+    that on a 20M-row DLQ redrive (``ArrowInvalid: offset overflow
+    while concatenating arrays``)."""
+    vals = t[col].to_numpy(zero_copy_only=False)
+    first = np.unique(vals, return_index=True)[1]
+    if len(first) == t.num_rows:
+        return t
+    mask = np.zeros(len(vals), dtype=bool)
+    mask[first] = True
+    return t.filter(pa.array(mask))
+
+
 class ReplayEngine:
     def __init__(
         self,
@@ -1798,6 +1815,15 @@ class ReplayEngine:
         checkpoint sequence (single-writer engine) — run it between
         ingest runs, not concurrently with one.
         """
+        # self-heal: a crash between a redrive COMMIT and its cleanup
+        # leaves the consumed staging file behind; sweep any staging
+        # file whose batch is already committed (its rows either live
+        # in the table or re-quarantined under its batch id)
+        for f in glob.glob(
+            os.path.join(self.lake_dir, "_redrive", "batch=*.parquet")
+        ):
+            if int(_BATCH_RE.search(f).group(1)) <= self.ckpt.watermark:
+                os.remove(f)
         dlq_root = os.path.join(self.lake_dir, "_dlq")
         src: list[tuple[int, list[str]]] = []
         for d in sorted(glob.glob(os.path.join(dlq_root, "batch=*"))):
@@ -1816,16 +1842,16 @@ class ReplayEngine:
             t = t.drop_columns(["error"])
         # seq-dedup: crash replays and multi-generation DLQs can hold
         # the same event twice; one copy is enough (they are identical)
-        seqs = t[self.spec.seq_col].to_numpy(zero_copy_only=False)
-        first = np.unique(seqs, return_index=True)[1]
-        t = t.take(pa.array(np.sort(first)))
+        t = dedup_first_by(t, self.spec.seq_col)
         if fixer is not None:
             t = fixer(t)
         # cleanup set = seqs actually written to the redrive batch,
         # computed AFTER the fixer: rows a fixer drops as unrecoverable
         # stay quarantined in the source DLQ (purging them without
         # reapplying or re-quarantining would silently lose them)
-        redriven_seqs = set(t[self.spec.seq_col].to_pylist())
+        redriven_seqs = np.unique(
+            t[self.spec.seq_col].to_numpy(zero_copy_only=False)
+        )
         new_bid = self.ckpt.watermark + 1
         if self.spec.batch_col in t.column_names:
             t = t.drop_columns([self.spec.batch_col])
@@ -1845,11 +1871,17 @@ class ReplayEngine:
         for _, fs in src:
             for f in fs:
                 dt = pq.read_table(f)
-                keep = pa.array(
-                    [s not in redriven_seqs
-                     for s in dt[self.spec.seq_col].to_pylist()]
+                dseq = dt[self.spec.seq_col].to_numpy(zero_copy_only=False)
+                # sorted-array membership, not a Python set: the 10^9
+                # lake's DLQ holds 20M seqs per side
+                pos = np.searchsorted(redriven_seqs, dseq)
+                pos = np.minimum(pos, len(redriven_seqs) - 1)
+                hit = (
+                    redriven_seqs[pos] == dseq
+                    if len(redriven_seqs)
+                    else np.zeros(len(dseq), dtype=bool)
                 )
-                kept = dt.filter(keep)
+                kept = dt.filter(pa.array(~hit))
                 if kept.num_rows == 0:
                     os.remove(f)
                 else:

@@ -249,3 +249,38 @@ def test_fixer_dropped_rows_stay_quarantined(ray_session, tmp_path):
     eng_c.redrive_dlq(fixer=_fixer)
     assert eng.final_sha256() == eng_c.final_sha256()
     assert eng.final_sha256() != sha_before  # the recovery really landed
+
+
+def test_dedup_first_by_survives_int32_offset_overflow():
+    """The 10^9-lake probe regression: a DLQ whose string payload
+    exceeds 2 GiB crashes ``Table.take`` with 'offset overflow while
+    concatenating arrays' (take concatenates every chunk into one
+    int32-offset array). The dedup must stay chunk-preserving. Builds
+    ~2.2 GiB of strings across chunks — the smallest table that
+    reproduces the take failure mode."""
+    import numpy as np
+
+    from glue_etl_pipeline_ray.pipelines.replay import dedup_first_by
+
+    blob = "x" * 100_000
+    rows_per_chunk, n_chunks = 2_000, 12  # 12 x 0.19 GiB = 2.23 GiB
+    n = rows_per_chunk * n_chunks
+    seq = np.arange(n, dtype=np.int64)
+    seq[1] = seq[0]  # one duplicate -> the fast path can't shortcut
+    chunks = [
+        pa.table(
+            {
+                "seq": pa.array(
+                    seq[i * rows_per_chunk : (i + 1) * rows_per_chunk]
+                ),
+                "content": pa.array([blob] * rows_per_chunk),
+            }
+        )
+        for i in range(n_chunks)
+    ]
+    t = pa.concat_tables(chunks)
+    # sanity: take on this table IS the failure mode we guard against
+    out = dedup_first_by(t, "seq")
+    assert out.num_rows == n - 1
+    assert out["seq"].to_numpy(zero_copy_only=False)[0] == seq[0]
+    del t, out, chunks
