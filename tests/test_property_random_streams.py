@@ -421,3 +421,138 @@ def test_interleaved_reshard_redrive_matches_oracle(ray_session, s):
     pq.write_table(pt, os.path.join(patched_dir, "batch=00000.parquet"))
     oracle = replay_oracle(spec, patched_dir)
     assert eng.final_sha256() == oracle["sha256"], (n, seed, n_runs, actions, mode)
+
+
+@st.composite
+def bf_plan(draw):
+    n = draw(st.integers(100, 260))
+    seed = draw(st.integers(0, 2**31 - 1))
+    n_runs = draw(st.integers(2, 4))
+    # between-run actions: 0 none, 1 backfill, 2 export, 3 both
+    actions = tuple(
+        draw(st.sampled_from([0, 1, 2, 3])) for _ in range(n_runs - 1)
+    )
+    return n, seed, n_runs, actions
+
+
+@settings(max_examples=4, deadline=None)
+@given(s=bf_plan())
+def test_interleaved_backfill_export_matches_oracle(ray_session, s):
+    """Random streams with backfill() and export_snapshot() INTERLEAVED
+    between ingest runs (both state modes): a backfill must never
+    disturb LWW state (per-row seq untouched), so the final table must
+    equal the plain-stream oracle plus exactly the derived column; and
+    every mid-stream incremental export must hash-equal the live table
+    at that moment. (Round-5 features, previously gated only on fixed
+    scenarios — same discipline as the reshard/redrive property.)"""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    from glue_etl_pipeline_ray.hashing import table_sha256
+
+    n, seed, n_runs, actions = s
+    rng = np.random.default_rng(seed ^ 0xBF11)
+    work = f"/tmp/gepr_propbf_{uuid.uuid4().hex[:12]}"
+    os.makedirs(work)
+
+    seq = rng.permutation(n).astype(np.int64)
+    ops = [rng.choice(["INSERT", "UPDATE", "DELETE"], p=[0.45, 0.35, 0.2])
+           for _ in range(n)]
+    content = [
+        None if o == "DELETE" else "v" * int(rng.integers(1, 30))
+        for o in ops
+    ]
+    t = pa.table(
+        {
+            "seq": pa.array(seq),
+            "op": pa.array(ops, pa.string()),
+            "repo": pa.array(
+                [rng.choice(["org0/repoA", "org1/repoC"]) for _ in range(n)],
+                pa.string(),
+            ),
+            "path": pa.array(
+                [rng.choice(["src/a.py", "src/b.js", "docs/r.md"])
+                 for _ in range(n)],
+                pa.string(),
+            ),
+            "commit": pa.array(
+                ["".join(rng.choice(list(HEX), 40)) for _ in range(n)],
+                pa.string(),
+            ),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array(content, pa.string()),
+        }
+    )
+
+    def add_len(bt: pa.Table) -> pa.Table:
+        col = pc.cast(pc.utf8_length(bt["content"]), pa.int64())
+        if "content_len" in bt.column_names:
+            return bt.set_column(
+                bt.column_names.index("content_len"), "content_len", col
+            )
+        return bt.append_column("content_len", col)
+
+    spec = repo_file_spec(num_buckets=4)
+    mode = "delta" if seed % 2 else "rewrite"
+    eng = ReplayEngine(
+        spec, os.path.join(work, "lake"), state_mode=mode, fold_threshold=2
+    )
+    exp_dir = os.path.join(work, "export")
+
+    def check_export():
+        eng.export_snapshot(exp_dir)
+        files = sorted(_glob.glob(os.path.join(exp_dir, "part-*.parquet")))
+        et = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
+        )
+        assert table_sha256(et, spec.key_cols) == eng.final_sha256(), (
+            n, seed, n_runs, actions, mode,
+        )
+
+    bounds = np.linspace(0, n, n_runs + 1).astype(int)
+    did_backfill = False
+    for run in range(n_runs):
+        bid = eng.ckpt.watermark + 1
+        chunk = t.slice(bounds[run], bounds[run + 1] - bounds[run])
+        chunk = chunk.append_column(
+            "batch_id", pa.array(np.full(chunk.num_rows, bid, np.int64))
+        )
+        run_dir = os.path.join(work, f"run{run}")
+        os.makedirs(run_dir)
+        pq.write_table(
+            chunk, os.path.join(run_dir, f"batch={bid:05d}.parquet")
+        )
+        eng.replay(run_dir)
+        if run < n_runs - 1:
+            a = actions[run]
+            if a in (1, 3):
+                eng.backfill(add_len)
+                did_backfill = True
+            if a in (2, 3):
+                check_export()
+
+    # a backfill is point-in-time: rows upserted AFTER it carry null
+    # for the evolved column (exactly like arrival-driven evolution),
+    # so close with one more backfill — now every live row must carry
+    # the derived value and the lake must equal oracle + derived col
+    if did_backfill:
+        eng.backfill(add_len)
+
+    # final export must also match the final state
+    check_export()
+
+    # oracle over the SAME whole stream; a backfilled lake equals the
+    # oracle table plus exactly the derived column
+    full_dir = os.path.join(work, "full")
+    os.makedirs(full_dir)
+    pq.write_table(
+        t.append_column("batch_id", pa.array(np.zeros(n, np.int64))),
+        os.path.join(full_dir, "batch=00000.parquet"),
+    )
+    oracle = replay_oracle(spec, full_dir)
+    if did_backfill:
+        expected = table_sha256(add_len(oracle["table"]), spec.key_cols)
+    else:
+        expected = oracle["sha256"]
+    assert eng.final_sha256() == expected, (n, seed, n_runs, actions, mode)
