@@ -57,6 +57,81 @@ def exact_dedup(
     ).drop_columns(["__fp"])
 
 
+# --------------------------------------------------- sub-document exact
+
+
+def segment_dedup(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 16,
+) -> Dataset:
+    """Sub-document exact dedup with span REMOVAL (the cut step of the
+    ExactSubstr discipline, at fixed-token-segment granularity): split
+    each document into ``seg_tokens``-token segments, keep the
+    corpus-wide FIRST occurrence of each distinct segment
+    (deterministic: min ``(id, seg_idx)``), and reassemble documents
+    from their surviving segments in order. Documents whose every
+    segment is a duplicate disappear; ``substring_dup_stats`` is the
+    tag-only companion.
+
+    Plan: one vectorized explode (Arrow split -> segment-boundary
+    offsets -> ``binary_join``; no per-token Python), one exact groupby
+    on the segment text (distinct-segment-bounded shuffle), one
+    groupby back on the document id to reassemble. Two segment-volume
+    exchanges are the floor for a global-first contract."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        base = off[0]  # a sliced batch's offsets need not start at 0
+        n_tok = np.diff(off)
+        n_seg = np.maximum(-(-n_tok // seg_tokens), 1)
+        total = int(n_seg.sum())
+        doc_rep = np.repeat(np.arange(len(n_seg)), n_seg)
+        intra = np.arange(total) - np.repeat(np.cumsum(n_seg) - n_seg, n_seg)
+        ends = np.minimum(
+            off[:-1][doc_rep] + (intra + 1) * seg_tokens, off[1:][doc_rep]
+        )
+        offsets = pa.array(
+            np.concatenate(([base], ends)) - base, pa.int32()
+        )
+        flat = toks.values if base == 0 else toks.values.slice(base)
+        segs = pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_rep]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "seg_idx": pa.array(intra, pa.int64()),
+                "__seg": segs,
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        return group.sort_by([(id_col, "ascending"), ("seg_idx", "ascending")]).slice(0, 1)
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        g = group.sort_by("seg_idx")
+        return pa.table(
+            {
+                id_col: g[id_col].slice(0, 1),
+                text_col: pa.array(
+                    [" ".join(g["__seg"].to_pylist())], pa.string()
+                ),
+            }
+        )
+
+    segs = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+    kept = grouped_apply(
+        segs, ["__seg"], keep_first, passthrough_singletons=True
+    )
+    return grouped_apply(kept, [id_col], reassemble)
+
+
 # ------------------------------------------------------------- shingling
 
 

@@ -571,6 +571,19 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_t(sf_dir, "documents"))
 
 
+def q_dedup_segments(sf_dir: str):
+    """Sub-document exact dedup with span removal (ExactSubstr's cut
+    step at 16-token-segment granularity): corpus-wide first occurrence
+    of every distinct segment survives, documents reassemble from their
+    surviving segments. Gate: pytest (hash-exact vs a DuckDB
+    unnest/row_number/string_agg oracle, tests/test_segment_dedup.py)."""
+    from glue_etl_pipeline_ray.functions.dedup import segment_dedup
+
+    return segment_dedup(
+        _t(sf_dir, "documents", ["doc_id", "text"]), seg_tokens=16
+    )
+
+
 def q_doc_fingerprint(sf_dir: str):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
