@@ -556,3 +556,121 @@ def test_interleaved_backfill_export_matches_oracle(ray_session, s):
     else:
         expected = oracle["sha256"]
     assert eng.final_sha256() == expected, (n, seed, n_runs, actions, mode)
+
+
+@st.composite
+def maint_plan(draw):
+    n = draw(st.integers(100, 260))
+    seed = draw(st.integers(0, 2**31 - 1))
+    n_runs = draw(st.integers(2, 4))
+    # between-run actions: 0 none, 1 compact+fsck, 2 view refresh, 3 both
+    actions = tuple(
+        draw(st.sampled_from([0, 1, 2, 3])) for _ in range(n_runs - 1)
+    )
+    return n, seed, n_runs, actions
+
+
+@settings(max_examples=4, deadline=None)
+@given(s=maint_plan())
+def test_interleaved_compact_ivm_matches_oracle(ray_session, s):
+    """Random streams with compact() and MaterializedView.refresh()
+    INTERLEAVED between ingest runs (both state modes): compaction must
+    never change live state (fsck stays clean), a view refreshed at
+    arbitrary points must equal a direct aggregate of the final
+    snapshot, and the closing lake must land the oracle sha. seq is
+    ascending across runs (no late data), which is compact()'s
+    documented contract for the default full-tombstone drop."""
+    import duckdb
+
+    from glue_etl_pipeline_ray.pipelines.ivm import MaterializedView
+
+    n, seed, n_runs, actions = s
+    rng = np.random.default_rng(seed ^ 0xC03B)
+    work = f"/tmp/gepr_propmv_{uuid.uuid4().hex[:12]}"
+    os.makedirs(work)
+
+    bounds = np.linspace(0, n, n_runs + 1).astype(int)
+    seq = np.concatenate(
+        [bounds[k] + rng.permutation(bounds[k + 1] - bounds[k])
+         for k in range(n_runs)]
+    ).astype(np.int64)
+    ops = [rng.choice(["INSERT", "UPDATE", "DELETE"], p=[0.45, 0.35, 0.2])
+           for _ in range(n)]
+    t = pa.table(
+        {
+            "seq": pa.array(seq),
+            "op": pa.array(ops, pa.string()),
+            "repo": pa.array(
+                [rng.choice(["org0/repoA", "org1/repoC"]) for _ in range(n)],
+                pa.string(),
+            ),
+            "path": pa.array(
+                [rng.choice(["src/a.py", "src/b.js", "docs/r.md"])
+                 for _ in range(n)],
+                pa.string(),
+            ),
+            "commit": pa.array(
+                ["".join(rng.choice(list(HEX), 40)) for _ in range(n)],
+                pa.string(),
+            ),
+            "lang": pa.array(
+                [rng.choice(["py", "js", "md"]) for _ in range(n)],
+                pa.string(),
+            ),
+            "content": pa.array(
+                [None if o == "DELETE" else "c" * int(rng.integers(1, 20))
+                 for o in ops],
+                pa.string(),
+            ),
+        }
+    )
+
+    spec = repo_file_spec(num_buckets=4)
+    mode = "delta" if seed % 2 else "rewrite"
+    eng = ReplayEngine(
+        spec, os.path.join(work, "lake"), state_mode=mode,
+        gc_old_versions=False, fold_threshold=2,
+    )
+    view = MaterializedView(eng, "by_lang", ["lang"])
+
+    for run in range(n_runs):
+        bid = eng.ckpt.watermark + 1
+        chunk = t.slice(bounds[run], bounds[run + 1] - bounds[run])
+        chunk = chunk.append_column(
+            "batch_id", pa.array(np.full(chunk.num_rows, bid, np.int64))
+        )
+        run_dir = os.path.join(work, f"run{run}")
+        os.makedirs(run_dir)
+        pq.write_table(
+            chunk, os.path.join(run_dir, f"batch={bid:05d}.parquet")
+        )
+        eng.replay(run_dir)
+        if run < n_runs - 1:
+            a = actions[run]
+            if a in (1, 3):
+                eng.compact()
+                assert eng.fsck()["ok"], (n, seed, n_runs, actions, mode)
+            if a in (2, 3):
+                view.refresh()
+
+    view.refresh()
+
+    full_dir = os.path.join(work, "full")
+    os.makedirs(full_dir)
+    pq.write_table(
+        t.append_column("batch_id", pa.array(np.zeros(n, np.int64))),
+        os.path.join(full_dir, "batch=00000.parquet"),
+    )
+    oracle = replay_oracle(spec, full_dir)
+    assert eng.final_sha256() == oracle["sha256"], (
+        n, seed, n_runs, actions, mode,
+    )
+
+    got = view.table().sort_by("lang").to_pandas()
+    con = duckdb.connect()
+    con.register("live", oracle["table"])
+    exp = con.execute(
+        "SELECT lang, count(*) AS n_rows FROM live GROUP BY lang ORDER BY lang"
+    ).df()
+    assert list(got["lang"]) == list(exp["lang"]), (n, seed, actions, mode)
+    assert list(got["n_rows"]) == list(exp["n_rows"]), (n, seed, actions, mode)
