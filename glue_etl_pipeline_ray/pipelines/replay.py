@@ -87,6 +87,30 @@ def discover_batches(events_dir: str) -> list[tuple[int, list[str]]]:
     return sorted(out.items())
 
 
+def _with_writer_lease(fn):
+    """Guard a mutating ReplayEngine method with the single-writer
+    lease when ``writer_lease=True``. Reentrant within one engine
+    (``redrive_dlq`` calls ``replay``); held only for the call's
+    duration so sequential writers never wait on a ttl."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(self, *args, **kwargs):
+        if not getattr(self, "writer_lease", False) or self._active_lease:
+            return fn(self, *args, **kwargs)
+        from glue_etl_pipeline_ray.state.lease import WriterLease
+
+        lease = WriterLease(self.lake_dir, ttl_s=self.lease_ttl_s).acquire()
+        self._active_lease = lease
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            self._active_lease = None
+            lease.release()
+
+    return wrapped
+
+
 def dedup_first_by(t: pa.Table, col: str) -> pa.Table:
     """Keep the first row per distinct ``col`` value, preserving order.
 
@@ -119,6 +143,8 @@ class ReplayEngine:
         fold_threshold: int = 8,
         event_filter=None,
         retain_batches: int | None = None,
+        writer_lease: bool = False,
+        lease_ttl_s: float = 300.0,
     ):
         """``exchange``: "raycore" (default) = pipelined map-side-partition
         shuffle on Ray core (stages/exchange.py); "groupby" = pure Dataset
@@ -143,7 +169,14 @@ class ReplayEngine:
         sync at least every N batches. Both modes: rewrite retires
         superseded part files; delta retires fold-superseded delta/base
         files (tagged with the fold version) and anchors as-of rebuilds
-        on the newest fold at or below the requested batch."""
+        on the newest fold at or below the requested batch.
+
+        ``writer_lease``: make the single-writer assumption explicit —
+        every mutating call (replay/compact/gc/backfill/redrive/reshard)
+        holds ``_checkpoint/WRITER_LOCK`` for its duration and a second
+        live writer raises ``ConcurrentWriter`` instead of racing the
+        manifest; a lock whose holder died (no heartbeat for
+        ``lease_ttl_s``) is taken over atomically (state/lease.py)."""
         if exchange not in ("raycore", "groupby"):
             raise ValueError(f"unknown exchange mode: {exchange}")
         if state_mode not in ("rewrite", "delta"):
@@ -170,10 +203,14 @@ class ReplayEngine:
         self.state_mode = state_mode
         self.fold_threshold = max(1, fold_threshold)
         self.event_filter = event_filter
+        self.writer_lease = writer_lease
+        self.lease_ttl_s = lease_ttl_s
+        self._active_lease = None
         os.makedirs(lake_dir, exist_ok=True)
         self.ckpt = CheckpointManager(lake_dir)
 
     # ---------------------------------------------------------------- replay
+    @_with_writer_lease
     def replay(
         self,
         events_dir: str,
@@ -468,6 +505,10 @@ class ReplayEngine:
         new_versions: dict[int, int],
         _fail_before_commit: bool = False,
     ) -> dict:
+        if self._active_lease is not None:
+            # liveness: one heartbeat per batch commit keeps the lease
+            # fresh through arbitrarily long replays
+            self._active_lease.heartbeat()
         n_dlq = 0
         if os.path.isdir(dlq_dir):
             n_dlq = sum(
@@ -648,6 +689,7 @@ class ReplayEngine:
         return len(targets)
 
     # ------------------------------------------------------------- orphan GC
+    @_with_writer_lease
     def gc_orphans(self) -> int:
         """Delete state/delta files that are newer than the watermark and
         not referenced by the committed manifest — leftovers of a crash
@@ -685,6 +727,7 @@ class ReplayEngine:
         return n
 
     # ------------------------------------------------------------ compaction
+    @_with_writer_lease
     def compact(self, min_retained_seq: int | None = None) -> dict:
         """Drop tombstones from the committed state (LSM-style compaction).
 
@@ -756,6 +799,7 @@ class ReplayEngine:
         return {"compacted_buckets": len(new_versions), "dropped_tombstones": dropped}
 
     # --------------------------------------------------------------- backfill
+    @_with_writer_lease
     def backfill(self, transform, _fail_before_commit: bool = False) -> dict:
         """Lake-wide payload transform (recompute a column, or ADD one
         derived from existing data) as a crash-safe in-place version
@@ -1609,6 +1653,7 @@ class ReplayEngine:
             "per_batch": dict(sorted(per_batch.items())),
         }
 
+    @_with_writer_lease
     def reshard(self, out_lake_dir: str, factor: int = 2) -> "ReplayEngine":
         """Scale-out re-bucketing (blue/green): write a new lake with
         ``num_buckets * factor`` buckets and return an engine over it
@@ -1787,6 +1832,7 @@ class ReplayEngine:
             retain_batches=self.retain_batches,
         )
 
+    @_with_writer_lease
     def redrive_dlq(self, batches: list[int] | None = None, fixer=None) -> dict:
         """Reprocess dead-lettered rows after a fix (the DLQ redrive /
         repair loop every quarantining ingest needs — the reference
