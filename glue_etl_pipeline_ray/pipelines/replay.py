@@ -1284,11 +1284,14 @@ class ReplayEngine:
             for b in sorted(set(chains) | set(anchors))
         ]
 
-    def _delta_live_refs(self, as_of: int | None = None) -> list:
+    def _delta_live_refs(
+        self, as_of: int | None = None, columns: list[str] | None = None
+    ) -> list:
         """One Ray task per bucket: fold base+deltas, return live rows.
 
         ``as_of``: historic rebuild via :meth:`_delta_chain_pointers`
-        (keep-everything or retention-window semantics)."""
+        (keep-everything or retention-window semantics). ``columns``:
+        projection pushed into the per-file Parquet reads."""
         from glue_etl_pipeline_ray.stages.merge import read_bucket_state
 
         spec = self.spec
@@ -1296,6 +1299,8 @@ class ReplayEngine:
             self.ckpt.evolved if as_of is None else self.ckpt.evolved_as_of(as_of)
         )
         cols = spec.canonical_cols(evolved)
+        if columns is not None:
+            cols = [c for c in cols if c in set(columns)]
 
         if as_of is None:
             pointers = [
@@ -1307,7 +1312,9 @@ class ReplayEngine:
 
         @ray.remote
         def live_bucket(lake_dir, b, base, deltas):
-            t = read_bucket_state(spec, evolved, lake_dir, base, deltas, b)
+            t = read_bucket_state(
+                spec, evolved, lake_dir, base, deltas, b, columns=columns
+            )
             return t.filter(pc.invert(t[DELETED_COL])).select(cols)
 
         return [
@@ -1478,37 +1485,81 @@ class ReplayEngine:
         out = pa.concat_tables(parts)
         return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
 
-    def final_dataset(self, as_of: int | None = None) -> "ray.data.Dataset":
+    def final_dataset(
+        self, as_of: int | None = None, columns: list[str] | None = None
+    ) -> "ray.data.Dataset":
         """Live table as a streaming Dataset (scale path). ``as_of``:
         committed batch id for a time-travel snapshot — returned with the
         schema the table had THEN (an evolution after ``as_of`` does not
-        leak null-backfilled columns into history)."""
+        leak null-backfilled columns into history).
+
+        ``columns``: projection pushed down to the Parquet reads — a
+        2-column scan of a wide-payload lake reads only those columns
+        (plus the fold's own key/seq/deleted columns in delta mode)
+        instead of shipping ``content`` just to drop it. Output keeps
+        canonical column order."""
         evolved = (
             self.ckpt.evolved if as_of is None else self.ckpt.evolved_as_of(as_of)
         )
-        st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
+        if columns is not None:
+            unknown = [c for c in columns if c not in cols]
+            if unknown:
+                raise ValueError(
+                    f"unknown columns {unknown}; table has {cols}"
+                )
+            out_cols = [c for c in cols if c in set(columns)]
+        else:
+            out_cols = cols
         if self.state_mode == "delta":
             if as_of is not None:
                 self._require_delta_history(as_of)
-            refs = self._delta_live_refs(as_of)
+            refs = self._delta_live_refs(as_of, columns=columns)
             if not refs:
                 return ray.data.from_arrow(
-                    self.spec.canonical_schema(evolved).empty_table()
+                    self.spec.canonical_schema(evolved).empty_table().select(out_cols)
                 )
             return ray.data.from_arrow_refs(refs)
         if as_of is not None:
             self._require_history(as_of)
         files = self._state_files(as_of)
         if not files:
-            return ray.data.from_arrow(self.spec.canonical_schema(evolved).empty_table())
+            return ray.data.from_arrow(
+                self.spec.canonical_schema(evolved).empty_table().select(out_cols)
+            )
 
-        def live_view(t: pa.Table) -> pa.Table:
-            t = conform(t, st)
-            return t.filter(pc.invert(t[DELETED_COL])).select(cols)
+        if columns is None:
+            st = state_schema(self.spec, evolved)
 
-        return ray.data.read_parquet(files).map_batches(
-            live_view, batch_format="pyarrow", zero_copy_batch=True
+            def live_view(t: pa.Table) -> pa.Table:
+                t = conform(t, st)
+                return t.filter(pc.invert(t[DELETED_COL])).select(cols)
+
+            return ray.data.read_parquet(files).map_batches(
+                live_view, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        # pruned rewrite-mode read: per-file column intersection (files
+        # written before an evolution lack the evolved column)
+        want = list(dict.fromkeys(list(out_cols) + [DELETED_COL]))
+        st_sub = state_schema(self.spec, evolved, columns=out_cols)
+        st_sub = pa.schema([f for f in st_sub if f.name in set(want)])
+
+        def load_pruned(batch: pa.Table) -> pa.Table:
+            outs = []
+            for path in batch["item"].to_pylist():
+                names = set(pq.read_schema(path).names)
+                t = pq.read_table(
+                    path, columns=[c for c in want if c in names]
+                )
+                t = conform(t, st_sub)
+                outs.append(
+                    t.filter(pc.invert(t[DELETED_COL])).select(out_cols)
+                )
+            return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
+
+        return ray.data.from_items(files).map_batches(
+            load_pruned, batch_format="pyarrow", batch_size=1
         )
 
     def final_table(

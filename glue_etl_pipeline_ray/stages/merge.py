@@ -59,8 +59,17 @@ LINEAGE_SCHEMA = pa.schema(
 )
 
 
-def state_schema(spec: TableSpec, evolved: tuple[tuple[str, str], ...]) -> pa.Schema:
+def state_schema(
+    spec: TableSpec,
+    evolved: tuple[tuple[str, str], ...],
+    columns: list[str] | None = None,
+) -> pa.Schema:
+    """State-file schema; ``columns`` restricts the payload to a subset
+    (key columns are always kept — the fold needs them)."""
     base = spec.canonical_schema(evolved)
+    if columns is not None:
+        keep = set(columns) | set(spec.key_cols)
+        base = pa.schema([f for f in base if f.name in keep])
     return base.append(pa.field(SEQ_COL, pa.int64())).append(
         pa.field(DELETED_COL, pa.bool_())
     )
@@ -130,6 +139,7 @@ def lww_state(
     spec: TableSpec,
     evolved: tuple[tuple[str, str], ...],
     tables: list[pa.Table],
+    columns: list[str] | None = None,
 ) -> pa.Table:
     """Fold state tables to one row per key by max ``__seq`` — one payload
     copy (the take); row order = key-hash ascending (deterministic; the
@@ -141,7 +151,7 @@ def lww_state(
 
     from glue_etl_pipeline_ray.hashing import guarded_last_per_key, key_hash_u64
 
-    st_schema = state_schema(spec, evolved)
+    st_schema = state_schema(spec, evolved, columns)
     tables = [conform(t, st_schema) for t in tables]
     combined = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
     kh = key_hash_u64(*(combined[k] for k in spec.key_cols))
@@ -304,7 +314,11 @@ def write_delta_group(
 
 
 def read_gdelta_bucket(
-    lake_dir: str, group: int, version: int, bucket: int
+    lake_dir: str,
+    group: int,
+    version: int,
+    bucket: int,
+    columns: list[str] | None = None,
 ) -> pa.Table | None:
     """Read ONE bucket's rows out of a group delta file via the footer's
     bucket -> row-group map (column-pruned random access; no scan of the
@@ -319,7 +333,11 @@ def read_gdelta_bucket(
     idx = json.loads(meta).get(str(int(bucket))) if meta else None
     if idx is None:
         return None
-    return pf.read_row_groups([idx])
+    cols = None
+    if columns is not None:
+        names = set(pf.schema_arrow.names)
+        cols = [c for c in columns if c in names]
+    return pf.read_row_groups([idx], columns=cols)
 
 
 def delta_entry_version(ent) -> int:
@@ -335,29 +353,47 @@ def read_bucket_state(
     base_version: int | None,
     delta_versions: list,
     bucket: int,
+    columns: list[str] | None = None,
 ) -> pa.Table:
     """Fold a delta-mode bucket (base + ordered deltas) to its current
     state rows. Chain entries may be per-bucket versions (int) or
-    ``[version, group]`` group-file pointers — both fold identically."""
+    ``[version, group]`` group-file pointers — both fold identically.
+
+    ``columns``: payload projection pushed to the Parquet reads — only
+    the requested columns plus what the fold itself needs (keys,
+    ``__seq``, ``__deleted``) leave storage; per-file intersection with
+    the footer schema handles pre-evolution files."""
     import pyarrow.parquet as pq
+
+    want = None
+    if columns is not None:
+        want = list(
+            dict.fromkeys(
+                list(columns) + list(spec.key_cols) + [SEQ_COL, DELETED_COL]
+            )
+        )
+
+    def _read(path: str) -> pa.Table:
+        if want is None:
+            return pq.read_table(path)
+        names = set(pq.read_schema(path).names)
+        return pq.read_table(path, columns=[c for c in want if c in names])
 
     tables = []
     if base_version is not None:
-        tables.append(
-            pq.read_table(os.path.join(lake_dir, part_name(bucket, base_version)))
-        )
+        tables.append(_read(os.path.join(lake_dir, part_name(bucket, base_version))))
     for ent in sorted(delta_versions, key=delta_entry_version):
         if isinstance(ent, int):
-            tables.append(
-                pq.read_table(os.path.join(lake_dir, delta_name(bucket, ent)))
-            )
+            tables.append(_read(os.path.join(lake_dir, delta_name(bucket, ent))))
         else:
-            t = read_gdelta_bucket(lake_dir, int(ent[1]), int(ent[0]), bucket)
+            t = read_gdelta_bucket(
+                lake_dir, int(ent[1]), int(ent[0]), bucket, columns=want
+            )
             if t is not None:
                 tables.append(t)
     if not tables:
-        return state_schema(spec, evolved).empty_table()
-    return lww_state(spec, evolved, tables)
+        return state_schema(spec, evolved, columns).empty_table()
+    return lww_state(spec, evolved, tables, columns)
 
 
 CHANGE_TYPE_COL = "_change_type"
