@@ -1992,7 +1992,10 @@ class ReplayEngine:
             "summary": summary,
         }
 
-    def lookup(self, keys, as_of: int | None = None) -> pa.Table:
+    def lookup(
+        self, keys, as_of: int | None = None,
+        columns: list[str] | None = None,
+    ) -> pa.Table:
         """Point lookups by primary key WITHOUT scanning the lake: each
         requested key hashes to its sink bucket (the same
         ``key_hash_u64 % num_buckets`` the exchange uses), so only the
@@ -2007,11 +2010,13 @@ class ReplayEngine:
         key-sorted; deleted/absent keys are simply absent. ``as_of``
         time travel follows the same retention rules as
         ``final_dataset`` in both modes (delta mode rebuilds only the
-        touched buckets' chains from the lineage log)."""
+        touched buckets' chains from the lineage log). ``columns``:
+        payload projection pushed into the bucket-file reads (same
+        contract as ``final_dataset``)."""
         import numpy as np
 
         from glue_etl_pipeline_ray.hashing import key_hash_u64
-        from glue_etl_pipeline_ray.stages.merge import read_bucket_state
+        from glue_etl_pipeline_ray.stages.merge import SEQ_COL, read_bucket_state
 
         kc = self.spec.key_cols
         tuples = [
@@ -2035,8 +2040,18 @@ class ReplayEngine:
         evolved = (
             self.ckpt.evolved if as_of is None else self.ckpt.evolved_as_of(as_of)
         )
-        st = state_schema(self.spec, evolved)
         cols = self.spec.canonical_cols(evolved)
+        if columns is not None:
+            unknown = [c for c in columns if c not in cols]
+            if unknown:
+                raise ValueError(f"unknown columns {unknown}; table has {cols}")
+            cols = [c for c in cols if c in set(columns)]
+        st = state_schema(self.spec, evolved, columns)
+        want = None
+        if columns is not None:
+            want = list(dict.fromkeys(
+                list(columns) + list(kc) + [SEQ_COL, DELETED_COL]
+            ))
         spec = self.spec
         lake_dir = self.lake_dir
         keyset = {tuple(str(p) for p in t) for t in tuples}
@@ -2044,10 +2059,19 @@ class ReplayEngine:
         @ray.remote
         def probe(src, wanted_kh, keyset):
             if isinstance(src, str):
-                t = conform(pq.read_table(src), st)
+                if want is None:
+                    t = pq.read_table(src)
+                else:
+                    names = set(pq.read_schema(src).names)
+                    t = pq.read_table(
+                        src, columns=[c for c in want if c in names]
+                    )
+                t = conform(t, st)
             else:  # delta chain pointer (bucket, base, deltas)
                 b, base, deltas = src
-                t = read_bucket_state(spec, evolved, lake_dir, base, deltas, b)
+                t = read_bucket_state(
+                    spec, evolved, lake_dir, base, deltas, b, columns=columns
+                )
             row_kh = key_hash_u64(*(t[k] for k in kc))
             cand = np.flatnonzero(np.isin(row_kh, wanted_kh))
             if len(cand) == 0:

@@ -74,3 +74,20 @@ def test_pruned_batches_carry_only_requested(lakes):
             assert b.column_names == ["lang"]
             assert isinstance(b, pa.Table)
             break
+
+
+@pytest.mark.parametrize("mode", ["rewrite", "delta"])
+def test_lookup_pruned(lakes, mode):
+    eng = lakes[mode]
+    full = eng.final_dataset().to_pandas()
+    some = list(
+        full[["repo", "path"]].drop_duplicates().head(5).itertuples(
+            index=False, name=None
+        )
+    )
+    base = eng.lookup(some).to_pandas()
+    pruned = eng.lookup(some, columns=["repo", "path", "lang"]).to_pandas()
+    assert list(pruned.columns) == ["repo", "path", "lang"]
+    assert _sorted(base[["repo", "path", "lang"]]).equals(_sorted(pruned))
+    with pytest.raises(ValueError, match="unknown columns"):
+        eng.lookup(some, columns=["nope"])
