@@ -1548,10 +1548,13 @@ class ReplayEngine:
         def load_pruned(batch: pa.Table) -> pa.Table:
             outs = []
             for path in batch["item"].to_pylist():
-                names = set(pq.read_schema(path).names)
-                t = pq.read_table(
-                    path, columns=[c for c in want if c in names]
-                )
+                try:
+                    t = pq.read_table(path, columns=want)
+                except pa.ArrowInvalid:  # pre-evolution file
+                    names = set(pq.read_schema(path).names)
+                    t = pq.read_table(
+                        path, columns=[c for c in want if c in names]
+                    )
                 t = conform(t, st_sub)
                 outs.append(
                     t.filter(pc.invert(t[DELETED_COL])).select(out_cols)
@@ -2062,10 +2065,13 @@ class ReplayEngine:
                 if want is None:
                     t = pq.read_table(src)
                 else:
-                    names = set(pq.read_schema(src).names)
-                    t = pq.read_table(
-                        src, columns=[c for c in want if c in names]
-                    )
+                    try:
+                        t = pq.read_table(src, columns=want)
+                    except pa.ArrowInvalid:  # pre-evolution file
+                        names = set(pq.read_schema(src).names)
+                        t = pq.read_table(
+                            src, columns=[c for c in want if c in names]
+                        )
                 t = conform(t, st)
             else:  # delta chain pointer (bucket, base, deltas)
                 b, base, deltas = src

@@ -376,8 +376,14 @@ def read_bucket_state(
     def _read(path: str) -> pa.Table:
         if want is None:
             return pq.read_table(path)
-        names = set(pq.read_schema(path).names)
-        return pq.read_table(path, columns=[c for c in want if c in names])
+        try:
+            # engine-written files carry every base column, so the
+            # direct read succeeds except on pre-evolution files —
+            # only those pay the fallback's extra footer read
+            return pq.read_table(path, columns=want)
+        except pa.ArrowInvalid:
+            names = set(pq.read_schema(path).names)
+            return pq.read_table(path, columns=[c for c in want if c in names])
 
     tables = []
     if base_version is not None:
