@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 101 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 102 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of [plain +
   range-sharded], anti/semi [direct + Bloom-prefiltered], windowed
   aggregates incl. RANGE-frame sliding windows, exact + histogram
@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_content_filter": Q.q_novel_content_filter,
         "dedup_substring": Q.q_dedup_substring,
         "dedup_segments": Q.q_dedup_segments,
+        "dedup_fuzzy_keep_one": Q.q_dedup_fuzzy_keep_one,
         "cdc_pruned_scan": Q.q_cdc_pruned_scan,
         "profile_table": Q.q_profile_table,
         "training_data_pipeline": Q.q_training_data_pipeline,

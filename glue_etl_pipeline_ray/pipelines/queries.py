@@ -2788,3 +2788,51 @@ def q_pagerank_suppliers(sf_dir: str):
 
     edges = joined.map_batches(to_edges, batch_format="pyarrow", batch_size=None)
     return pagerank(edges, iters=10)
+
+
+def q_dedup_fuzzy_keep_one(sf_dir: str):
+    """Corpus-level fuzzy dedup with cluster-representative retention —
+    the standard keep-one recipe composed end-to-end: exact
+    n-gram-Jaccard duplicate pairs -> connected components -> each
+    cluster keeps its min doc_id -> one shuffle-free filter pass emits
+    the surviving corpus (same output shape as ``dedup_exact``).
+
+    Scale shape: the drop set (clustered docs that are NOT their
+    cluster's representative) is dedup OUTPUT — aggregate-sized by the
+    same argument as ``q_dedup_clusters`` — so it ships ONCE via
+    ``ray.put`` as a sorted int64 array and every batch filters with one
+    vectorized ``np.searchsorted`` membership probe; the corpus itself
+    never shuffles. Gate: hash-exact DuckDB recursive-CTE equivalent
+    (``tests/test_fuzzy_keep_one.py``)."""
+    from glue_etl_pipeline_ray.functions.cc import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), tau_num=4, tau_den=5
+    )
+    comp = connected_components(pairs, "doc_id_a", "doc_id_b")
+    drop_parts = ray.get(
+        comp.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.equal(t["node"], t["component"]))
+            ).select(["node"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).to_arrow_refs()
+    )
+    drop = np.unique(
+        pa.concat_tables(drop_parts)["node"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(d, ids)
+        pos_c = np.minimum(pos, max(len(d) - 1, 0))
+        dropped = (d[pos_c] == ids) if len(d) else np.zeros(len(ids), bool)
+        return t.filter(pa.array(~dropped))
+
+    docs = _t(
+        sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    return docs.map_batches(keep, batch_format="pyarrow", batch_size=None)
