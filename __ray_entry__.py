@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 102 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 105 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of [plain +
   range-sharded], anti/semi [direct + Bloom-prefiltered], windowed
   aggregates incl. RANGE-frame sliding windows, exact + histogram
@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_score": Q.q_classifier_score,
         "rank_functions": Q.q_rank_functions,
         "pagerank_suppliers": Q.q_pagerank_suppliers,
+        "grouped_stats": Q.q_grouped_stats,
+        "corr_qty_price": Q.q_corr_qty_price,
+        "cube_agg": Q.q_cube_agg,
     }
 
 

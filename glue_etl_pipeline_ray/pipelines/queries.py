@@ -2836,3 +2836,206 @@ def q_dedup_fuzzy_keep_one(sf_dir: str):
         sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"]
     )
     return docs.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+# ===================================================== moment aggregates
+
+
+def q_grouped_stats(sf_dir: str):
+    """Grouped second-moment aggregate (count / sum / mean / sample
+    variance) from ONE pass of exact integer partials — the A1/A2
+    tally family (reference data_profiling.py:176-189) extended to
+    true statistics.
+
+    Exactness contract (what makes a float-valued aggregate
+    hash-exact against DuckDB): per-block partials keep cents and
+    cents^2 as int64 (both fit for any plausible block size), the
+    driver fold uses Python arbitrary-precision ints — mirroring
+    DuckDB's HUGEINT sums — and only the FINAL mean and variance
+    perform a correctly-rounded int->float64 cast plus one IEEE
+    division, the exact op sequence the oracle SQL spells out. No
+    Welford drift, no order dependence: the partials are commutative
+    integer sums."""
+    import math  # noqa: F401  (parity with q_corr_qty_price)
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        c = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keys, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        s = np.zeros(len(keys), np.int64)
+        s2 = np.zeros(len(keys), np.int64)
+        np.add.at(s, inv, c)  # int64 accumulation: exact, unlike
+        np.add.at(s2, inv, c * c)  # bincount's float64 weights
+        return pa.table(
+            {
+                "k": pa.array([str(x) for x in keys], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # aggregate-sized: one row per (block, event_type)
+    acc: dict[str, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["k"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["s"])
+        a[2] += int(r["s2"])
+    keys = sorted(acc)
+    n_l, s_l, mean_l, var_l = [], [], [], []
+    for k in keys:
+        n, s, s2 = acc[k]
+        n_l.append(n)
+        s_l.append(s)
+        mean_l.append(float(s) / float(n))
+        var_l.append(float(n * s2 - s * s) / float(n * (n - 1)))
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_events": pa.array(n_l, pa.int64()),
+            "sum_cents": pa.array(s_l, pa.int64()),
+            "mean_cents": pa.array(mean_l, pa.float64()),
+            "var_samp_cents2": pa.array(var_l, pa.float64()),
+        }
+    )
+
+
+def q_corr_qty_price(sf_dir: str):
+    """Per-group Pearson correlation (lineitem quantity vs price) from
+    ONE pass of exact integer moment partials — no second scan, no
+    shuffle; the five sums (n, Sx, Sy, Sxx, Sxy, Syy) are the
+    classic mergeable covariance sketch.
+
+    Scaling: x = floor(quantity*100), y = floor(price) whole dollars
+    so the per-block int64 squares can never overflow (y^2 <= 1.1e10
+    per row; ~5M-row blocks stay < 2^63). floor — not round — because
+    DuckDB rounds half away from zero while numpy rounds half to even,
+    and 2-decimal prices floored to dollars hit exact .5 ties; floor
+    of the identical double is unambiguous in both engines. The driver
+    fold is Python-int exact; corr = num / sqrt(vx * vy) is evaluated
+    in the SAME IEEE op order the oracle SQL uses, so the float output
+    is bit-equal."""
+    import math
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        y = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        keys, inv = np.unique(f, return_inverse=True)
+        out = {"k": pa.array([str(v) for v in keys], pa.string())}
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        cols = {"sx": x, "sy": y, "sxx": x * x, "sxy": x * y, "syy": y * y}
+        out["n"] = pa.array(n, pa.int64())
+        for name, v in cols.items():
+            a = np.zeros(len(keys), np.int64)
+            np.add.at(a, inv, v)
+            out[name] = pa.array(a, pa.int64())
+        return pa.table(out)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    acc: dict[str, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["k"], [0, 0, 0, 0, 0, 0])
+        for i, f in enumerate(("n", "sx", "sy", "sxx", "sxy", "syy")):
+            a[i] += int(r[f])
+    keys = sorted(acc)
+    rows = {
+        "l_returnflag": [],
+        "n_rows": [],
+        "cov_numer": [],
+        "var_x_numer": [],
+        "var_y_numer": [],
+        "corr_xy": [],
+    }
+    for k in keys:
+        n, sx, sy, sxx, sxy, syy = acc[k]
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        rows["l_returnflag"].append(k)
+        rows["n_rows"].append(n)
+        rows["cov_numer"].append(float(num))
+        rows["var_x_numer"].append(float(vx))
+        rows["var_y_numer"].append(float(vy))
+        rows["corr_xy"].append(float(num) / math.sqrt(float(vx) * float(vy)))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "cov_numer": pa.array(rows["cov_numer"], pa.float64()),
+            "var_x_numer": pa.array(rows["var_x_numer"], pa.float64()),
+            "var_y_numer": pa.array(rows["var_y_numer"], pa.float64()),
+            "corr_xy": pa.array(rows["corr_xy"], pa.float64()),
+        }
+    )
+
+
+def q_cube_agg(sf_dir: str):
+    """CUBE(l_returnflag, l_linestatus): all four grouping sets —
+    (f,s), (f,*), (*,s), (*,*) — from ONE pass. Like q_rollup_agg,
+    the finest level is pre-combined inside map_batches (one row per
+    block x group, aggregate-sized) and every coarser level is folded
+    from those partials on the driver; the full table is scanned
+    exactly once and never shuffled. Rolled-up levels carry the '*'
+    sentinel so the grouping columns stay non-null strings."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["l_returnflag"], t["l_linestatus"], "|"
+        ).to_numpy(zero_copy_only=False)
+        q = np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keys, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        s = np.zeros(len(keys), np.int64)
+        np.add.at(s, inv, q)
+        return pa.table(
+            {
+                "k": pa.array([str(v) for v in keys], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    fine: dict[tuple[str, str], list[int]] = {}
+    for r in parts:
+        f, s = r["k"].split("|", 1)
+        a = fine.setdefault((f, s), [0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["s"])
+    cube: dict[tuple[str, str], list[int]] = {}
+    for (f, s), (n, q) in fine.items():
+        for key in ((f, s), (f, "*"), ("*", s), ("*", "*")):
+            a = cube.setdefault(key, [0, 0])
+            a[0] += n
+            a[1] += q
+    keys = sorted(cube)
+    return pa.table(
+        {
+            "l_returnflag": pa.array([k[0] for k in keys], pa.string()),
+            "l_linestatus": pa.array([k[1] for k in keys], pa.string()),
+            "n_rows": pa.array([cube[k][0] for k in keys], pa.int64()),
+            "sum_qty_x100": pa.array([cube[k][1] for k in keys], pa.int64()),
+        }
+    )
