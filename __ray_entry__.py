@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 105 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 107 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of [plain +
   range-sharded], anti/semi [direct + Bloom-prefiltered], windowed
   aggregates incl. RANGE-frame sliding windows, exact + histogram
@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_stats": Q.q_grouped_stats,
         "corr_qty_price": Q.q_corr_qty_price,
         "cube_agg": Q.q_cube_agg,
+        "scd2_history": Q.q_scd2_history,
+        "full_outer_join": Q.q_full_outer_join,
     }
 
 

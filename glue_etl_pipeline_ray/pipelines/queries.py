@@ -3039,3 +3039,105 @@ def q_cube_agg(sf_dir: str):
             "sum_qty_x100": pa.array([cube[k][1] for k in keys], pa.int64()),
         }
     )
+
+
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 dimension history: per (user) key ordered by event
+    seq, each event becomes a validity interval [valid_from, valid_to)
+    with -1 marking the open (current) interval — the CDC lake's
+    change-history materialization (the LWW upsert keeps only the LAST
+    interval; this keeps them all).
+
+    Shape: ONE keyed exchange; each hash partition is processed by a
+    fully VECTORIZED kernel (lexsort + shifted compare — no per-key
+    Python), so cost is O(rows log rows_per_partition) and no partition
+    ever sees more than its key-hash share."""
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply_partitions
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "event_type", "value"])
+
+    def intervals(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, uid))
+        uid, eid = uid[order], eid[order]
+        et = t["event_type"].take(pa.array(order))
+        cents = _cents(t["value"].take(pa.array(order)))
+        same_next = np.zeros(len(uid), bool)
+        if len(uid):
+            same_next[:-1] = uid[1:] == uid[:-1]
+        valid_to = np.full(len(uid), -1, np.int64)
+        if len(uid):
+            valid_to[:-1] = np.where(same_next[:-1], eid[1:], -1)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": et,
+                "value_cents": cents,
+                "valid_from": pa.array(eid, pa.int64()),
+                "valid_to": pa.array(valid_to, pa.int64()),
+                "is_current": pa.array(valid_to == -1, pa.bool_()),
+            }
+        )
+
+    return grouped_apply_partitions(ds, ["user_id"], intervals)
+
+
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER join of two aggregates over the same source (per
+    (user, day) click cells vs purchase cells, with per-side counts
+    and a both/left_only/right_only indicator — (user, day) because
+    the synthetic data is dense at user granularity, so only the
+    finer key produces genuinely unmatched rows on BOTH sides).
+
+    Re-expressed Ray-native: because both sides derive from ONE table,
+    the full-outer collapses to a single grouped aggregate — each block
+    emits per-cell (clicks, purchases) count partials and the keyed
+    fold is the join; unmatched sides fall out as zero counts. One scan
+    + one aggregate-sized exchange instead of two scans + an outer-join
+    shuffle; the DuckDB gate spells the literal FULL OUTER JOIN to pin
+    the semantics."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            t["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cell = uid * 1_000_000 + day  # day < 1e6 forever; collision-free
+        keys, inv = np.unique(cell, return_inverse=True)
+        clicks = np.bincount(
+            inv, weights=(et == "click"), minlength=len(keys)
+        ).astype(np.int64)
+        purch = np.bincount(
+            inv, weights=(et == "purchase"), minlength=len(keys)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(keys // 1_000_000, pa.int64()),
+                "epoch_day": pa.array(keys % 1_000_000, pa.int64()),
+                "n_clicks": pa.array(clicks, pa.int64()),
+                "n_purchases": pa.array(purch, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    folded = partial_groupby_sum(
+        parts, ["user_id", "epoch_day"], ["n_clicks", "n_purchases"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["n_clicks"].to_numpy(zero_copy_only=False)
+        p = t["n_purchases"].to_numpy(zero_copy_only=False)
+        keep = (c > 0) | (p > 0)
+        side = np.where(
+            (c > 0) & (p > 0), "both", np.where(c > 0, "left_only", "right_only")
+        )
+        t = t.append_column("side", pa.array(side, pa.string()))
+        return t.filter(pa.array(keep))
+
+    return folded.map_batches(finish, batch_format="pyarrow", batch_size=None)
