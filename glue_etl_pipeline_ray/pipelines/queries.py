@@ -2896,7 +2896,11 @@ def q_grouped_stats(sf_dir: str):
         n_l.append(n)
         s_l.append(s)
         mean_l.append(float(s) / float(n))
-        var_l.append(float(n * s2 - s * s) / float(n * (n - 1)))
+        # sample variance is undefined for n < 2: null, matching the
+        # oracle's explicit CASE (DuckDB would also NULL the 0-divide)
+        var_l.append(
+            float(n * s2 - s * s) / float(n * (n - 1)) if n > 1 else None
+        )
     return pa.table(
         {
             "event_type": pa.array(keys, pa.string()),
@@ -2973,7 +2977,10 @@ def q_corr_qty_price(sf_dir: str):
         rows["cov_numer"].append(float(num))
         rows["var_x_numer"].append(float(vx))
         rows["var_y_numer"].append(float(vy))
-        rows["corr_xy"].append(float(num) / math.sqrt(float(vx) * float(vy)))
+        # constant column -> zero variance -> corr undefined: null,
+        # matching DuckDB's x/0.0 -> NULL semantics
+        denom = math.sqrt(float(vx) * float(vy))
+        rows["corr_xy"].append(float(num) / denom if denom > 0 else None)
     return pa.table(
         {
             "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),

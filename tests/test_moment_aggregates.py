@@ -29,9 +29,10 @@ SQL = {
                CAST(sum(c) AS BIGINT) AS sum_cents,
                CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                    AS mean_cents,
-               CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
-                   / CAST(count(*) * (count(*) - 1) AS DOUBLE)
-                   AS var_samp_cents2
+               CASE WHEN count(*) > 1 THEN
+                   CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+                       / CAST(count(*) * (count(*) - 1) AS DOUBLE)
+               END AS var_samp_cents2
         FROM (SELECT event_type,
                      CAST(round(value * 100) AS BIGINT) AS c
               FROM events)
