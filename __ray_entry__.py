@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_redrive": Q.q_cdc_redrive,
         "cdc_reshard": Q.q_cdc_reshard,
         "cdc_backfill": Q.q_cdc_backfill,
+        "cdc_delete_where": Q.q_cdc_delete_where,
+        "cdc_update_where": Q.q_cdc_update_where,
         "rows_frame_agg": Q.q_rows_frame_agg,
         "classifier_score": Q.q_classifier_score,
         "rank_functions": Q.q_rank_functions,

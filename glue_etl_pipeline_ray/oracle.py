@@ -157,7 +157,15 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
     Returns dict with: ``table`` (live rows, canonical layout), ``sha256``,
     ``evolved`` (first-seen extra columns), ``dlq`` rows, counters.
     """
-    files = sorted(glob.glob(os.path.join(events_dir, "batch=*.parquet")))
+    # same layout contract as the engine's discover_batches: a batch is
+    # either one ``batch=N.parquet`` file or a ``batch=N/`` directory of
+    # part files (e.g. the engine's staged DML batches)
+    files: list[str] = []
+    for entry in sorted(glob.glob(os.path.join(events_dir, "batch=*"))):
+        if os.path.isdir(entry):
+            files.extend(sorted(glob.glob(os.path.join(entry, "*.parquet"))))
+        elif entry.endswith(".parquet"):
+            files.append(entry)
     evolved: list[tuple[str, str]] = []
     state: dict[tuple, dict] = {}  # key -> {"seq": int, "deleted": bool, "row": dict}
     dlq: list[dict] = []

@@ -2636,6 +2636,39 @@ def q_cdc_backfill(sf_dir: str) -> pa.Table:
     return eng.final_table()
 
 
+def q_cdc_delete_where(sf_dir: str) -> pa.Table:
+    """Predicate DELETE over the live LWW table (``delete_where``):
+    the engine scans live buckets, synthesizes DELETE change events
+    for every matching row (seqs above the lake's max), stages them
+    crash-safely under ``_dml/`` and commits them through the normal
+    exactly-once replay — the Delta-Lake ``DELETE FROM ... WHERE``
+    analog. Here: purge every live 'click' row. Oracle: the LWW window
+    snapshot with the predicate's complement."""
+    work = tempfile.mkdtemp(prefix="gepr_dml_del_")
+    ev_dir = _events_as_cdc(sf_dir, work)
+    eng = ReplayEngine(user_state_spec(), os.path.join(work, "lake"))
+    eng.replay(ev_dir)
+    eng.delete_where(lambda t: pc.equal(t["event_type"], "click"))
+    return eng.final_table()
+
+
+def q_cdc_update_where(sf_dir: str) -> pa.Table:
+    """Predicate UPDATE (``update_where``): rewrite matching live rows
+    by committing synthesized UPDATE events carrying the transformed
+    payload — validation, change feed, time travel and replicas all see
+    an ordinary batch. Here: +1000 cents on every live 'purchase' row.
+    Oracle: the LWW snapshot with a CASE rewrite."""
+    work = tempfile.mkdtemp(prefix="gepr_dml_upd_")
+    ev_dir = _events_as_cdc(sf_dir, work)
+    eng = ReplayEngine(user_state_spec(), os.path.join(work, "lake"))
+    eng.replay(ev_dir)
+    eng.update_where(
+        lambda t: pc.equal(t["event_type"], "purchase"),
+        lambda rows: {"value_cents": pc.add(rows["value_cents"], 1000)},
+    )
+    return eng.final_table()
+
+
 def q_rows_frame_agg(sf_dir: str):
     """ROWS-frame window aggregate (ROWS BETWEEN 2 PRECEDING AND
     CURRENT ROW): per event, the sum and count of the user's last 3

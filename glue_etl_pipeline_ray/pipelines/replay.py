@@ -48,7 +48,7 @@ import ray
 import ray.data
 
 from glue_etl_pipeline_ray.hashing import table_sha256
-from glue_etl_pipeline_ray.spec import TableSpec
+from glue_etl_pipeline_ray.spec import TableSpec, type_from_name
 from glue_etl_pipeline_ray.stages.evolve import conform, discover_evolved, make_evolve_fn
 from glue_etl_pipeline_ray.stages.exchange import (
     default_num_exchange,
@@ -2140,3 +2140,227 @@ class ReplayEngine:
             return self.spec.canonical_schema(evolved).empty_table()
         out = pa.concat_tables(parts)
         return out.sort_by([(k, "ascending") for k in kc])
+
+    # ------------------------------------------------------------- DML
+    # Predicate-driven DELETE/UPDATE over the live table, expressed as
+    # CDC: the engine synthesizes change events from the matching live
+    # rows and commits them through the normal exactly-once replay path
+    # (validate -> evolve -> exchange -> merge -> checkpoint), so the
+    # change feed, time travel, IVM refresh and replicas all see a DML
+    # commit as just another batch. The Delta-Lake `DELETE FROM` /
+    # `UPDATE ... WHERE` analog; the reference has no DML (its lake is
+    # append-only parquet), so this is engine-side extension surface.
+
+    def _bucket_pointers(self) -> list[tuple[int, object, list]]:
+        """(bucket, base_version, delta_chain) for every bucket with
+        state at the current tip; rewrite mode folds a single file."""
+        if self.state_mode == "delta":
+            return [
+                (b, d["base"], d["deltas"])
+                for b, d in sorted(self.ckpt.bucket_deltas.items())
+            ]
+        return [(b, v, []) for b, v in sorted(self.ckpt.bucket_versions.items())]
+
+    def _dml_root(self) -> str:
+        return os.path.join(self.lake_dir, "_dml")
+
+    def resume_dml(self) -> dict | None:
+        """Crash recovery for the stage->apply window: if a fully staged
+        DML batch (MANIFEST present) was never committed, apply it now —
+        the merge layer's deterministic versioned writes make the re-run
+        exactly-once. A stage directory WITHOUT a manifest is a partial
+        synthesis (crash mid-stage) and is discarded: nothing of it ever
+        reached the checkpoint. Returns the applied batch summary or
+        None when nothing was pending."""
+        import shutil
+
+        root = self._dml_root()
+        if not os.path.isdir(root):
+            return None
+        for d in sorted(os.listdir(root)):
+            m = _BATCH_RE.search(d)
+            if not m:
+                continue
+            bid = int(m.group(1))
+            stage = os.path.join(root, d)
+            man = os.path.join(stage, "MANIFEST.json")
+            if not os.path.exists(man):
+                shutil.rmtree(stage, ignore_errors=True)
+                continue
+            if self.ckpt.is_committed(bid):
+                continue
+            files = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+            return self._dml_apply(bid, files)
+        return None
+
+    def _dml_apply(self, batch_id: int, files: list[str]) -> dict:
+        """Commit a staged DML batch through the normal replay path.
+        The source-origin event filter is bypassed: synthesized events
+        are engine-internal, not upstream traffic."""
+        saved = self.event_filter
+        self.event_filter = None
+        try:
+            if self.exchange == "raycore":
+                return self._replay_pipelined([(batch_id, files)], None)[0]
+            return self.apply_batch(batch_id, files)
+        finally:
+            self.event_filter = saved
+
+    @_with_writer_lease
+    def delete_where(self, predicate, seq_base: int | None = None) -> dict:
+        """Delete every live row matching ``predicate`` (a vectorized
+        ``pa.Table -> boolean array`` over the canonical live columns)
+        by committing synthesized DELETE events. See :meth:`_dml` for
+        seq semantics and crash safety."""
+        return self._dml("delete", predicate, None, seq_base)
+
+    @_with_writer_lease
+    def update_where(self, predicate, set_fn, seq_base: int | None = None) -> dict:
+        """Rewrite matching live rows: ``set_fn(matched: pa.Table) ->
+        dict[col -> array]`` returns replacement PAYLOAD columns (keys
+        are immutable — changing a key is a delete + insert, which DML
+        deliberately does not hide). Unreturned payload columns keep
+        their current values. Rows whose new payload fails the spec's
+        rules dead-letter exactly like upstream dirt."""
+        return self._dml("update", predicate, set_fn, seq_base)
+
+    def _dml(self, kind: str, predicate, set_fn, seq_base: int | None) -> dict:
+        """Shared DELETE/UPDATE driver.
+
+        Sequencing: synthesized events get ``seq`` starting at
+        ``seq_base`` (default: 1 + the max seq anywhere in the lake,
+        tombstones included), assigned densely in (bucket, key) order —
+        deterministic and above everything already applied. Upstream
+        events that arrive LATER with HIGHER seqs override DML rows and
+        ones with lower seqs lose to them — ordinary LWW. A caller whose
+        upstream reuses the engine-observed seq range must pass an
+        explicit disjoint ``seq_base`` (colliding seqs are a contract
+        violation exactly as duplicated upstream seqs are).
+
+        Crash safety: events are staged under ``_dml/batch=N/`` with an
+        atomically renamed MANIFEST written only after every part file;
+        the commit itself is the normal checkpoint commit. Crash before
+        MANIFEST -> stage discarded, lake untouched. Crash after
+        MANIFEST before commit -> :meth:`resume_dml` (called on entry
+        here too) finishes it exactly-once."""
+        import json as _json
+        import shutil
+
+        self.resume_dml()  # never interleave with a half-done DML
+        spec = self.spec
+        evolved = self.ckpt.evolved
+        batch_id = self.ckpt.watermark + 1
+        no_op = {
+            "dml": kind, "batch_id": None, "n_matched": 0,
+            "watermark": self.ckpt.watermark,
+        }
+        pointers = self._bucket_pointers()
+        if not pointers:
+            return no_op
+        stage = os.path.join(self._dml_root(), f"batch={batch_id:05d}")
+        if os.path.isdir(stage):  # manifest-less leftovers (see resume_dml)
+            shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+
+        from glue_etl_pipeline_ray.stages.merge import SEQ_COL, read_bucket_state
+
+        cols = spec.canonical_cols(evolved)
+        key_cols = spec.key_cols
+
+        @ray.remote(num_returns=2)
+        def scan_bucket(lake_dir, b, base, deltas):
+            t = read_bucket_state(spec, evolved, lake_dir, base, deltas, b)
+            mseq = pc.max(t[SEQ_COL]).as_py() if t.num_rows else None
+            live = t.filter(pc.invert(t[DELETED_COL])).select(cols)
+            if live.num_rows:
+                mask = predicate(live)
+                if not isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                    mask = pa.array(np.asarray(mask, dtype=bool))
+                rows = live.filter(pc.fill_null(mask, False))
+                rows = rows.sort_by([(k, "ascending") for k in key_cols])
+            else:
+                rows = live
+            return rows, {"n": rows.num_rows, "max_seq": mseq}
+
+        rows_refs, meta_refs, buckets = [], [], []
+        for b, base, deltas in pointers:
+            rr, mr = scan_bucket.remote(self.lake_dir, b, base, deltas)
+            rows_refs.append(rr)
+            meta_refs.append(mr)
+            buckets.append(b)
+        metas = ray.get(meta_refs)  # tiny: one dict per bucket
+        total = sum(m["n"] for m in metas)
+        if total == 0:
+            shutil.rmtree(stage, ignore_errors=True)
+            return no_op
+        max_seq = max(
+            (m["max_seq"] for m in metas if m["max_seq"] is not None), default=-1
+        )
+        base_seq = (max_seq + 1) if seq_base is None else seq_base
+
+        payload = [(n, spec.base_type(n)) for n in spec.base_col_names] + [
+            (n, type_from_name(t)) for n, t in evolved
+        ]
+        op_val = "DELETE" if kind == "delete" else "UPDATE"
+
+        from glue_etl_pipeline_ray.stages.merge import write_atomic
+
+        @ray.remote
+        def write_events(b, rows, seq0):
+            n = rows.num_rows
+            out = {
+                spec.seq_col: pa.array(np.arange(seq0, seq0 + n, dtype=np.int64)),
+                spec.batch_col: pa.array(np.full(n, batch_id, np.int64)),
+                spec.op_col: pa.array(np.full(n, op_val, object), pa.string()),
+            }
+            for k in key_cols:
+                out[k] = rows[k]
+            if kind == "delete":
+                for name, typ in payload:
+                    out[name] = pa.nulls(n, typ)
+            else:
+                for name, _ in payload:
+                    out[name] = rows[name]
+                repl = set_fn(rows)
+                valid = {name for name, _ in payload}
+                for name, arr in repl.items():
+                    if name not in valid:
+                        raise ValueError(
+                            f"update_where set_fn may only change payload "
+                            f"columns {sorted(valid)}, got {name!r}"
+                        )
+                    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                        arr = pa.array(arr)
+                    out[name] = pc.cast(arr, dict(payload)[name])
+            fname = f"part-{b:05d}.parquet"
+            write_atomic(os.path.join(stage, fname), pa.table(out))
+            return fname, n
+
+        offsets, acc = {}, base_seq
+        for b, m in zip(buckets, metas):
+            if m["n"]:
+                offsets[b] = acc
+                acc += m["n"]
+        written = ray.get(
+            [
+                write_events.remote(b, rr, offsets[b])
+                for b, rr, m in zip(buckets, rows_refs, metas)
+                if m["n"]
+            ]
+        )
+        manifest = {
+            "kind": kind,
+            "batch_id": batch_id,
+            "n_matched": total,
+            "seq_base": base_seq,
+            "files": sorted(f for f, _ in written),
+        }
+        tmp = os.path.join(stage, "MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(stage, "MANIFEST.json"))
+        files = [os.path.join(stage, f) for f in manifest["files"]]
+        summary = self._dml_apply(batch_id, files)
+        summary["dml"] = kind
+        summary["n_matched"] = total
+        return summary

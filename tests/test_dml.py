@@ -1,0 +1,189 @@
+"""Predicate DML (delete_where / update_where): synthesized change
+events through the exactly-once replay path must land the same final
+state as the single-threaded oracle replaying events + the staged DML
+batches — in both state modes — and survive the stage->apply crash
+window (the Delta-Lake ``DELETE FROM`` / ``UPDATE ... WHERE`` analog;
+the reference's lake is append-only, so this is engine extension
+surface)."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from glue_etl_pipeline_ray.gen import generate_change_events
+from glue_etl_pipeline_ray.oracle import replay_oracle
+from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
+from glue_etl_pipeline_ray.spec import repo_file_spec
+
+
+def _oracle_with_dml(spec, events_dir, lake_dir, dest):
+    """Oracle ground truth = original stream + the engine's own staged
+    DML batches (the staged events ARE the commit's source of truth)."""
+    os.makedirs(dest)
+    for f in glob.glob(os.path.join(events_dir, "batch=*")):
+        os.symlink(f, os.path.join(dest, os.path.basename(f)))
+    for d in glob.glob(os.path.join(lake_dir, "_dml", "batch=*")):
+        os.symlink(d, os.path.join(dest, os.path.basename(d)))
+    return replay_oracle(spec, dest)
+
+
+# lambdas (serialized by value) — module-level test functions are not
+# importable on Ray workers
+_del_md = lambda t: pc.equal(t["lang"], "md")  # noqa: E731
+_upd_pred = lambda t: pc.equal(t["lang"], "go")  # noqa: E731
+_upd_set = lambda rows: {  # noqa: E731
+    "content": pc.binary_join_element_wise(
+        pa.array(["// reviewed\n"] * rows.num_rows),
+        pc.cast(rows["content"], pa.string()),
+        "",
+    )
+}
+
+
+@pytest.mark.parametrize(
+    "mode,exchange",
+    [("rewrite", "raycore"), ("delta", "raycore"), ("rewrite", "groupby")],
+)
+def test_dml_matches_oracle(tmp_path, mode, exchange):
+    meta = generate_change_events(
+        str(tmp_path), n_events=3000, n_batches=3, seed=11
+    )
+    spec = repo_file_spec(num_buckets=16)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake, state_mode=mode, exchange=exchange)
+    eng.replay(meta["events_dir"])
+
+    s = eng.delete_where(_del_md)
+    assert s["dml"] == "delete" and s["n_matched"] == s["n_deletes"] > 0
+    s2 = eng.update_where(_upd_pred, _upd_set)
+    assert s2["dml"] == "update" and s2["n_matched"] == s2["n_upserts"] > 0
+
+    oracle = _oracle_with_dml(
+        spec, meta["events_dir"], lake, str(tmp_path / "oev")
+    )
+    assert eng.final_sha256() == oracle["sha256"]
+    t = eng.final_table()
+    assert pc.sum(pc.equal(t["lang"], "md")).as_py() in (0, None)
+    go = t.filter(pc.equal(t["lang"], "go"))
+    assert pc.all(pc.starts_with(go["content"], "// reviewed")).as_py()
+
+
+def test_dml_noop_commits_nothing(tmp_path):
+    meta = generate_change_events(str(tmp_path), n_events=800, n_batches=2, seed=5)
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(meta["events_dir"])
+    wm, sha = eng.ckpt.watermark, eng.final_sha256()
+    s = eng.delete_where(lambda t: pc.equal(t["lang"], "cobol"))
+    assert s["batch_id"] is None and s["n_matched"] == 0
+    assert eng.ckpt.watermark == wm and eng.final_sha256() == sha
+    assert not glob.glob(os.path.join(str(tmp_path / "lake"), "_dml", "batch=*"))
+
+
+@pytest.mark.parametrize("mode", ["rewrite", "delta"])
+def test_dml_crash_after_stage_resumes_exactly_once(tmp_path, mode):
+    """Crash between MANIFEST write and commit: a fresh engine's
+    resume_dml (also invoked implicitly by the next DML call) finishes
+    the staged batch to the never-crashed state."""
+    meta = generate_change_events(str(tmp_path), n_events=2000, n_batches=2, seed=9)
+    spec = repo_file_spec(num_buckets=16)
+
+    ref = ReplayEngine(spec, str(tmp_path / "ref"), state_mode=mode)
+    ref.replay(meta["events_dir"])
+    ref.delete_where(_del_md)
+    want = ref.final_sha256()
+
+    eng = ReplayEngine(spec, str(tmp_path / "lake"), state_mode=mode)
+    eng.replay(meta["events_dir"])
+    orig_apply = ReplayEngine._dml_apply
+    ReplayEngine._dml_apply = lambda self, bid, files: (_ for _ in ()).throw(
+        RuntimeError("injected crash after stage")
+    )
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            eng.delete_where(_del_md)
+    finally:
+        ReplayEngine._dml_apply = orig_apply
+    # staged but uncommitted
+    mans = glob.glob(os.path.join(str(tmp_path / "lake"), "_dml", "*", "MANIFEST.json"))
+    assert len(mans) == 1
+
+    fresh = ReplayEngine(spec, str(tmp_path / "lake"), state_mode=mode)
+    s = fresh.resume_dml()
+    assert s is not None and s["n_deletes"] > 0
+    assert fresh.final_sha256() == want
+    assert fresh.resume_dml() is None  # second resume: nothing pending
+
+
+def test_dml_partial_stage_discarded(tmp_path):
+    """A stage directory with part files but NO manifest (crash mid-
+    synthesis) never reached the checkpoint — the next DML discards it
+    and synthesizes fresh."""
+    meta = generate_change_events(str(tmp_path), n_events=1000, n_batches=2, seed=3)
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(meta["events_dir"])
+    stage = os.path.join(str(tmp_path / "lake"), "_dml", "batch=00002")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-00099.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    s = eng.delete_where(_del_md)
+    assert s["n_matched"] > 0
+    oracle = _oracle_with_dml(
+        spec, meta["events_dir"], str(tmp_path / "lake"), str(tmp_path / "oev")
+    )
+    assert eng.final_sha256() == oracle["sha256"]
+
+
+def test_update_where_rejects_non_payload_column(tmp_path):
+    meta = generate_change_events(str(tmp_path), n_events=500, n_batches=1, seed=2)
+    spec = repo_file_spec(num_buckets=4)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(meta["events_dir"])
+    with pytest.raises(Exception, match="payload"):
+        eng.update_where(
+            lambda t: pc.equal(t["lang"], "go"),
+            lambda rows: {"repo": rows["repo"]},  # keys are immutable
+        )
+
+
+def test_update_where_invalid_payload_dead_letters(tmp_path):
+    """set_fn output goes through the same validation as upstream
+    events: a rule-violating rewrite quarantines instead of landing."""
+    meta = generate_change_events(
+        str(tmp_path), n_events=1000, n_batches=2, seed=8, dirty_frac=0.0
+    )
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(meta["events_dir"])
+    t0 = eng.final_table()
+    n_go = pc.sum(pc.equal(t0["lang"], "go")).as_py()
+    assert n_go
+    s = eng.update_where(
+        lambda t: pc.equal(t["lang"], "go"),
+        lambda rows: {"content": pa.nulls(rows.num_rows, pa.string())},
+    )
+    # every matched row violated content not_null -> all dead-lettered
+    assert s["n_matched"] == n_go and s["n_dead_lettered"] == n_go
+    assert s["n_upserts"] == 0
+    # table unchanged: the DML batch contributed nothing live
+    assert eng.final_table().num_rows == t0.num_rows
+
+
+def test_dml_shows_in_change_feed(tmp_path):
+    """A DML commit is an ordinary batch: the change feed between the
+    pre- and post-DML watermarks carries its deletes."""
+    meta = generate_change_events(str(tmp_path), n_events=1500, n_batches=2, seed=6)
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"), gc_old_versions=False)
+    eng.replay(meta["events_dir"])
+    wm = eng.ckpt.watermark
+    s = eng.delete_where(_del_md)
+    feed = eng.changes_table(wm, s["batch_id"])
+    deld = feed.filter(pc.equal(feed["_change_type"], "delete"))
+    assert deld.num_rows == s["n_deletes"]
+    assert set(deld["lang"].to_pylist()) == {"md"}
