@@ -2669,6 +2669,30 @@ def q_cdc_update_where(sf_dir: str) -> pa.Table:
     return eng.final_table()
 
 
+def q_cdc_merge_into(sf_dir: str) -> pa.Table:
+    """MERGE INTO / snapshot-apply (``merge_into``): replay the CDC
+    stream, then merge a source snapshot — the live 'purchase' rows
+    with +500 cents — with ``delete_unmatched=True``, so the live table
+    becomes exactly that source. Upserts and unmatched-key deletes are
+    synthesized CDC events through the exactly-once replay (same
+    ``_dml/`` staging contract as delete_where/update_where). Gate:
+    pytest (hash-exact vs the DuckDB LWW window filtered+rewritten the
+    same way, tests/test_dml_queries.py)."""
+    work = tempfile.mkdtemp(prefix="gepr_merge_")
+    ev_dir = _events_as_cdc(sf_dir, work)
+    eng = ReplayEngine(user_state_spec(), os.path.join(work, "lake"))
+    eng.replay(ev_dir)
+    live = eng.final_table()
+    src = live.filter(pc.equal(live["event_type"], "purchase"))
+    src = src.set_column(
+        src.schema.get_field_index("value_cents"),
+        "value_cents",
+        pc.add(src["value_cents"], 500),
+    )
+    eng.merge_into(src, delete_unmatched=True)
+    return eng.final_table()
+
+
 def q_rows_frame_agg(sf_dir: str):
     """ROWS-frame window aggregate (ROWS BETWEEN 2 PRECEDING AND
     CURRENT ROW): per event, the sum and count of the user's last 3

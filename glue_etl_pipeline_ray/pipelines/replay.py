@@ -2364,3 +2364,254 @@ class ReplayEngine:
         summary["dml"] = kind
         summary["n_matched"] = total
         return summary
+
+    @_with_writer_lease
+    def merge_into(
+        self,
+        source,
+        delete_unmatched: bool = False,
+        seq_base: int | None = None,
+    ) -> dict:
+        """MERGE a source snapshot into the lake (the Delta-Lake ``MERGE
+        INTO`` / apply-full-snapshot analog): every source row upserts —
+        insert-or-update decided by the ordinary LWW merge — and with
+        ``delete_unmatched=True`` live lake rows whose key is absent
+        from the source are deleted, making the live table equal the
+        (valid subset of the) source. Expressed as CDC: synthesized
+        UPDATE events from source rows plus DELETE events for unmatched
+        keys, staged and committed exactly like :meth:`_dml` (same
+        ``_dml/`` crash contract, same seq semantics; source rows go
+        through validation, so invalid rows dead-letter).
+
+        ``source``: a ``pa.Table`` or ``ray.data.Dataset`` carrying the
+        key columns plus ALL base payload columns (evolved columns are
+        optional and null-backfilled). Keys should be unique in the
+        source; duplicates resolve deterministically (last after a
+        stable key sort wins)."""
+        import json as _json
+        import shutil
+
+        self.resume_dml()
+        spec = self.spec
+        evolved = self.ckpt.evolved
+        batch_id = self.ckpt.watermark + 1
+        stage = os.path.join(self._dml_root(), f"batch={batch_id:05d}")
+        if os.path.isdir(stage):
+            shutil.rmtree(stage, ignore_errors=True)
+        srcdir = os.path.join(stage, "_src")
+        os.makedirs(srcdir, exist_ok=True)
+
+        from glue_etl_pipeline_ray.hashing import bucket_of
+        from glue_etl_pipeline_ray.stages.merge import (
+            SEQ_COL,
+            read_bucket_state,
+            write_atomic,
+        )
+
+        key_cols = spec.key_cols
+        payload = [(n, spec.base_type(n)) for n in spec.base_col_names] + [
+            (n, type_from_name(t)) for n, t in evolved
+        ]
+        src_cols = list(key_cols) + [n for n, _ in payload]
+        nb = spec.num_buckets
+
+        # ---- route the source to sink buckets (one src file per bucket)
+        def _route(t: pa.Table) -> dict[int, pa.Table]:
+            missing = [c for c in key_cols + spec.base_col_names if c not in t.schema.names]
+            if missing:
+                raise ValueError(f"merge_into source missing columns: {missing}")
+            for n, typ in payload:
+                if n not in t.schema.names:
+                    t = t.append_column(n, pa.nulls(t.num_rows, typ))
+            t = t.select(src_cols)
+            b = bucket_of(nb, *(t[k] for k in key_cols))
+            out = {}
+            for bb in np.unique(b):
+                out[int(bb)] = t.filter(pa.array(b == bb))
+            return out
+
+        if isinstance(source, pa.Table):
+            src_files: dict[int, str] = {}
+            for b, part in _route(source).items():
+                p = os.path.join(srcdir, f"src-{b:05d}.parquet")
+                write_atomic(p, part)
+                src_files[b] = p
+        else:  # Dataset: distributed routing, one keyed shuffle
+
+            def route_batch(t: pa.Table) -> pa.Table:
+                parts = _route(t)
+                if not parts:
+                    empty = pa.schema(
+                        [pa.field(c, pa.string()) for c in key_cols]
+                        + [pa.field(n, typ) for n, typ in payload]
+                    ).empty_table()
+                    return empty.append_column(BUCKET_COL, pa.array([], pa.int64()))
+                return pa.concat_tables(
+                    p.append_column(
+                        BUCKET_COL, pa.array(np.full(p.num_rows, b, np.int64))
+                    )
+                    for b, p in parts.items()
+                )
+
+            def stage_src(g: pa.Table) -> pa.Table:
+                b = int(g[BUCKET_COL][0].as_py())
+                p = os.path.join(srcdir, f"src-{b:05d}.parquet")
+                write_atomic(p, g.drop_columns([BUCKET_COL]))
+                return pa.table({"bucket": pa.array([b], pa.int64())})
+
+            routed = source.map_batches(
+                route_batch, batch_format="pyarrow", batch_size=None
+            )
+            got = routed.groupby(BUCKET_COL).map_groups(
+                stage_src, batch_format="pyarrow"
+            ).take_all()
+            src_files = {
+                int(r["bucket"]): os.path.join(
+                    srcdir, f"src-{int(r['bucket']):05d}.parquet"
+                )
+                for r in got
+            }
+
+        pointers = {b: (base, deltas) for b, base, deltas in self._bucket_pointers()}
+        all_buckets = sorted(set(src_files) | set(pointers))
+        if not all_buckets:
+            shutil.rmtree(stage, ignore_errors=True)
+            return {
+                "dml": "merge", "batch_id": None, "n_matched": 0,
+                "watermark": self.ckpt.watermark,
+            }
+        cols = spec.canonical_cols(evolved)
+
+        @ray.remote(num_returns=2)
+        def proto_bucket(lake_dir, b, src_path, base, deltas):
+            """Per-bucket proto events (op + keys + payload, no seq yet):
+            source upserts, then — when asked — deletes for live keys the
+            source does not carry. Deterministic order: deletes sorted by
+            key, then source rows sorted by key (stable, so an in-source
+            duplicate's later row wins the LWW)."""
+            src = (
+                pq.read_table(src_path)
+                if src_path is not None
+                else pa.schema(
+                    [pa.field(c, pa.string()) for c in key_cols]
+                    + [pa.field(n, typ) for n, typ in payload]
+                ).empty_table()
+            )
+            src = src.sort_by([(k, "ascending") for k in key_cols])
+            parts = []
+            mseq = None
+            if base is not None or deltas:
+                t = read_bucket_state(spec, evolved, lake_dir, base, deltas, b)
+                if t.num_rows:
+                    mseq = pc.max(t[SEQ_COL]).as_py()
+                if delete_unmatched and t.num_rows:
+                    live = t.filter(pc.invert(t[DELETED_COL]))
+                    # keys are always strings (canonical schema); a \x00
+                    # join is collision-free for multi-column keys
+                    def kj(tab):
+                        if len(key_cols) == 1:
+                            return tab[key_cols[0]]
+                        return pc.binary_join_element_wise(
+                            *(pc.cast(tab[k], pa.string()) for k in key_cols),
+                            "\x00",
+                        )
+                    vs = kj(src) if src.num_rows else pa.array([], pa.string())
+                    if isinstance(vs, pa.ChunkedArray):
+                        vs = vs.combine_chunks()
+                    gone = pc.invert(pc.is_in(kj(live), value_set=vs))
+                    dead = live.filter(gone).sort_by(
+                        [(k, "ascending") for k in key_cols]
+                    )
+                    if dead.num_rows:
+                        dcols = {spec.op_col: pa.array(
+                            np.full(dead.num_rows, "DELETE", object), pa.string()
+                        )}
+                        for k in key_cols:
+                            dcols[k] = dead[k]
+                        for n, typ in payload:
+                            dcols[n] = pa.nulls(dead.num_rows, typ)
+                        parts.append(pa.table(dcols))
+            if src.num_rows:
+                ucols = {spec.op_col: pa.array(
+                    np.full(src.num_rows, "UPDATE", object), pa.string()
+                )}
+                for k in key_cols:
+                    ucols[k] = src[k]
+                for n, typ in payload:
+                    ucols[n] = pc.cast(src[n], typ)
+                parts.append(pa.table(ucols))
+            if not parts:
+                proto = pa.schema(
+                    [pa.field(spec.op_col, pa.string())]
+                    + [pa.field(c, pa.string()) for c in key_cols]
+                    + [pa.field(n, typ) for n, typ in payload]
+                ).empty_table()
+            else:
+                proto = pa.concat_tables(parts)
+            return proto, {"n": proto.num_rows, "max_seq": mseq}
+
+        proto_refs, meta_refs = [], []
+        for b in all_buckets:
+            base, deltas = pointers.get(b, (None, []))
+            prr, mrr = proto_bucket.remote(
+                self.lake_dir, b, src_files.get(b), base, deltas
+            )
+            proto_refs.append(prr)
+            meta_refs.append(mrr)
+        metas = ray.get(meta_refs)
+        total = sum(m["n"] for m in metas)
+        if total == 0:
+            shutil.rmtree(stage, ignore_errors=True)
+            return {
+                "dml": "merge", "batch_id": None, "n_matched": 0,
+                "watermark": self.ckpt.watermark,
+            }
+        max_seq = max(
+            (m["max_seq"] for m in metas if m["max_seq"] is not None), default=-1
+        )
+        base_seq = (max_seq + 1) if seq_base is None else seq_base
+
+        @ray.remote
+        def stamp_and_write(b, proto, seq0):
+            n = proto.num_rows
+            out = pa.table(
+                {
+                    spec.seq_col: pa.array(
+                        np.arange(seq0, seq0 + n, dtype=np.int64)
+                    ),
+                    spec.batch_col: pa.array(np.full(n, batch_id, np.int64)),
+                    **{c: proto[c] for c in proto.schema.names},
+                }
+            )
+            fname = f"part-{b:05d}.parquet"
+            write_atomic(os.path.join(stage, fname), out)
+            return fname, n
+
+        offsets, acc = {}, base_seq
+        for b, m in zip(all_buckets, metas):
+            if m["n"]:
+                offsets[b] = acc
+                acc += m["n"]
+        written = ray.get(
+            [
+                stamp_and_write.remote(b, prr, offsets[b])
+                for b, prr, m in zip(all_buckets, proto_refs, metas)
+                if m["n"]
+            ]
+        )
+        manifest = {
+            "kind": "merge",
+            "batch_id": batch_id,
+            "n_matched": total,
+            "seq_base": base_seq,
+            "files": sorted(f for f, _ in written),
+        }
+        tmp = os.path.join(stage, "MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(stage, "MANIFEST.json"))
+        files = [os.path.join(stage, f) for f in manifest["files"]]
+        summary = self._dml_apply(batch_id, files)
+        summary["dml"] = "merge"
+        summary["n_matched"] = total
+        return summary

@@ -174,6 +174,110 @@ def test_update_where_invalid_payload_dead_letters(tmp_path):
     assert eng.final_table().num_rows == t0.num_rows
 
 
+_NEW_ROWS = lambda: pa.table(  # noqa: E731
+    {
+        "repo": pa.array([f"neworg/repo{i}" for i in range(5)]),
+        "path": pa.array([f"src/new{i}.py" for i in range(5)]),
+        "commit": pa.array(["ab" * 20] * 5),
+        "lang": pa.array(["py"] * 5),
+        "content": pa.array([f"print({i})" for i in range(5)]),
+    }
+)
+
+
+@pytest.mark.parametrize(
+    "mode,as_dataset", [("rewrite", False), ("delta", False), ("rewrite", True)]
+)
+def test_merge_into_snapshot_apply(tmp_path, mode, as_dataset, ray_session):
+    """merge_into(source, delete_unmatched=True) makes the live table
+    equal the source exactly, and the lake still replays to the oracle
+    of events + the staged merge batch."""
+    import ray
+
+    meta = generate_change_events(str(tmp_path), n_events=2500, n_batches=3, seed=21)
+    spec = repo_file_spec(num_buckets=16)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake, state_mode=mode)
+    eng.replay(meta["events_dir"])
+    live = eng.final_table()
+    keep = live.filter(pc.is_in(live["lang"], value_set=pa.array(["py", "js"])))
+    new = _NEW_ROWS()
+    src = pa.concat_tables([keep.select(new.schema.names), new])
+    s = eng.merge_into(
+        ray.data.from_arrow(src) if as_dataset else src, delete_unmatched=True
+    )
+    assert s["dml"] == "merge" and s["n_matched"] >= src.num_rows
+    t = eng.final_table()
+    key = [("repo", "ascending"), ("path", "ascending")]
+    assert t.select(new.schema.names).sort_by(key).equals(src.sort_by(key))
+    oracle = _oracle_with_dml(
+        spec, meta["events_dir"], lake, str(tmp_path / "oev")
+    )
+    assert eng.final_sha256() == oracle["sha256"]
+
+
+def test_merge_into_keeps_unmatched_by_default(tmp_path):
+    meta = generate_change_events(str(tmp_path), n_events=1500, n_batches=2, seed=22)
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(meta["events_dir"])
+    n_before = eng.final_table().num_rows
+    new = _NEW_ROWS()
+    s = eng.merge_into(new)  # pure upsert: nothing deleted
+    assert s["n_matched"] == new.num_rows and s["n_deletes"] == 0
+    assert eng.final_table().num_rows == n_before + new.num_rows
+    oracle = _oracle_with_dml(
+        spec, meta["events_dir"], str(tmp_path / "lake"), str(tmp_path / "oev")
+    )
+    assert eng.final_sha256() == oracle["sha256"]
+
+
+def test_merge_into_empty_lake_is_insert(tmp_path):
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    new = _NEW_ROWS()
+    s = eng.merge_into(new, delete_unmatched=True)
+    assert s["n_matched"] == new.num_rows
+    key = [("repo", "ascending"), ("path", "ascending")]
+    assert (
+        eng.final_table().select(new.schema.names).sort_by(key).equals(new.sort_by(key))
+    )
+
+
+def test_merge_into_crash_after_stage_resumes(tmp_path):
+    """The merge batch rides the same _dml staging contract: crash
+    between MANIFEST and commit -> resume_dml finishes it."""
+    meta = generate_change_events(str(tmp_path), n_events=1200, n_batches=2, seed=23)
+    spec = repo_file_spec(num_buckets=8)
+    ref = ReplayEngine(spec, str(tmp_path / "ref"))
+    ref.replay(meta["events_dir"])
+    ref.merge_into(_NEW_ROWS())
+    want = ref.final_sha256()
+
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(meta["events_dir"])
+    orig = ReplayEngine._dml_apply
+    ReplayEngine._dml_apply = lambda self, bid, files: (_ for _ in ()).throw(
+        RuntimeError("injected crash after stage")
+    )
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            eng.merge_into(_NEW_ROWS())
+    finally:
+        ReplayEngine._dml_apply = orig
+    fresh = ReplayEngine(spec, str(tmp_path / "lake"))
+    assert fresh.resume_dml() is not None
+    assert fresh.final_sha256() == want
+
+
+def test_merge_into_missing_payload_column_raises(tmp_path):
+    spec = repo_file_spec(num_buckets=4)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    bad = _NEW_ROWS().drop_columns(["content"])
+    with pytest.raises(Exception, match="missing columns"):
+        eng.merge_into(bad)
+
+
 def test_dml_shows_in_change_feed(tmp_path):
     """A DML commit is an ordinary batch: the change feed between the
     pre- and post-DML watermarks carries its deletes."""

@@ -42,6 +42,17 @@ def test_cdc_delete_where_matches_sql(ray_session):
     )
 
 
+def test_cdc_merge_into_matches_sql(ray_session):
+    _cmp(
+        entry.queries()["cdc_merge_into"](SF),
+        f"""
+        SELECT user_id, event_type, value_cents + 500 AS value_cents
+        FROM ({_LWW.format(sf=SF)})
+        WHERE event_type = 'purchase'
+        """,
+    )
+
+
 def test_cdc_update_where_matches_sql(ray_session):
     _cmp(
         entry.queries()["cdc_update_where"](SF),
