@@ -674,3 +674,129 @@ def test_interleaved_compact_ivm_matches_oracle(ray_session, s):
     ).df()
     assert list(got["lang"]) == list(exp["lang"]), (n, seed, actions, mode)
     assert list(got["n_rows"]) == list(exp["n_rows"]), (n, seed, actions, mode)
+
+
+@st.composite
+def dml_plan(draw):
+    n = draw(st.integers(100, 260))
+    seed = draw(st.integers(0, 2**31 - 1))
+    n_runs = draw(st.integers(2, 4))
+    # between-run actions: 0 none, 1 delete_where, 2 update_where,
+    # 3 merge_into (pure upsert of fresh keys)
+    actions = tuple(
+        draw(st.sampled_from([0, 1, 2, 3])) for _ in range(n_runs - 1)
+    )
+    return n, seed, n_runs, actions
+
+
+@settings(max_examples=4, deadline=None)
+@given(s=dml_plan())
+def test_interleaved_dml_matches_oracle(ray_session, s):
+    """Random clean streams with delete_where / update_where /
+    merge_into INTERLEAVED between ingest runs (both state modes): the
+    engine's staged DML batches under _dml/ ARE the commit's source of
+    truth, so replaying the original stream PLUS those staged batches
+    through the single-threaded oracle must land the engine's exact
+    final sha — whatever the predicates matched at the moment they ran
+    (fixed-scenario DML gates live in tests/test_dml.py; this is the
+    same interleaving discipline as the reshard/redrive property)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    n, seed, n_runs, actions = s
+    rng = np.random.default_rng(seed ^ 0xD311)
+    work = f"/tmp/gepr_propdml_{uuid.uuid4().hex[:12]}"
+    os.makedirs(work)
+
+    seq = rng.permutation(n).astype(np.int64)
+    ops = [rng.choice(["INSERT", "UPDATE", "DELETE"], p=[0.45, 0.35, 0.2])
+           for _ in range(n)]
+    t = pa.table(
+        {
+            "seq": pa.array(seq),
+            "op": pa.array(ops, pa.string()),
+            "repo": pa.array(
+                [rng.choice(["org0/repoA", "org1/repoC"]) for _ in range(n)],
+                pa.string(),
+            ),
+            "path": pa.array(
+                [rng.choice(["src/a.py", "src/b.js", "docs/r.md"])
+                 for _ in range(n)],
+                pa.string(),
+            ),
+            "commit": pa.array(
+                ["".join(rng.choice(list(HEX), 40)) for _ in range(n)],
+                pa.string(),
+            ),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array(
+                [None if o == "DELETE" else f"c{rng.integers(6)}" for o in ops],
+                pa.string(),
+            ),
+        }
+    )
+
+    spec = repo_file_spec(num_buckets=4)
+    mode = "delta" if seed % 2 else "rewrite"
+    eng = ReplayEngine(
+        spec, os.path.join(work, "lake"), state_mode=mode, fold_threshold=2
+    )
+
+    edges = np.linspace(0, n, n_runs + 1).astype(int)
+    for run in range(n_runs):
+        chunk = t.slice(edges[run], edges[run + 1] - edges[run])
+        bid = eng.ckpt.watermark + 1  # DML runs consume batch ids too
+        chunk = chunk.append_column(
+            "batch_id", pa.array(np.full(chunk.num_rows, bid, np.int64))
+        )
+        run_dir = os.path.join(work, f"run{run}")
+        os.makedirs(run_dir)
+        pq.write_table(chunk, os.path.join(run_dir, f"batch={bid:05d}.parquet"))
+        eng.replay(run_dir)
+        if run < n_runs - 1:
+            a = actions[run]
+            # the DML seq contract: the caller owns the seq space, so a
+            # mid-stream DML must take seqs DISJOINT from everything the
+            # upstream will ever emit (default max_seq+1 would collide
+            # with the not-yet-arrived tail of the permutation — ties
+            # are a contract violation, like duplicated upstream seqs)
+            sb = n + (run + 1) * n
+            if a == 1:
+                eng.delete_where(
+                    lambda lt: pc.equal(lt["path"], "docs/r.md"), seq_base=sb
+                )
+            elif a == 2:
+                eng.update_where(
+                    lambda lt: pc.equal(lt["path"], "src/a.py"),
+                    lambda rows: {
+                        "content": pa.array(["upd"] * rows.num_rows, pa.string())
+                    },
+                    seq_base=sb,
+                )
+            elif a == 3:
+                eng.merge_into(
+                    pa.table(
+                        {
+                            "repo": pa.array([f"neworg/r{run}"]),
+                            "path": pa.array([f"src/m{run}.py"]),
+                            "commit": pa.array(["ab" * 20]),
+                            "lang": pa.array(["py"]),
+                            "content": pa.array([f"m{run}"]),
+                        }
+                    ),
+                    seq_base=sb,
+                )
+
+    # oracle: original run batches + every staged DML batch
+    odir = os.path.join(work, "oev")
+    os.makedirs(odir)
+    batch_files = [
+        f
+        for run in range(n_runs)
+        for f in _glob.glob(os.path.join(work, f"run{run}", "batch=*"))
+    ] + _glob.glob(os.path.join(work, "lake", "_dml", "batch=*"))
+    for f in batch_files:
+        os.symlink(f, os.path.join(odir, os.path.basename(f)))
+    oracle = replay_oracle(spec, odir)
+    assert eng.final_sha256() == oracle["sha256"], (n, seed, n_runs, actions, mode)
