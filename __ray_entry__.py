@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_delete_where": Q.q_cdc_delete_where,
         "cdc_update_where": Q.q_cdc_update_where,
         "cdc_merge_into": Q.q_cdc_merge_into,
+        "cdc_restore": Q.q_cdc_restore,
         "rows_frame_agg": Q.q_rows_frame_agg,
         "classifier_score": Q.q_classifier_score,
         "rank_functions": Q.q_rank_functions,

@@ -2693,6 +2693,23 @@ def q_cdc_merge_into(sf_dir: str) -> pa.Table:
     return eng.final_table()
 
 
+def q_cdc_restore(sf_dir: str) -> pa.Table:
+    """RESTORE TO VERSION (``restore``): replay the 4-batch CDC stream
+    with history retained, then roll the live table back to the batch-1
+    snapshot — a MERGE of the time-travel snapshot with unmatched-key
+    deletes, committed as an ordinary batch (history preserved, change
+    feed shows the rollback). Gate: pytest (hash-exact vs the DuckDB
+    LWW window restricted to batches <= 1, tests/test_dml_queries.py)."""
+    work = tempfile.mkdtemp(prefix="gepr_restore_")
+    ev_dir = _events_as_cdc(sf_dir, work, n_batches=4)
+    eng = ReplayEngine(
+        user_state_spec(), os.path.join(work, "lake"), gc_old_versions=False
+    )
+    eng.replay(ev_dir)
+    eng.restore(1)
+    return eng.final_table()
+
+
 def q_rows_frame_agg(sf_dir: str):
     """ROWS-frame window aggregate (ROWS BETWEEN 2 PRECEDING AND
     CURRENT ROW): per event, the sum and count of the user's last 3

@@ -2366,6 +2366,23 @@ class ReplayEngine:
         return summary
 
     @_with_writer_lease
+    def restore(self, as_of: int, seq_base: int | None = None) -> dict:
+        """Roll the live table back to the committed ``as_of`` snapshot
+        (the Delta-Lake ``RESTORE TABLE ... TO VERSION`` analog): MERGE
+        the time-travel snapshot with ``delete_unmatched=True``, so rows
+        changed since ``as_of`` revert, rows created since are deleted,
+        and rows deleted since reappear. History is PRESERVED — the
+        restore is itself an ordinary commit (synthesized CDC events),
+        so the change feed shows the rollback, replicas/views converge
+        through their normal delta path, and a restore can be restored.
+        Like Delta, the CURRENT schema is kept: columns evolved after
+        ``as_of`` stay in the table, null on every restored row.
+        Requires readable history at ``as_of`` (keep-everything or a
+        retention window covering it) — raises otherwise."""
+        snap = self.final_dataset(as_of)  # raises if history is gone
+        return self.merge_into(snap, delete_unmatched=True, seq_base=seq_base)
+
+    @_with_writer_lease
     def merge_into(
         self,
         source,

@@ -291,3 +291,64 @@ def test_dml_shows_in_change_feed(tmp_path):
     deld = feed.filter(pc.equal(feed["_change_type"], "delete"))
     assert deld.num_rows == s["n_deletes"]
     assert set(deld["lang"].to_pylist()) == {"md"}
+
+
+@pytest.mark.parametrize("mode", ["rewrite", "delta"])
+def test_restore_rolls_back_to_snapshot(tmp_path, mode, ray_session):
+    """restore(as_of) makes the live table equal the as_of snapshot
+    (data-wise) while preserving history: the restore is an ordinary
+    commit, so the oracle over events + staged DML still matches, and
+    the change feed shows the rollback."""
+    meta = generate_change_events(
+        str(tmp_path), n_events=2400, n_batches=4, seed=31
+    )
+    spec = repo_file_spec(num_buckets=16)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake, state_mode=mode, gc_old_versions=False)
+    eng.replay(meta["events_dir"])
+    want = eng.final_sha256(as_of=1)
+    s = eng.restore(1)
+    assert s["dml"] == "merge" and s["n_matched"] > 0
+    assert eng.final_sha256() == want  # no evolution in this stream
+    # and the lake still replays end-to-end: events + staged restore batch
+    oracle = _oracle_with_dml(
+        spec, meta["events_dir"], lake, str(tmp_path / "oev")
+    )
+    assert eng.final_sha256() == oracle["sha256"]
+    # restore of the restore is a fixed point (second snapshot == first)
+    s2 = eng.restore(1)
+    assert eng.final_sha256() == want
+    # rows re-created/changed after batch 1 show as deletes/updates in
+    # the feed across the restore commit
+    feed = eng.changes_table(3, s["batch_id"])
+    assert feed.num_rows > 0
+
+
+def test_restore_keeps_current_schema_after_evolution(tmp_path, ray_session):
+    """Columns evolved AFTER the restore point stay in the table (the
+    Delta RESTORE contract), null on every restored row."""
+    meta = generate_change_events(
+        str(tmp_path), n_events=1600, n_batches=4, seed=32, evolve_from_batch=2
+    )
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"), gc_old_versions=False)
+    eng.replay(meta["events_dir"])
+    snap = eng.final_table(as_of=1)  # pre-evolution: no size_bytes
+    assert "size_bytes" not in snap.schema.names
+    eng.restore(1)
+    t = eng.final_table()
+    assert "size_bytes" in t.schema.names
+    assert pc.all(pc.is_null(t["size_bytes"])).as_py()
+    key = [("repo", "ascending"), ("path", "ascending")]
+    assert (
+        t.select(snap.schema.names).sort_by(key).equals(snap.sort_by(key))
+    )
+
+
+def test_restore_without_history_raises(tmp_path, ray_session):
+    meta = generate_change_events(str(tmp_path), n_events=800, n_batches=2, seed=33)
+    spec = repo_file_spec(num_buckets=4)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))  # GC on: no history
+    eng.replay(meta["events_dir"])
+    with pytest.raises(Exception):
+        eng.restore(0)

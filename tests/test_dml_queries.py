@@ -53,6 +53,26 @@ def test_cdc_merge_into_matches_sql(ray_session):
     )
 
 
+def test_cdc_restore_matches_sql(ray_session):
+    # restore(1) == the LWW snapshot over batches <= 1 (batch = event_id
+    # % 4, the 4-batch layout _events_as_cdc derives)
+    _cmp(
+        entry.queries()["cdc_restore"](SF),
+        f"""
+        SELECT CAST(user_id AS VARCHAR) AS user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE event_id % 4 <= 1
+        )
+        WHERE rn = 1 AND event_type <> 'error'
+        """,
+    )
+
+
 def test_cdc_update_where_matches_sql(ray_session):
     _cmp(
         entry.queries()["cdc_update_where"](SF),
