@@ -308,7 +308,7 @@ def test_restore_rolls_back_to_snapshot(tmp_path, mode, ray_session):
     eng.replay(meta["events_dir"])
     want = eng.final_sha256(as_of=1)
     s = eng.restore(1)
-    assert s["dml"] == "merge" and s["n_matched"] > 0
+    assert s["dml"] == "restore" and s["n_matched"] > 0
     assert eng.final_sha256() == want  # no evolution in this stream
     # and the lake still replays end-to-end: events + staged restore batch
     oracle = _oracle_with_dml(
@@ -352,3 +352,27 @@ def test_restore_without_history_raises(tmp_path, ray_session):
     eng.replay(meta["events_dir"])
     with pytest.raises(Exception):
         eng.restore(0)
+
+
+@pytest.mark.parametrize("mode", ["rewrite", "delta"])
+def test_restore_feed_path_equals_full_path(tmp_path, mode, ray_session):
+    """The O(churn) inverse-change restore and the O(snapshot) full
+    merge restore must land the identical final sha."""
+    meta = generate_change_events(
+        str(tmp_path), n_events=2000, n_batches=4, seed=34
+    )
+    spec = repo_file_spec(num_buckets=8)
+    a = ReplayEngine(
+        spec, str(tmp_path / "a"), state_mode=mode, gc_old_versions=False
+    )
+    a.replay(meta["events_dir"])
+    b = ReplayEngine(
+        spec, str(tmp_path / "b"), state_mode=mode, gc_old_versions=False
+    )
+    b.replay(meta["events_dir"])
+    sa = a.restore(1)  # feed path
+    sb = b.restore(1, full=True)  # snapshot path
+    assert a.final_sha256() == b.final_sha256()
+    # and the feed path synthesized no more events than churn demanded:
+    # full re-upserts the whole snapshot, feed touches changed keys only
+    assert sa["n_matched"] <= sb["n_matched"]
