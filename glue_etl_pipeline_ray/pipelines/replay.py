@@ -1621,6 +1621,15 @@ class ReplayEngine:
             return out
         return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
 
+    def resolve_as_of(self, timestamp: float) -> int:
+        """TIMESTAMP AS OF -> batch id: the latest batch committed at or
+        before the given wall-clock (unix seconds). Compose with any
+        as_of-taking read: ``eng.final_table(as_of=eng.resolve_as_of(ts))``
+        — reading the resolved snapshot still needs history retained at
+        that batch (keep-everything or the retention window). Commit
+        times are recorded in the checkpoint manifest at commit time."""
+        return self.ckpt.resolve_timestamp(timestamp)
+
     def final_sha256(self, as_of: int | None = None) -> str:
         return table_sha256(
             self.final_table(as_of, sort=False), self.spec.key_cols

@@ -199,11 +199,16 @@ class CheckpointManager:
         new_versions: dict[int, int] | None = None,
         new_deltas: dict[int, int] | None = None,
     ) -> None:
+        import time
+
         m = self._m
         if batch_id not in m["committed"]:
             m["committed"].append(batch_id)
         m["watermark"] = max(m["watermark"], batch_id)
         m["evolved"] = [list(e) for e in evolved]
+        # commit wall-clock for TIMESTAMP AS OF resolution (callers may
+        # pre-set it — tests pin deterministic clocks that way)
+        summary.setdefault("commit_ts", time.time())
         m["batches"][str(batch_id)] = summary
         if new_versions:
             bv = m.setdefault("bucket_versions", {})
@@ -212,6 +217,27 @@ class CheckpointManager:
         if new_deltas:
             self.append_deltas(new_deltas)
         self._write(m)
+
+    def resolve_timestamp(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution (Delta-Lake convention): the
+        LATEST committed batch whose commit wall-clock is <= ``ts``.
+        Raises ``ValueError`` when ``ts`` precedes the first commit
+        (there is no snapshot to serve) — same contract as Delta's
+        "timestamp before earliest version" error. Batches committed by
+        pre-timestamp manifests (no ``commit_ts``) are skipped."""
+        best, best_ts = None, None
+        for bid_s, summ in self._m["batches"].items():
+            cts = summ.get("commit_ts")
+            if cts is None or cts > ts:
+                continue
+            bid = int(bid_s)
+            if best is None or cts > best_ts or (cts == best_ts and bid > best):
+                best, best_ts = bid, cts
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} precedes the first commit — no snapshot"
+            )
+        return best
 
     def retire_versions(self, retired: list[list[int]]) -> None:
         """Bounded-retention bookkeeping: superseded state files recorded
