@@ -2230,12 +2230,24 @@ class ReplayEngine:
             self.event_filter = saved
 
     @_with_writer_lease
-    def delete_where(self, predicate, seq_base: int | None = None) -> dict:
+    def delete_where(
+        self,
+        predicate,
+        seq_base: int | None = None,
+        columns: list[str] | None = None,
+    ) -> dict:
         """Delete every live row matching ``predicate`` (a vectorized
         ``pa.Table -> boolean array`` over the canonical live columns)
         by committing synthesized DELETE events. See :meth:`_dml` for
-        seq semantics and crash safety."""
-        return self._dml("delete", predicate, None, seq_base)
+        seq semantics and crash safety.
+
+        ``columns``: the payload columns the predicate reads — a DELETE
+        never needs the rest (tombstones carry null payload), so naming
+        them prunes the per-bucket state scan to keys + these columns;
+        a path-prefix delete on a content-heavy lake then never reads
+        ``content`` off storage. Omit to scan everything (always
+        correct)."""
+        return self._dml("delete", predicate, None, seq_base, columns)
 
     @_with_writer_lease
     def update_where(self, predicate, set_fn, seq_base: int | None = None) -> dict:
@@ -2247,7 +2259,14 @@ class ReplayEngine:
         rules dead-letter exactly like upstream dirt."""
         return self._dml("update", predicate, set_fn, seq_base)
 
-    def _dml(self, kind: str, predicate, set_fn, seq_base: int | None) -> dict:
+    def _dml(
+        self,
+        kind: str,
+        predicate,
+        set_fn,
+        seq_base: int | None,
+        columns: list[str] | None = None,
+    ) -> dict:
         """Shared DELETE/UPDATE driver.
 
         Sequencing: synthesized events get ``seq`` starting at
@@ -2289,12 +2308,26 @@ class ReplayEngine:
 
         cols = spec.canonical_cols(evolved)
         key_cols = spec.key_cols
+        # projection pushdown (delete only — tombstones need no payload):
+        # scan keys + the predicate's columns, never the rest
+        scan_cols = None
+        if columns is not None:
+            unknown = [c for c in columns if c not in cols]
+            if unknown:
+                raise ValueError(f"unknown columns {unknown}; table has {cols}")
+            scan_cols = [
+                c for c in cols if c in set(columns) | set(key_cols)
+            ]
 
         @ray.remote(num_returns=2)
         def scan_bucket(lake_dir, b, base, deltas):
-            t = read_bucket_state(spec, evolved, lake_dir, base, deltas, b)
+            t = read_bucket_state(
+                spec, evolved, lake_dir, base, deltas, b, columns=scan_cols
+            )
             mseq = pc.max(t[SEQ_COL]).as_py() if t.num_rows else None
-            live = t.filter(pc.invert(t[DELETED_COL])).select(cols)
+            live = t.filter(pc.invert(t[DELETED_COL])).select(
+                cols if scan_cols is None else scan_cols
+            )
             if live.num_rows:
                 mask = predicate(live)
                 if not isinstance(mask, (pa.Array, pa.ChunkedArray)):

@@ -376,3 +376,22 @@ def test_restore_feed_path_equals_full_path(tmp_path, mode, ray_session):
     # and the feed path synthesized no more events than churn demanded:
     # full re-upserts the whole snapshot, feed touches changed keys only
     assert sa["n_matched"] <= sb["n_matched"]
+
+
+@pytest.mark.parametrize("mode", ["rewrite", "delta"])
+def test_delete_where_pruned_scan_equals_full(tmp_path, mode, ray_session):
+    """delete_where(columns=[...]) prunes the state scan to keys + the
+    predicate's columns (a DELETE never needs the payload) and must land
+    the identical final sha as the unpruned scan."""
+    meta = generate_change_events(str(tmp_path), n_events=2000, n_batches=2, seed=36)
+    spec = repo_file_spec(num_buckets=8)
+    a = ReplayEngine(spec, str(tmp_path / "a"), state_mode=mode)
+    a.replay(meta["events_dir"])
+    b = ReplayEngine(spec, str(tmp_path / "b"), state_mode=mode)
+    b.replay(meta["events_dir"])
+    sa = a.delete_where(lambda t: pc.equal(t["lang"], "md"), columns=["lang"])
+    sb = b.delete_where(lambda t: pc.equal(t["lang"], "md"))
+    assert sa["n_matched"] == sb["n_matched"] > 0
+    assert a.final_sha256() == b.final_sha256()
+    with pytest.raises(ValueError, match="unknown columns"):
+        a.delete_where(lambda t: t["lang"], columns=["nope"])

@@ -70,9 +70,13 @@ def main() -> int:
     n_live0 = eng.final_dataset(columns=["repo"]).count()
     out = {"n_live_before": n_live0}
 
-    # 1) delete_where: every live row under src/dir3/ (~10% of paths)
+    # 1) delete_where: every live row under src/dir3/ (~10% of paths),
+    # with the scan pruned to keys + the predicate column (a DELETE
+    # never reads the payload)
     t0 = time.perf_counter()
-    s = eng.delete_where(lambda t: pc.starts_with(t["path"], "src/dir3/"))
+    s = eng.delete_where(
+        lambda t: pc.starts_with(t["path"], "src/dir3/"), columns=["path"]
+    )
     out["delete_where"] = {
         "sec": round(time.perf_counter() - t0, 2),
         "n_matched": s["n_matched"],
