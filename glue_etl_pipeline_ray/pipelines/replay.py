@@ -1621,6 +1621,44 @@ class ReplayEngine:
             return out
         return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
 
+    def history(self) -> pa.Table:
+        """Commit log (the Delta-Lake ``DESCRIBE HISTORY`` analog), one
+        row per committed batch from the checkpoint manifest — metadata
+        only, no data read: batch id, commit wall-clock, operation kind
+        (``ingest`` or the DML kind that synthesized the batch),
+        event/upsert/delete/dead-letter counts, buckets touched.
+        Newest first."""
+        rows = []
+        for bid_s, s in self.ckpt._m["batches"].items():
+            rows.append(
+                {
+                    "batch_id": int(bid_s),
+                    "commit_ts": float(s.get("commit_ts") or float("nan")),
+                    "operation": s.get("dml", "ingest"),
+                    "n_events": s.get("n_events"),
+                    "n_upserts": s.get("n_upserts"),
+                    "n_deletes": s.get("n_deletes"),
+                    "n_dead_lettered": s.get("n_dead_lettered"),
+                    "buckets_touched": s.get("buckets_touched"),
+                }
+            )
+        rows.sort(key=lambda r: -r["batch_id"])
+        schema = pa.schema(
+            [
+                ("batch_id", pa.int64()),
+                ("commit_ts", pa.float64()),
+                ("operation", pa.string()),
+                ("n_events", pa.int64()),
+                ("n_upserts", pa.int64()),
+                ("n_deletes", pa.int64()),
+                ("n_dead_lettered", pa.int64()),
+                ("buckets_touched", pa.int64()),
+            ]
+        )
+        if not rows:
+            return schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=schema)
+
     def resolve_as_of(self, timestamp: float) -> int:
         """TIMESTAMP AS OF -> batch id: the latest batch committed at or
         before the given wall-clock (unix seconds). Compose with any
@@ -2419,6 +2457,8 @@ class ReplayEngine:
         summary = self._dml_apply(batch_id, files)
         summary["dml"] = kind
         summary["n_matched"] = total
+        # persist the kind so history() reports it in fresh processes
+        self.ckpt.annotate_batch(batch_id, {"dml": kind})
         return summary
 
     @_with_writer_lease
@@ -2808,4 +2848,6 @@ class ReplayEngine:
         summary = self._dml_apply(batch_id, files)
         summary["dml"] = kind
         summary["n_matched"] = total
+        # persist the kind so history() reports it in fresh processes
+        self.ckpt.annotate_batch(batch_id, {"dml": kind})
         return summary

@@ -218,6 +218,15 @@ class CheckpointManager:
             self.append_deltas(new_deltas)
         self._write(m)
 
+    def annotate_batch(self, batch_id: int, extra: dict) -> None:
+        """Attach metadata to an already-committed batch's summary
+        (e.g. the DML kind that synthesized it) — atomic rewrite."""
+        s = self._m["batches"].get(str(batch_id))
+        if s is None:
+            raise KeyError(f"batch {batch_id} not committed")
+        s.update(extra)
+        self._write(self._m)
+
     def resolve_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution (Delta-Lake convention): the
         LATEST committed batch whose commit wall-clock is <= ``ts``.

@@ -76,3 +76,30 @@ def test_commit_clocks_are_monotone_across_dml(tmp_path, ray_session):
     ts = [b[str(i)]["commit_ts"] for i in sorted(int(k) for k in b)]
     assert ts == sorted(ts)
     assert str(eng.ckpt.watermark) in b  # the DML batch has a clock too
+
+
+def test_history_reports_operations(tmp_path, ray_session):
+    """history(): one metadata row per commit, newest first, with the
+    DML kind persisted (a fresh engine reads the same log)."""
+    import pyarrow.compute as pc
+
+    meta = generate_change_events(str(tmp_path), n_events=900, n_batches=2, seed=44)
+    spec = repo_file_spec(num_buckets=4)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake)
+    eng.replay(meta["events_dir"])
+    eng.delete_where(lambda t: pc.equal(t["lang"], "md"))
+    eng.merge_into(
+        __import__("pyarrow").table(
+            {
+                "repo": ["x/y"], "path": ["a.py"], "commit": ["ab" * 20],
+                "lang": ["py"], "content": ["z"],
+            }
+        )
+    )
+    h = ReplayEngine(spec, lake).history()  # fresh engine: persisted log
+    assert h["batch_id"].to_pylist() == [3, 2, 1, 0]
+    assert h["operation"].to_pylist() == ["merge", "delete", "ingest", "ingest"]
+    assert all(t == sorted(h["commit_ts"].to_pylist(), reverse=True)[i]
+               for i, t in enumerate(h["commit_ts"].to_pylist()))
+    assert h["n_deletes"][1].as_py() > 0
