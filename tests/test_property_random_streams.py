@@ -682,9 +682,10 @@ def dml_plan(draw):
     seed = draw(st.integers(0, 2**31 - 1))
     n_runs = draw(st.integers(2, 4))
     # between-run actions: 0 none, 1 delete_where, 2 update_where,
-    # 3 merge_into (pure upsert of fresh keys)
+    # 3 merge_into (pure upsert of fresh keys), 4 restore (roll back to
+    # the previous committed batch)
     actions = tuple(
-        draw(st.sampled_from([0, 1, 2, 3])) for _ in range(n_runs - 1)
+        draw(st.sampled_from([0, 1, 2, 3, 4])) for _ in range(n_runs - 1)
     )
     return n, seed, n_runs, actions
 
@@ -740,7 +741,8 @@ def test_interleaved_dml_matches_oracle(ray_session, s):
     spec = repo_file_spec(num_buckets=4)
     mode = "delta" if seed % 2 else "rewrite"
     eng = ReplayEngine(
-        spec, os.path.join(work, "lake"), state_mode=mode, fold_threshold=2
+        spec, os.path.join(work, "lake"), state_mode=mode, fold_threshold=2,
+        gc_old_versions=False,  # restore needs readable history
     )
 
     edges = np.linspace(0, n, n_runs + 1).astype(int)
@@ -787,6 +789,8 @@ def test_interleaved_dml_matches_oracle(ray_session, s):
                     ),
                     seq_base=sb,
                 )
+            elif a == 4 and eng.ckpt.watermark >= 1:
+                eng.restore(eng.ckpt.watermark - 1, seq_base=sb)
 
     # oracle: original run batches + every staged DML batch
     odir = os.path.join(work, "oev")
