@@ -106,3 +106,44 @@ def test_same_owner_reacquire_refreshes(tmp_path):
         WriterLease(lake, owner="you:2:dd", ttl_s=60).acquire()
     lease.release()
     WriterLease(lake, owner="you:2:dd", ttl_s=60).acquire()
+
+
+def test_dml_surfaces_hold_the_lease(ray_session, tmp_path):
+    """delete_where / update_where / merge_into / restore are mutating
+    calls: a second live writer makes each raise ConcurrentWriter, and
+    after release every one proceeds (reentrant through the inner
+    replay)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lake = str(tmp_path / "lake")
+    ev = _events(str(tmp_path))
+    eng = ReplayEngine(
+        repo_file_spec(num_buckets=4), lake, writer_lease=True,
+        gc_old_versions=False,
+    )
+    eng.replay(ev)
+    wm = eng.ckpt.watermark
+    src = pa.table(
+        {"repo": ["x/y"], "path": ["a.py"], "commit": ["ab" * 20],
+         "lang": ["py"], "content": ["z"]}
+    )
+    calls = [
+        lambda: eng.delete_where(lambda t: pc.equal(t["lang"], "md")),
+        lambda: eng.update_where(
+            lambda t: pc.equal(t["lang"], "py"),
+            lambda r: {"content": r["content"]},
+        ),
+        lambda: eng.merge_into(src),
+        lambda: eng.restore(wm - 1),
+    ]
+    other = WriterLease(lake, owner="other-host:9:bb").acquire()
+    for call in calls:
+        with pytest.raises(ConcurrentWriter):
+            call()
+    assert eng.ckpt.watermark == wm  # nothing committed under contention
+    other.release()
+    for call in calls:
+        call()
+    assert eng.ckpt.watermark > wm
+    assert not os.path.exists(os.path.join(lake, "_checkpoint", "WRITER_LOCK"))
