@@ -726,6 +726,38 @@ class ReplayEngine:
                     pass
         return n
 
+    def gc_dml_staging(self) -> int:
+        """Remove staged ``_dml/batch=N`` directories the lake no longer
+        needs, following the lake's retention discipline: committed
+        stages are crash-recovery dead weight (plain GC mode removes
+        them immediately; a ``retain_batches`` lake keeps them until the
+        horizon passes, matching state-file retention; a keep-everything
+        lake keeps them forever — they are the synthesized batches'
+        event source of truth for audit/replay). Uncommitted stages are
+        NEVER touched (resume_dml owns those). Returns dirs removed."""
+        import shutil
+
+        if not self.gc_old_versions:
+            return 0
+        root = self._dml_root()
+        if not os.path.isdir(root):
+            return 0
+        horizon = (
+            self.ckpt.watermark - self.retain_batches
+            if self.retain_batches is not None
+            else self.ckpt.watermark
+        )
+        n = 0
+        for d in sorted(os.listdir(root)):
+            m = _BATCH_RE.search(d)
+            if not m:
+                continue
+            bid = int(m.group(1))
+            if bid <= horizon and self.ckpt.is_committed(bid):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                n += 1
+        return n
+
     # ------------------------------------------------------------ compaction
     @_with_writer_lease
     def compact(self, min_retained_seq: int | None = None) -> dict:

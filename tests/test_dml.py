@@ -395,3 +395,38 @@ def test_delete_where_pruned_scan_equals_full(tmp_path, mode, ray_session):
     assert a.final_sha256() == b.final_sha256()
     with pytest.raises(ValueError, match="unknown columns"):
         a.delete_where(lambda t: t["lang"], columns=["nope"])
+
+
+def test_gc_dml_staging_follows_retention_discipline(tmp_path, ray_session):
+    meta = generate_change_events(str(tmp_path), n_events=900, n_batches=2, seed=37)
+    spec = repo_file_spec(num_buckets=4)
+
+    # plain GC: committed stages removed immediately, uncommitted kept
+    lake = str(tmp_path / "gc")
+    eng = ReplayEngine(spec, lake)
+    eng.replay(meta["events_dir"])
+    eng.delete_where(_del_md)
+    assert len(glob.glob(os.path.join(lake, "_dml", "batch=*"))) == 1
+    assert eng.gc_dml_staging() == 1
+    assert not glob.glob(os.path.join(lake, "_dml", "batch=*"))
+    # staged-but-uncommitted survives the sweep
+    orig = ReplayEngine._dml_apply
+    ReplayEngine._dml_apply = lambda self, bid, files: (_ for _ in ()).throw(
+        RuntimeError("crash")
+    )
+    try:
+        with pytest.raises(RuntimeError):
+            eng.update_where(_upd_pred, _upd_set)
+    finally:
+        ReplayEngine._dml_apply = orig
+    assert eng.gc_dml_staging() == 0
+    assert len(glob.glob(os.path.join(lake, "_dml", "batch=*"))) == 1
+    assert eng.resume_dml() is not None  # recovery still possible
+
+    # keep-everything: never swept (audit source of truth)
+    lake2 = str(tmp_path / "keep")
+    eng2 = ReplayEngine(spec, lake2, gc_old_versions=False)
+    eng2.replay(meta["events_dir"])
+    eng2.delete_where(_del_md)
+    assert eng2.gc_dml_staging() == 0
+    assert len(glob.glob(os.path.join(lake2, "_dml", "batch=*"))) == 1
