@@ -2265,6 +2265,7 @@ class ReplayEngine:
         synthesis (crash mid-stage) and is discarded: nothing of it ever
         reached the checkpoint. Returns the applied batch summary or
         None when nothing was pending."""
+        import json as _json
         import shutil
 
         root = self._dml_root()
@@ -2280,10 +2281,25 @@ class ReplayEngine:
             if not os.path.exists(man):
                 shutil.rmtree(stage, ignore_errors=True)
                 continue
+            try:
+                kind = _json.load(open(man)).get("kind")
+            except (OSError, ValueError):
+                kind = None
             if self.ckpt.is_committed(bid):
+                # self-heal the history annotation: a crash between the
+                # commit and annotate_batch leaves the kind unrecorded,
+                # but the stage manifest still knows it
+                if kind and "dml" not in self.ckpt._m["batches"].get(
+                    str(bid), {}
+                ):
+                    self.ckpt.annotate_batch(bid, {"dml": kind})
                 continue
             files = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
-            return self._dml_apply(bid, files)
+            summary = self._dml_apply(bid, files)
+            if kind:
+                summary["dml"] = kind
+                self.ckpt.annotate_batch(bid, {"dml": kind})
+            return summary
         return None
 
     def _dml_apply(self, batch_id: int, files: list[str]) -> dict:

@@ -103,3 +103,26 @@ def test_history_reports_operations(tmp_path, ray_session):
     assert all(t == sorted(h["commit_ts"].to_pylist(), reverse=True)[i]
                for i, t in enumerate(h["commit_ts"].to_pylist()))
     assert h["n_deletes"][1].as_py() > 0
+
+
+def test_history_annotation_self_heals(tmp_path, ray_session):
+    """Crash between commit and the history annotation: resume_dml (or
+    any later DML entry) recovers the kind from the stage manifest."""
+    import pyarrow.compute as pc
+
+    meta = generate_change_events(str(tmp_path), n_events=800, n_batches=2, seed=45)
+    spec = repo_file_spec(num_buckets=4)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake)
+    eng.replay(meta["events_dir"])
+    s = eng.delete_where(lambda t: pc.equal(t["lang"], "md"))
+    bid = s["batch_id"]
+    # simulate the crash window: drop the persisted annotation
+    m = eng.ckpt._m
+    del m["batches"][str(bid)]["dml"]
+    eng.ckpt._write(m)
+    fresh = ReplayEngine(spec, lake)
+    assert fresh.resume_dml() is None  # nothing pending...
+    h = fresh.history()  # ...but the kind is healed from the stage manifest
+    op = {r["batch_id"]: r["operation"] for r in h.to_pylist()}
+    assert op[bid] == "delete"
