@@ -430,3 +430,24 @@ def test_gc_dml_staging_follows_retention_discipline(tmp_path, ray_session):
     eng2.delete_where(_del_md)
     assert eng2.gc_dml_staging() == 0
     assert len(glob.glob(os.path.join(lake2, "_dml", "batch=*"))) == 1
+
+
+@pytest.mark.parametrize("mode", ["rewrite", "delta"])
+def test_restore_inside_retention_window(tmp_path, mode, ray_session):
+    """Bounded retention: restore works for as_of inside the window
+    (what the scale probes exercise) and raises once the horizon has
+    passed the requested snapshot."""
+    meta = generate_change_events(str(tmp_path), n_events=1600, n_batches=4, seed=38)
+    spec = repo_file_spec(num_buckets=8)
+    kw = dict(state_mode=mode, retain_batches=2)
+    if mode == "delta":
+        kw["fold_threshold"] = 2
+    eng = ReplayEngine(spec, str(tmp_path / "lake"), **kw)
+    eng.replay(meta["events_dir"])
+    wm = eng.ckpt.watermark
+    want = eng.final_sha256(as_of=wm - 1)
+    s = eng.restore(wm - 1)
+    assert s["dml"] == "restore"
+    assert eng.final_sha256() == want
+    with pytest.raises(Exception):
+        eng.restore(0)  # outside the window: no silent wrong answer
