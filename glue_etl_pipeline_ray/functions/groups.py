@@ -259,6 +259,16 @@ def _raycore_exchange_partitions(
     if not refs:
         return ds
     G = max(1, num_groups)
+    # typed empty derived driver-side: when EVERY block is one of Ray's
+    # zero-column empty placeholders, the in-task fallbacks below would
+    # otherwise hand partition_fn a table without the key columns
+    try:
+        s = ds.schema(fetch_if_missing=True)
+        typed_empty = pa.schema(list(zip(s.names, s.types))).empty_table()
+        if not all(k in typed_empty.schema.names for k in keys):
+            typed_empty = None
+    except Exception:
+        typed_empty = None
 
     @ray.remote
     def split(G: int, *tabs: pa.Table):
@@ -274,7 +284,7 @@ def _raycore_exchange_partitions(
                     for t in tabs
                     if all(k in t.schema.names for k in keys)
                 ),
-                tabs[0],
+                typed_empty if typed_empty is not None else tabs[0],
             ).slice(0, 0)
             return tuple(e for _ in range(G)) if G > 1 else e
         t = live[0] if len(live) == 1 else pa.concat_tables(live)
@@ -300,7 +310,7 @@ def _raycore_exchange_partitions(
                     for s in slices
                     if all(k in s.schema.names for k in keys)
                 ),
-                slices[0],
+                typed_empty if typed_empty is not None else slices[0],
             )
             return partition_fn(base.slice(0, 0))
         t = live[0] if len(live) == 1 else pa.concat_tables(live)

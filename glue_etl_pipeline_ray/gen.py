@@ -94,15 +94,34 @@ def _dec_mat(v: np.ndarray, w: int) -> np.ndarray:
     return out
 
 
-def _fixed_width_strings(mat: np.ndarray) -> pa.Array:
-    """Zero-copy Arrow string array from an (n, w) uint8 char matrix."""
+def _fixed_width_strings(mat: np.ndarray):
+    """Zero-copy Arrow string array from an (n, w) uint8 char matrix.
+
+    ``pa.string()`` offsets are int32: a batch whose total chars exceed
+    2^31 would silently wrap ``np.arange(..., dtype=np.int32)`` into
+    corrupt offsets, so past that bound the matrix is emitted as a
+    ChunkedArray of int32-safe slices instead (a 40-char column crosses
+    it at ~53M rows per batch — reachable with a low n_batches at the
+    10^9+ scales this generator serves)."""
     n, w = mat.shape
-    offsets = np.arange(0, (n + 1) * w, w, dtype=np.int32)
-    return pa.Array.from_buffers(
-        pa.string(),
-        n,
-        [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(mat))],
-    )
+    if (n + 1) * w <= _MAX_STR_CHARS:
+        offsets = np.arange(0, (n + 1) * w, w, dtype=np.int32)
+        return pa.Array.from_buffers(
+            pa.string(),
+            n,
+            [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(mat))],
+        )
+    rows_per_chunk = max(1, (_MAX_STR_CHARS - w) // w)
+    chunks = [
+        _fixed_width_strings(mat[s : s + rows_per_chunk])
+        for s in range(0, n, rows_per_chunk)
+    ]
+    return pa.chunked_array(chunks)
+
+
+# int32 offset ceiling for pa.string(); module-level so the chunked
+# path is unit-testable without a 2 GiB fixture
+_MAX_STR_CHARS = np.iinfo(np.int32).max
 
 
 def _hex40_arrow(rng: np.random.Generator, n: int) -> pa.Array:

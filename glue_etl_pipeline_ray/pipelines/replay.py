@@ -726,6 +726,7 @@ class ReplayEngine:
                     pass
         return n
 
+    @_with_writer_lease
     def gc_dml_staging(self) -> int:
         """Remove staged ``_dml/batch=N`` directories the lake no longer
         needs, following the lake's retention discipline: committed
@@ -1592,16 +1593,11 @@ class ReplayEngine:
         st_sub = pa.schema([f for f in st_sub if f.name in set(want)])
 
         def load_pruned(batch: pa.Table) -> pa.Table:
+            from glue_etl_pipeline_ray.stages.merge import read_parquet_pruned
+
             outs = []
             for path in batch["item"].to_pylist():
-                try:
-                    t = pq.read_table(path, columns=want)
-                except pa.ArrowInvalid:  # pre-evolution file
-                    names = set(pq.read_schema(path).names)
-                    t = pq.read_table(
-                        path, columns=[c for c in want if c in names]
-                    )
-                t = conform(t, st_sub)
+                t = conform(read_parquet_pruned(path, want), st_sub)
                 outs.append(
                     t.filter(pc.invert(t[DELETED_COL])).select(out_cols)
                 )
@@ -2141,7 +2137,9 @@ class ReplayEngine:
             unknown = [c for c in columns if c not in cols]
             if unknown:
                 raise ValueError(f"unknown columns {unknown}; table has {cols}")
-            cols = [c for c in cols if c in set(columns)]
+            # keys are the result's identity (and the sort key): always
+            # kept, whether or not the projection names them
+            cols = [c for c in cols if c in set(columns) | set(kc)]
         st = state_schema(self.spec, evolved, columns)
         want = None
         if columns is not None:
@@ -2155,17 +2153,11 @@ class ReplayEngine:
         @ray.remote
         def probe(src, wanted_kh, keyset):
             if isinstance(src, str):
-                if want is None:
-                    t = pq.read_table(src)
-                else:
-                    try:
-                        t = pq.read_table(src, columns=want)
-                    except pa.ArrowInvalid:  # pre-evolution file
-                        names = set(pq.read_schema(src).names)
-                        t = pq.read_table(
-                            src, columns=[c for c in want if c in names]
-                        )
-                t = conform(t, st)
+                from glue_etl_pipeline_ray.stages.merge import (
+                    read_parquet_pruned,
+                )
+
+                t = conform(read_parquet_pruned(src, want), st)
             else:  # delta chain pointer (bucket, base, deltas)
                 b, base, deltas = src
                 t = read_bucket_state(
@@ -2230,7 +2222,8 @@ class ReplayEngine:
                 )
         parts = [p for p in ray.get(refs) if p.num_rows]
         if not parts:
-            return self.spec.canonical_schema(evolved).empty_table()
+            # projected schema, same as the non-empty path
+            return self.spec.canonical_schema(evolved).empty_table().select(cols)
         out = pa.concat_tables(parts)
         return out.sort_by([(k, "ascending") for k in kc])
 
@@ -2371,7 +2364,6 @@ class ReplayEngine:
         MANIFEST -> stage discarded, lake untouched. Crash after
         MANIFEST before commit -> :meth:`resume_dml` (called on entry
         here too) finishes it exactly-once."""
-        import json as _json
         import shutil
 
         self.resume_dml()  # never interleave with a half-done DML
@@ -2405,6 +2397,11 @@ class ReplayEngine:
                 c for c in cols if c in set(columns) | set(key_cols)
             ]
 
+        payload = [(n, spec.base_type(n)) for n in spec.base_col_names] + [
+            (n, type_from_name(t)) for n, t in evolved
+        ]
+        op_val = "DELETE" if kind == "delete" else "UPDATE"
+
         @ray.remote(num_returns=2)
         def scan_bucket(lake_dir, b, base, deltas):
             t = read_bucket_state(
@@ -2422,38 +2419,10 @@ class ReplayEngine:
                 rows = rows.sort_by([(k, "ascending") for k in key_cols])
             else:
                 rows = live
-            return rows, {"n": rows.num_rows, "max_seq": mseq}
-
-        rows_refs, meta_refs, buckets = [], [], []
-        for b, base, deltas in pointers:
-            rr, mr = scan_bucket.remote(self.lake_dir, b, base, deltas)
-            rows_refs.append(rr)
-            meta_refs.append(mr)
-            buckets.append(b)
-        metas = ray.get(meta_refs)  # tiny: one dict per bucket
-        total = sum(m["n"] for m in metas)
-        if total == 0:
-            shutil.rmtree(stage, ignore_errors=True)
-            return no_op
-        max_seq = max(
-            (m["max_seq"] for m in metas if m["max_seq"] is not None), default=-1
-        )
-        base_seq = (max_seq + 1) if seq_base is None else seq_base
-
-        payload = [(n, spec.base_type(n)) for n in spec.base_col_names] + [
-            (n, type_from_name(t)) for n, t in evolved
-        ]
-        op_val = "DELETE" if kind == "delete" else "UPDATE"
-
-        from glue_etl_pipeline_ray.stages.merge import write_atomic
-
-        @ray.remote
-        def write_events(b, rows, seq0):
             n = rows.num_rows
+            # proto events (op + keys + payload, seqs stamped later)
             out = {
-                spec.seq_col: pa.array(np.arange(seq0, seq0 + n, dtype=np.int64)),
-                spec.batch_col: pa.array(np.full(n, batch_id, np.int64)),
-                spec.op_col: pa.array(np.full(n, op_val, object), pa.string()),
+                spec.op_col: pa.array(np.full(n, op_val, object), pa.string())
             }
             for k in key_cols:
                 out[k] = rows[k]
@@ -2463,7 +2432,7 @@ class ReplayEngine:
             else:
                 for name, _ in payload:
                     out[name] = rows[name]
-                repl = set_fn(rows)
+                repl = set_fn(rows) if n else {}
                 valid = {name for name, _ in payload}
                 for name, arr in repl.items():
                     if name not in valid:
@@ -2474,40 +2443,19 @@ class ReplayEngine:
                     if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
                         arr = pa.array(arr)
                     out[name] = pc.cast(arr, dict(payload)[name])
-            fname = f"part-{b:05d}.parquet"
-            write_atomic(os.path.join(stage, fname), pa.table(out))
-            return fname, n
+            proto = pa.table(out)
+            return proto, {"n": n, "max_seq": mseq}
 
-        offsets, acc = {}, base_seq
-        for b, m in zip(buckets, metas):
-            if m["n"]:
-                offsets[b] = acc
-                acc += m["n"]
-        written = ray.get(
-            [
-                write_events.remote(b, rr, offsets[b])
-                for b, rr, m in zip(buckets, rows_refs, metas)
-                if m["n"]
-            ]
+        proto_refs, meta_refs, buckets = [], [], []
+        for b, base, deltas in pointers:
+            prr, mrr = scan_bucket.remote(self.lake_dir, b, base, deltas)
+            proto_refs.append(prr)
+            meta_refs.append(mrr)
+            buckets.append(b)
+        summary = self._stage_and_apply_protos(
+            kind, stage, batch_id, buckets, proto_refs, meta_refs, seq_base
         )
-        manifest = {
-            "kind": kind,
-            "batch_id": batch_id,
-            "n_matched": total,
-            "seq_base": base_seq,
-            "files": sorted(f for f, _ in written),
-        }
-        tmp = os.path.join(stage, "MANIFEST.json.tmp")
-        with open(tmp, "w") as fh:
-            _json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(stage, "MANIFEST.json"))
-        files = [os.path.join(stage, f) for f in manifest["files"]]
-        summary = self._dml_apply(batch_id, files)
-        summary["dml"] = kind
-        summary["n_matched"] = total
-        # persist the kind so history() reports it in fresh processes
-        self.ckpt.annotate_batch(batch_id, {"dml": kind})
-        return summary
+        return summary if summary["batch_id"] is not None else no_op
 
     @_with_writer_lease
     def restore(
@@ -2535,7 +2483,17 @@ class ReplayEngine:
 
         if full:
             snap = self.final_dataset(as_of)  # raises if history is gone
-            return self.merge_into(snap, delete_unmatched=True, seq_base=seq_base)
+            summary = self.merge_into(
+                snap, delete_unmatched=True, seq_base=seq_base
+            )
+            # report (and persist) the operation as what it was
+            summary["dml"] = "restore"
+            summary["restored_to"] = as_of
+            if summary.get("batch_id") is not None:
+                self.ckpt.annotate_batch(
+                    summary["batch_id"], {"dml": "restore"}
+                )
+            return summary
 
         from glue_etl_pipeline_ray.hashing import bucket_of
         from glue_etl_pipeline_ray.stages.merge import (
@@ -2614,9 +2572,31 @@ class ReplayEngine:
             prr, mrr = invert_bucket.remote(self.lake_dir, fref, b, base, deltas)
             proto_refs.append(prr)
             meta_refs.append(mrr)
+        seq_floor = 0
+        if seq_base is None:
+            # the DML contract says synthesized seqs exceed the max seq
+            # ANYWHERE in the lake — the feed may cover only churned
+            # buckets, so sweep the rest (keys+seq only, no payload read)
+            feed_set = set(feed_buckets)
+
+            @ray.remote
+            def bucket_max_seq(lake_dir, b, base, deltas):
+                t = read_bucket_state(
+                    spec, evolved, lake_dir, base, deltas, b, columns=[]
+                )
+                return pc.max(t[SEQ_COL]).as_py() if t.num_rows else None
+
+            rest = [
+                bucket_max_seq.remote(self.lake_dir, b, base, deltas)
+                for b, (base, deltas) in pointers.items()
+                if b not in feed_set
+            ]
+            maxes = [m for m in ray.get(rest) if m is not None]
+            if maxes:
+                seq_floor = max(maxes) + 1
         summary = self._stage_and_apply_protos(
             "restore", stage, batch_id, feed_buckets, proto_refs, meta_refs,
-            seq_base,
+            seq_base, seq_floor=seq_floor,
         )
         summary["dml"] = "restore"
         summary["restored_to"] = as_of
@@ -2828,12 +2808,15 @@ class ReplayEngine:
         proto_refs: list,
         meta_refs: list,
         seq_base: int | None,
+        seq_floor: int = 0,
     ) -> dict:
         """Shared DML tail: stamp per-bucket proto events (op + keys +
         payload, produced by the caller's wave-1 tasks together with a
         tiny ``{"n", "max_seq"}`` meta per bucket) with dense seqs above
         the lake's max, stage them with an atomically-renamed MANIFEST,
-        and commit through the normal replay path."""
+        and commit through the normal replay path. ``seq_floor``: extra
+        lower bound for the default seq assignment, for callers whose
+        wave-1 metas cover only a subset of the lake's buckets."""
         import json as _json
         import shutil
 
@@ -2851,7 +2834,7 @@ class ReplayEngine:
         max_seq = max(
             (m["max_seq"] for m in metas if m["max_seq"] is not None), default=-1
         )
-        base_seq = (max_seq + 1) if seq_base is None else seq_base
+        base_seq = max(max_seq + 1, seq_floor) if seq_base is None else seq_base
 
         @ray.remote
         def stamp_and_write(b, proto, seq0):

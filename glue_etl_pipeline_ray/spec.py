@@ -165,6 +165,7 @@ class TableSpec:
         renaming of the engine's own meta columns."""
         m = dict(self.renames)
         meta = {self.seq_col, self.op_col, self.batch_col}
+        targets: dict[str, str] = {}
         for src, dst in m.items():
             if dst in m:
                 raise ValueError(
@@ -172,6 +173,12 @@ class TableSpec:
                 )
             if src in meta or dst in meta:
                 raise ValueError(f"cannot rename meta column: {src}->{dst}")
+            if dst in targets:
+                raise ValueError(
+                    f"two sources rename to {dst!r}: "
+                    f"{targets[dst]!r} and {src!r}"
+                )
+            targets[dst] = src
         return m
 
     def base_type(self, name: str) -> pa.DataType:

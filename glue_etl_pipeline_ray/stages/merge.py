@@ -346,6 +346,24 @@ def delta_entry_version(ent) -> int:
     return ent if isinstance(ent, int) else int(ent[0])
 
 
+def read_parquet_pruned(path: str, want: list[str] | None) -> pa.Table:
+    """Column-projected Parquet read with the pre-evolution fallback:
+    engine-written files carry every requested column, so the direct
+    read succeeds except on files written before a schema evolution —
+    only those pay an extra footer read to intersect the projection
+    with what the file actually has. The one shared implementation for
+    every pruned lake read (state folds, final_dataset, point lookups)."""
+    import pyarrow.parquet as pq
+
+    if want is None:
+        return pq.read_table(path)
+    try:
+        return pq.read_table(path, columns=want)
+    except pa.ArrowInvalid:
+        names = set(pq.read_schema(path).names)
+        return pq.read_table(path, columns=[c for c in want if c in names])
+
+
 def read_bucket_state(
     spec: TableSpec,
     evolved: tuple[tuple[str, str], ...],
@@ -374,16 +392,7 @@ def read_bucket_state(
         )
 
     def _read(path: str) -> pa.Table:
-        if want is None:
-            return pq.read_table(path)
-        try:
-            # engine-written files carry every base column, so the
-            # direct read succeeds except on pre-evolution files —
-            # only those pay the fallback's extra footer read
-            return pq.read_table(path, columns=want)
-        except pa.ArrowInvalid:
-            names = set(pq.read_schema(path).names)
-            return pq.read_table(path, columns=[c for c in want if c in names])
+        return read_parquet_pruned(path, want)
 
     tables = []
     if base_version is not None:

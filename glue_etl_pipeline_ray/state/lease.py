@@ -15,9 +15,14 @@ assumption explicit and crash-tolerant:
 - The holder refreshes the lock's mtime with ``heartbeat()``; a lock
   older than ``ttl_s`` is STALE (holder died without ``release()``,
   e.g. kill -9) and may be taken over. Takeover is two-phase — rename
-  the stale lock to a uniquely-named tombstone, then create fresh — so
-  two waiters racing the same stale lock cannot both win (only one
-  rename succeeds).
+  the stale lock to a uniquely-named tombstone, VERIFY the tombstone is
+  the same stale incarnation that was measured (owner + age), then
+  create fresh. The verification closes the window where a bare rename
+  would capture a lock another stealer just re-created (or a live
+  holder just heartbeated): the wrongly-taken lock is restored with an
+  atomic no-clobber link and the stealer aborts. ``heartbeat()`` also
+  detects usurpation (owner changed / lock gone) and raises, so a
+  writer wrongly judged dead halts before its next manifest write.
 - Re-acquiring by the same owner is a no-op refresh (mutating engine
   methods can each guard themselves without nesting bookkeeping).
 
@@ -94,13 +99,38 @@ class WriterLease:
                 f"(age {self._age_s():.0f}s < ttl {self.ttl_s:.0f}s); "
                 "wait, or raise ttl_s only if that writer is known dead"
             )
-        # stale: exactly one stealer wins the rename
+        # stale: rename to a tombstone, then VERIFY the tombstone is the
+        # same stale incarnation we measured — a bare rename would also
+        # capture a FRESH lock created (or heartbeated) by someone else
+        # between our staleness check and the rename, silently yielding
+        # two live writers
+        stale_owner = info.get("owner") if info else None
         tomb = self.lock_path + f".stale-{uuid.uuid4().hex[:8]}"
         try:
             os.rename(self.lock_path, tomb)
         except FileNotFoundError:
             pass  # another stealer (or a release) got there first
         else:
+            try:
+                t_age = time.time() - os.stat(tomb).st_mtime
+                with open(tomb) as f:
+                    t_owner = json.load(f).get("owner")
+            except (OSError, json.JSONDecodeError):
+                t_age, t_owner = None, None
+            grabbed_live = (t_age is not None and t_age < self.ttl_s) or (
+                stale_owner is not None and t_owner != stale_owner
+            )
+            if grabbed_live:
+                # we renamed a LIVE writer's lock: restore it without
+                # clobbering anything newer (link is atomic no-clobber)
+                try:
+                    os.link(tomb, self.lock_path)
+                except FileExistsError:
+                    pass
+                os.remove(tomb)
+                raise ConcurrentWriter(
+                    f"takeover raced a live writer ({t_owner}); retry"
+                )
             os.remove(tomb)
         if not self._create():
             raise ConcurrentWriter(
@@ -110,12 +140,26 @@ class WriterLease:
         return self
 
     def heartbeat(self) -> None:
-        """Refresh liveness. Call at least every ``ttl_s`` while holding
-        (the engine calls it at every batch commit)."""
+        """Refresh liveness — and detect usurpation: if the lock is gone
+        or another owner took it (a stealer judged us dead), raise
+        instead of silently double-writing. The engine heartbeats at
+        every batch commit, so a usurped writer halts before its next
+        manifest write."""
+        if self._held:
+            cur = self._read()
+            if cur is None or cur.get("owner") != self.owner:
+                self._held = False
+                raise ConcurrentWriter(
+                    f"lease lost: lock now held by "
+                    f"{cur.get('owner') if cur else '<none>'} — this "
+                    "writer was judged dead (heartbeat gap > ttl_s?)"
+                )
         try:
             os.utime(self.lock_path)
         except FileNotFoundError:
-            pass
+            if self._held:
+                self._held = False
+                raise ConcurrentWriter("lease lost: lock vanished mid-hold")
 
     def release(self) -> None:
         if not self._held:
