@@ -66,12 +66,11 @@ class HashedLinearScorer:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.coalesce(t[self.text_col], pa.scalar("", pa.string())), " "
-        ).combine_chunks()
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        # one shared tokenization kernel with BM25: the whitespace-split
+        # convention is load-bearing for oracle parity across operators
+        from glue_etl_pipeline_ray.functions.bm25 import _flatten_tokens
+
+        flat, doc_idx, lens = _flatten_tokens(t, self.text_col)
         if len(flat):
             ids, owner = _token_hashes(flat, doc_idx, self.dim)
             sums = np.bincount(owner, weights=self.w[ids], minlength=len(lens))

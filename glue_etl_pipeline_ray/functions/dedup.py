@@ -352,7 +352,18 @@ def simhash_pairs(
 ) -> Dataset:
     """Near-dup pairs by SimHash: 4x16-bit band buckets (any pair within
     hamming distance 3 of a 64-bit simhash shares at least one exact
-    16-bit quarter — pigeonhole), verified exactly inside the bucket."""
+    16-bit quarter — pigeonhole), verified exactly inside the bucket.
+
+    The 4-band scheme guarantees candidate recall only for
+    ``max_hamming <= 3``: at distance 4 the differing bits can land one
+    per quarter and the pair never shares a band. Larger thresholds
+    need more/narrower bands, so they are rejected rather than
+    silently losing recall."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16-bit banding's "
+            "recall guarantee (<= 3); use more bands for larger radii"
+        )
 
     def add_sim(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), np.int64)

@@ -90,9 +90,22 @@ def _walk_partition(
             if o.num_rows:
                 outs.append(o)
     if not outs:  # typed empty output for schema stability (0-row in,
-        outs = [  # so fn can't invent rows)
-            empty_out if empty_out is not None else fn(part.slice(0, 0))
-        ]
+        # so fn can't invent rows)
+        if empty_out is not None:
+            outs = [empty_out]
+        else:
+            try:
+                outs = [fn(part.slice(0, 0))]
+            except Exception as e:
+                # a non-empty partition can still yield zero output
+                # groups (min_group_size / singleton filtering); a fn
+                # that can't take 0 rows then has no way to define the
+                # output schema — fail with guidance, not a deep crash
+                raise ValueError(
+                    "grouped_apply: a partition produced no output "
+                    "groups and fn raised on the 0-row schema probe; "
+                    "make fn return a typed empty table for 0-row input"
+                ) from e
     return pa.concat_tables(outs)
 
 

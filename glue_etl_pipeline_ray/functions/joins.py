@@ -41,6 +41,16 @@ def _get_broadcast(ref):
     return _BROADCAST_CACHE[key]
 
 
+def _take_or_null(values, match_idx: np.ndarray):
+    """Gather ``values[match_idx]`` with -1 meaning null — one Arrow
+    ``take`` with a null-masked index array. Lossless for EVERY value
+    type (the old path round-tripped nullable int columns through
+    float64 numpy, silently corrupting integers past 2^53) and stays
+    vectorized: no ``to_pylist`` / object arrays in the kernel."""
+    idx = pa.array(match_idx, pa.int64(), mask=match_idx < 0)
+    return values.take(idx)
+
+
 def asof_join_backward(
     left: Dataset,
     right: Dataset,
@@ -92,22 +102,19 @@ def asof_join_backward(
     rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
     both = lt.union(rt)
 
-    def _locf_vals(onv, sides, seg_start_of_row, rv_np):
+    def _locf_idx(onv, sides, seg_start_of_row):
         """Last-right-carried-forward over pre-sorted rows: returns the
-        matched right value per LEFT row (None when no earlier right in
-        the segment). Row arrays must already be (segment, on, side)-
-        sorted with segment starts given per row."""
+        matched right row's SORTED INDEX per LEFT row (-1 when no
+        earlier right in the segment). Row arrays must already be
+        (segment, on, side)-sorted with segment starts given per row."""
         n = len(onv)
         is_r = sides == 1
         ridx = np.where(is_r, np.arange(n), -1)
         cm = np.maximum.accumulate(ridx)
         valid = cm >= seg_start_of_row
         lpos = np.flatnonzero(~is_r)
-        vals = np.empty(len(lpos), object)
-        vals[:] = None
-        hit = valid[lpos]
-        vals[hit] = rv_np[cm[lpos[hit]]]
-        return lpos, vals
+        match = np.where(valid[lpos], cm[lpos], np.int64(-1))
+        return lpos, match
 
     def join_partition(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
@@ -131,10 +138,8 @@ def asof_join_backward(
         key_sorted = g.select([by]).take(pa.array(order, pa.int64()))
         bad = collision_runs(key_sorted, [by], gstarts, gends)
         gstart_of_row = np.repeat(gstarts, gends - gstarts)
-        rv_np = g["__rv"].take(pa.array(order, pa.int64())).to_numpy(
-            zero_copy_only=False
-        )
-        lpos, vals = _locf_vals(onv[order], sides, gstart_of_row, rv_np)
+        rv_sorted = g["__rv"].take(pa.array(order, pa.int64()))
+        lpos, match = _locf_idx(onv[order], sides, gstart_of_row)
         if bad:  # re-resolve colliding runs per TRUE key (tiny, rare)
             run_of_lpos = np.searchsorted(gstarts, lpos, side="right") - 1
             for r in sorted(bad):
@@ -145,19 +150,19 @@ def asof_join_backward(
                     zip(*(sl_keys[c].to_pylist() for c in [by]))
                 ):
                     sub.setdefault(rk, []).append(i)
-                fix: dict[int, object] = {}
+                fix: dict[int, int] = {}
                 for idxs in sub.values():
-                    best = None
+                    best = -1
                     for i in idxs:
                         if sides[s + i] == 1:
-                            best = rv_np[s + i]
+                            best = s + i
                         else:
                             fix[s + i] = best
                 for j in np.flatnonzero(run_of_lpos == r):
-                    vals[j] = fix.get(int(lpos[j]))
+                    match[j] = fix.get(int(lpos[j]), -1)
         orig_left = pa.array(order[lpos], pa.int64())
         out = {c: g[c].take(orig_left) for c in left_cols}
-        out[out_col] = pa.array(vals.tolist(), rv_type)
+        out[out_col] = _take_or_null(rv_sorted, match)
         return pa.table(out)
 
     from glue_etl_pipeline_ray.functions.groups import (
@@ -171,13 +176,15 @@ def asof_join_backward(
 
 def _carry_lookup(qk: np.ndarray, qb: np.ndarray, ent) -> np.ndarray:
     """Vectorized carry-in resolution: for each query (key, shard), the
-    value of the latest right row in any STRICTLY EARLIER shard of that
-    key, or None. ``ent`` is the broadcast (uk, ub, comp_ent, ent_k,
-    ent_rv): per-(key, shard) right maxima sorted by (key, shard), with
-    a rank-composite ``comp_ent`` (key-rank * (len(ub)+1) + shard-rank,
-    strictly increasing) so one ``np.searchsorted`` resolves the whole
-    query batch — no per-row Python, no dict broadcast."""
-    uk, ub, comp_ent, ent_k, ent_rv = ent
+    INDEX (into the broadcast maxima table, -1 for none) of the latest
+    right row in any STRICTLY EARLIER shard of that key. ``ent`` is the
+    broadcast (uk, ub, comp_ent, ent_k, ent_rv): per-(key, shard) right
+    maxima sorted by (key, shard), with a rank-composite ``comp_ent``
+    (key-rank * (len(ub)+1) + shard-rank, strictly increasing) so one
+    ``np.searchsorted`` resolves the whole query batch — no per-row
+    Python, no dict broadcast. Values are gathered later by Arrow
+    ``take`` so every type round-trips losslessly."""
+    uk, ub, comp_ent, ent_k, _ent_rv = ent
     comp_q = np.searchsorted(uk, qk) * np.int64(len(ub) + 1) + np.searchsorted(
         ub, qb
     )
@@ -186,10 +193,7 @@ def _carry_lookup(qk: np.ndarray, qb: np.ndarray, ent) -> np.ndarray:
     # the found entry must belong to the SAME key (an insertion point at a
     # key boundary lands on the previous key's last shard otherwise)
     ok = (j >= 0) & (ent_k[jj] == qk)
-    out = np.empty(len(qk), object)
-    out[:] = None
-    out[ok] = ent_rv[jj[ok]]
-    return out
+    return np.where(ok, jj, np.int64(-1))
 
 
 def asof_join_backward_sharded(
@@ -296,7 +300,9 @@ def asof_join_backward_sharded(
     rv = agg["__rv"].take(pa.array(order, pa.int64()))
     last = np.r_[(k[1:] != k[:-1]) | (b[1:] != b[:-1]), True]
     ent_k, ent_b = k[last], b[last]
-    ent_rv = rv.filter(pa.array(last)).to_numpy(zero_copy_only=False)
+    # kept as Arrow: gathered by `take` in the kernel, lossless for
+    # every value type (numpy round-trip would float64 nullable ints)
+    ent_rv = rv.filter(pa.array(last)).combine_chunks()
     # within a key, the per-shard max `on` is monotone in shard id, so
     # "latest right row in any earlier shard" = the LAST maxima entry
     # with shard < query shard — resolvable by binary search alone. Keep
@@ -371,20 +377,29 @@ def asof_join_backward_sharded(
         gstart_of_row = np.repeat(gstarts, np.diff(np.r_[gstarts, n]))
         valid = cm >= gstart_of_row
         lpos = np.flatnonzero(~is_r)
-        rv_np = g["__rv"].take(pa.array(order, pa.int64())).to_numpy(
-            zero_copy_only=False
-        )
-        vals = np.empty(len(lpos), object)
-        vals[:] = None
+        rv_sorted = g["__rv"].take(pa.array(order, pa.int64()))
         hit = valid[lpos]
-        vals[hit] = rv_np[cm[lpos[hit]]]
+        match = np.where(hit, cm[lpos], np.int64(-1))
+        values = rv_sorted
         miss = ~hit
         if miss.any():  # no in-shard right row before this left row
             ent = _get_broadcast(carry_ref)
-            vals[miss] = _carry_lookup(ks[lpos[miss]], bs[lpos[miss]], ent)
+            cidx = _carry_lookup(ks[lpos[miss]], bs[lpos[miss]], ent)
+            # carry hits index the broadcast maxima, appended after the
+            # n in-partition rows so ONE take gathers both sources
+            mpos = np.flatnonzero(miss)
+            found = cidx >= 0
+            match[mpos[found]] = n + cidx[found]
+
+            def _chunks(a):
+                return a.chunks if isinstance(a, pa.ChunkedArray) else [a]
+
+            values = pa.chunked_array(
+                _chunks(rv_sorted) + _chunks(ent[4]), type=rv_type
+            )
         orig_left = pa.array(order[lpos], pa.int64())
         out = {c: g[c].take(orig_left) for c in left_cols}
-        out[out_col] = pa.array(vals.tolist(), rv_type)
+        out[out_col] = _take_or_null(values, match)
         return pa.table(out)
 
     from glue_etl_pipeline_ray.functions.groups import (

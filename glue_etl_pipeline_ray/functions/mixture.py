@@ -118,11 +118,15 @@ def mixture_sample(
         r = np.array([rate_arr.get(s, 0.0) for s in uniq])[inv]
         return t.filter(pa.array(u < r))
 
+    expect = int(sum(rates[s] * counts[s] for s in rates))
     plan = {
         "counts": counts,
         "rates": rates,
         "unit": weight_col or "rows",
-        "expected_rows": int(sum(rates[s] * counts[s] for s in rates)),
+        # counts are in `unit` units: with weight_col set this is the
+        # expected surviving WEIGHT (e.g. tokens), not a row count
+        "expected_kept": expect,
+        **({} if weight_col else {"expected_rows": expect}),
     }
     return ds.map_batches(thin, batch_format="pyarrow", batch_size=None), plan
 

@@ -20,6 +20,30 @@ import ray
 from ray.data import Dataset
 
 
+def _make_final_topk(k: int):
+    """Shared per-query reduce for every ANN path (brute / IVF /
+    project-rerank): fold block-local candidates to the global top-k
+    with the (-sim, id) tie-break, emitting (query_id, rank, vec_id).
+    One definition so the three search paths' output contracts cannot
+    silently diverge."""
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        s = group["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    [group["query_id"][0].as_py()] * len(order), pa.int64()
+                ),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+                "vec_id": pa.array(ids[order], pa.int64()),
+            }
+        )
+
+    return final_topk
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col].combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -72,22 +96,8 @@ def cosine_topk(
             }
         )
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        s = group["sim"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -s))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array(
-                    [group["query_id"][0].as_py()] * len(order), pa.int64()
-                ),
-                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-                "vec_id": pa.array(ids[order], pa.int64()),
-            }
-        )
-
     partial = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_make_final_topk(k), batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- IVF
@@ -203,22 +213,8 @@ def ivf_topk(
             }
         )
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        s = group["sim"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -s))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array(
-                    [group["query_id"][0].as_py()] * len(order), pa.int64()
-                ),
-                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-                "vec_id": pa.array(ids[order], pa.int64()),
-            }
-        )
-
     partial = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_make_final_topk(k), batch_format="pyarrow")
 
 
 def embed_cosine_pairs(
@@ -489,23 +485,9 @@ def project_rerank_topk(
             }
         )
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        s = group["sim"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -s))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array(
-                    [group["query_id"][0].as_py()] * len(order), pa.int64()
-                ),
-                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-                "vec_id": pa.array(ids[order], pa.int64()),
-            }
-        )
-
     scored = ds.map_batches(
         rerank_block, batch_format="pyarrow", batch_size=None
     )
     return scored.groupby("query_id").map_groups(
-        final_topk, batch_format="pyarrow"
+        _make_final_topk(k), batch_format="pyarrow"
     )

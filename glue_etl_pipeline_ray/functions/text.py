@@ -438,15 +438,25 @@ def normalize_text(
             non_ascii = pc.fill_null(
                 pc.match_substring_regex(s, r"[^\x00-\x7f]"), False
             )
-            idx = np.flatnonzero(
-                non_ascii.combine_chunks().to_numpy(zero_copy_only=False)
-            )
+            sc = s.combine_chunks()
+            mask = non_ascii.combine_chunks()
+            idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
             if len(idx):
-                vals = s.combine_chunks().to_pylist()
-                for i in idx:
-                    if vals[i] is not None:
-                        vals[i] = unicodedata.normalize("NFC", vals[i])
-                s = pa.chunked_array([pa.array(vals, pa.string())])
+                # normalize ONLY the selected rows and scatter them back
+                # (replace_with_mask) — the unselected majority stays on
+                # the zero-copy Arrow path instead of round-tripping the
+                # whole column through Python lists
+                sel = sc.take(pa.array(idx, pa.int64())).to_pylist()
+                repl = pa.array(
+                    [
+                        v if v is None else unicodedata.normalize("NFC", v)
+                        for v in sel
+                    ],
+                    pa.string(),
+                )
+                s = pa.chunked_array(
+                    [pc.replace_with_mask(sc, mask, repl)]
+                )
         if lowercase:
             s = pc.utf8_lower(s)
         s = pc.replace_substring_regex(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")

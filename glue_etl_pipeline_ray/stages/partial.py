@@ -41,7 +41,14 @@ def make_partial_lww(spec: TableSpec, num_buckets: int):
         import polars as pl
 
         df = pl.from_arrow(batch)
-        df = df.sort(seq_col).unique(subset=key_cols, keep="last", maintain_order=True)
+        # maintain_order on the SORT too: polars sorts are unstable by
+        # default, so equal-(key, seq) rows with different payloads
+        # would pick a nondeterministic survivor — diverging from the
+        # raw exchange's stable lexsort (last input row wins) and
+        # breaking byte-reproducibility between the two exchange modes
+        df = df.sort(seq_col, maintain_order=True).unique(
+            subset=key_cols, keep="last", maintain_order=True
+        )
         out = df.to_arrow()
         # polars may emit large_string; normalize back to the event schema types
         out = out.cast(batch.schema)

@@ -83,7 +83,8 @@ class DocValidator:
         if not self.allow_unknown:
             for k in doc:
                 if k not in schema:
-                    errors.append(f"{path}.{k}" if path else k + ": unknown field")
+                    fpath = f"{path}.{k}" if path else k
+                    errors.append(f"{fpath}: unknown field")
 
     def _check_value(self, value, rules: dict, path: str, errors: list[str]) -> None:
         if value is None:

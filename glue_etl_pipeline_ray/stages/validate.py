@@ -152,6 +152,14 @@ class ValidateFn:
         if n_dirty == 0:
             return batch  # zero-copy fast path: nothing to quarantine
         clean = batch.filter(pc.invert(any_fail))
+        if not self.dlq_dir:
+            # no dead-letter sink configured: refuse to silently drop —
+            # the module contract is every row lands in exactly one of
+            # {clean stream, dead letter}
+            raise ValueError(
+                f"{n_dirty} row(s) failed validation but no dlq_dir is "
+                "configured; pass dlq_dir to quarantine instead of drop"
+            )
         if n_dirty and self.dlq_dir:
             dirty = batch.filter(any_fail)
             # error detail strings only for the dirty minority

@@ -176,3 +176,95 @@ def test_partition_exchange_all_empty_keeps_schema(ray_session):
     )
     got = out.take_all()
     assert got == []
+
+
+# ----------------------------------------------------------------- joins
+@pytest.mark.parametrize("sharded", [False, True])
+def test_asof_join_int64_values_past_2p53_lossless(
+    tmp_path, sharded, ray_session
+):
+    """Integer right-values above 2^53 must come through the as-of join
+    bit-exact — the null-bearing __rv column used to round-trip through
+    float64."""
+    import ray.data
+
+    from glue_etl_pipeline_ray.functions.joins import (
+        asof_join_backward,
+        asof_join_backward_sharded,
+    )
+
+    big = 2**55 + 3
+    # sharded variant's contract: integer `by` key (hash-bucketed)
+    right = ray.data.from_arrow(
+        pa.table({"k": [1, 1], "ts": [10, 20], "v": pa.array([big, big + 1], pa.int64())})
+    )
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 1, 1], "ts": [5, 15, 25]})
+    )
+    fn = asof_join_backward_sharded if sharded else asof_join_backward
+    kw = {"bucket_width": 100} if sharded else {}
+    out = (
+        fn(left, right, by="k", on="ts", left_cols=["k", "ts"],
+           right_value_col="v", out_col="matched", **kw)
+        .take_all()
+    )
+    got = {r["ts"]: r["matched"] for r in out}
+    assert got == {5: None, 15: big, 25: big + 1}
+
+
+# ----------------------------------------------------------------- dedup
+def test_simhash_rejects_unguaranteed_radius(ray_session):
+    import ray.data
+
+    from glue_etl_pipeline_ray.functions.dedup import simhash_pairs
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError, match="recall guarantee"):
+        simhash_pairs(ds, max_hamming=4)
+
+
+# -------------------------------------------------------------- validate
+def test_validate_without_dlq_refuses_to_drop():
+    from glue_etl_pipeline_ray.stages.validate import ValidateFn
+
+    spec = repo_file_spec(num_buckets=4)
+    bad = pa.table(
+        {
+            "seq": pa.array([1], pa.int64()),
+            "batch_id": pa.array([0], pa.int64()),
+            "op": pa.array(["INSERT"], pa.string()),
+            "repo": pa.array([None], pa.string()),  # violates not_null
+            "path": pa.array(["a.py"], pa.string()),
+            "commit": pa.array(["ab" * 20], pa.string()),
+            "lang": pa.array(["py"], pa.string()),
+            "content": pa.array(["x"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="no dlq_dir"):
+        ValidateFn(spec)(bad)
+
+
+# --------------------------------------------------------------- partial
+def test_partial_lww_equal_seq_survivor_is_last_input_row():
+    """Equal-(key, seq) rows: the partial reduce keeps the LAST input
+    row deterministically (stable sort), matching the raw exchange."""
+    from glue_etl_pipeline_ray.stages.partial import make_partial_lww
+
+    spec = repo_file_spec(num_buckets=4)
+    fn = make_partial_lww(spec, 4)
+    rows = pa.table(
+        {
+            "seq": pa.array([7, 7, 7], pa.int64()),
+            "batch_id": pa.array([0, 0, 0], pa.int64()),
+            "op": pa.array(["INSERT"] * 3, pa.string()),
+            "repo": pa.array(["o/r"] * 3, pa.string()),
+            "path": pa.array(["f.py"] * 3, pa.string()),
+            "commit": pa.array(["ab" * 20] * 3, pa.string()),
+            "lang": pa.array(["py"] * 3, pa.string()),
+            "content": pa.array(["first", "middle", "last"], pa.string()),
+        }
+    )
+    for _ in range(5):  # stable across repeats
+        out = fn(rows)
+        assert out.num_rows == 1
+        assert out["content"][0].as_py() == "last"

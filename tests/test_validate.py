@@ -101,15 +101,17 @@ def test_dlq_write_is_idempotent(tmp_path, spec):
     assert pq.read_table(files[0]).num_rows == 1
 
 
-def test_range_rule():
+def test_range_rule(tmp_path):
     spec = TableSpec(
         name="t",
         key_cols=("k",),
         base_cols=(("v", "double"),),
         rules=(Rule("v", "range", lo=0.0, hi=10.0),),
     )
-    v = ValidateFn(spec, None)
     t = pa.table({"k": ["a", "b", "c"], "seq": [1, 2, 3],
                   "op": ["INSERT"] * 3, "v": [5.0, -1.0, None]})
-    out = v(t)
+    # dlq-less validation must refuse to silently drop the dirty row
+    with pytest.raises(ValueError, match="no dlq_dir"):
+        ValidateFn(spec, None)(t)
+    out = ValidateFn(spec, str(tmp_path / "dlq"))(t)
     assert out["k"].to_pylist() == ["a", "c"]  # null tolerated, -1 rejected
