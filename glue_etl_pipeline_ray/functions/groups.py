@@ -158,6 +158,8 @@ def grouped_apply(
             mat = ds.materialize()
             n_blocks = mat.num_blocks()
         except Exception:
+            if exchange == "raycore":  # explicit request: fail loud,
+                raise  # never silently run the 4-5x-slower sort plan
             mat = None
         empty_out = None
         if mat is not None:
@@ -169,7 +171,15 @@ def grouped_apply(
                 sch = mat.schema()
                 empty_in = getattr(sch, "base_schema", sch).empty_table()
                 empty_out = fn(empty_in)
-            except Exception:
+            except Exception as e:
+                if exchange == "raycore":
+                    raise ValueError(
+                        "exchange='raycore' was requested explicitly "
+                        "but fn raised on the 0-row schema probe (the "
+                        "raycore plan needs a typed empty output for "
+                        "empty hash groups); make fn accept a 0-row "
+                        "table or use exchange='auto'/'sort'"
+                    ) from e
                 empty_out = None
         if mat is not None and empty_out is not None:
             if (

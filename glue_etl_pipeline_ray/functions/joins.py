@@ -604,13 +604,15 @@ def left_outer_join(
     bounded block counts.
 
     Duplicate-key safety: a key duplicated on BOTH sides emits its
-    cartesian in ``chunk_rows``-bounded chunks (peak allocation stays
-    flat — see :func:`cartesian_chunks`), and a group whose output
-    would exceed ``max_group_rows`` raises a loud ValueError naming
-    the key instead of silently blowing one task (the output is
-    inherently quadratic in that key's duplication; the cap makes the
-    modeling error visible). Non-key column names must be disjoint
-    across the two sides."""
+    cartesian via ``chunk_rows``-bounded take slices (each gather is
+    bounded; :func:`cartesian_chunks` is the single-key reference form
+    of the same discipline), and any SINGLE key whose output would
+    exceed ``max_group_rows`` raises a loud ValueError naming that key
+    instead of silently blowing one task (the output is inherently
+    quadratic in that key's duplication; the cap makes the modeling
+    error visible — partition totals are NOT capped, since a healthy
+    1:N join legitimately emits large outputs across many keys).
+    Non-key column names must be disjoint across the two sides."""
     from glue_etl_pipeline_ray.functions.groups import grouped_apply
 
     if how not in ("left", "inner"):
@@ -685,16 +687,27 @@ def left_outer_join(
         hi = np.searchsorted(rk_s, lk, side="right")
         cnt = hi - lo
         total = int(cnt.sum())
-        if total > max_group_rows:
-            worst = int(np.argmax(cnt))
-            raise ValueError(
-                f"left_outer_join: partition would emit {total} rows — "
-                f"over max_group_rows={max_group_rows}; worst key "
-                f"{lt[on][worst].as_py()!r} matches {int(cnt[worst])} "
-                "right rows (a key this duplicated on both sides is "
-                "almost always a modeling error; raise the cap "
-                "explicitly if the cross product is intended)"
+        # per-KEY cap (not partition-total: a healthy 1:N join's
+        # partition can legitimately emit billions of rows across many
+        # keys): output for key k is lcount(k) * rcount(k) = the sum of
+        # cnt over the left rows carrying k — the quantity that goes
+        # quadratic when ONE key is duplicated on both sides
+        valid = lk >= 0
+        if valid.any():
+            key_rows = np.bincount(
+                lk[valid], weights=cnt[valid].astype(np.float64),
+                minlength=len(uniq),
             )
+            worst_k = int(np.argmax(key_rows))
+            if key_rows[worst_k] > max_group_rows:
+                raise ValueError(
+                    f"left_outer_join: key {uniq[worst_k].as_py()!r} "
+                    f"would emit {int(key_rows[worst_k])} rows — over "
+                    f"max_group_rows={max_group_rows} (a key this "
+                    "duplicated on both sides is almost always a "
+                    "modeling error; raise the cap explicitly if the "
+                    "cross product is intended)"
+                )
         matched = cnt > 0
         li = np.repeat(np.arange(lt.num_rows), cnt)
         ri = r_order[

@@ -252,11 +252,19 @@ class ReplayEngine:
                 for b, fs in pending
             ]
         applied = {s["batch_id"] for s in summaries}
+        # drain any staged-but-uncommitted DML AFTER the ingest batches:
+        # DML stages at watermark+1 — the exact id upstream ships next —
+        # so if this run consumed that id, resume_dml's token check sees
+        # the aliasing and re-stages the DML onto the now-free id; with
+        # no collision it simply applies. Either way a crash-orphaned
+        # DML can never be silently dropped by a plain ingest run.
+        resumed = self.resume_dml()
         return {
             "applied_batches": sorted(applied),
             "skipped_committed": [b for b, _ in batches if b not in applied],
             "watermark": self.ckpt.watermark,
             "summaries": summaries,
+            **({"resumed_dml": resumed} if resumed else {}),
         }
 
     def follow(
@@ -530,6 +538,13 @@ class ReplayEngine:
             "buckets_touched": len(records),
             "evolved": [list(e) for e in evolved],
         }
+        # DML identity rides the COMMIT itself (kind + stage token), so
+        # there is no annotate-after-commit crash window and resume_dml
+        # can tell "this batch id is our committed DML" from "an
+        # ordinary ingest replay took the id" (see resume_dml)
+        extra = getattr(self, "_batch_extra", None)
+        if extra:
+            summary.update(extra)
         if _fail_before_commit:
             raise RuntimeError(f"injected crash before commit of batch {batch_id}")
         old_versions = self.ckpt.bucket_versions
@@ -748,6 +763,8 @@ class ReplayEngine:
             if self.retain_batches is not None
             else self.ckpt.watermark
         )
+        import json as _json
+
         n = 0
         for d in sorted(os.listdir(root)):
             m = _BATCH_RE.search(d)
@@ -755,6 +772,20 @@ class ReplayEngine:
                 continue
             bid = int(m.group(1))
             if bid <= horizon and self.ckpt.is_committed(bid):
+                # only purge stages whose commit is OURS: a tokened stage
+                # whose batch id was taken by an ingest commit is still
+                # pending (resume_dml re-stages it) — purging it here
+                # would silently lose the requested DML
+                man = os.path.join(root, d, "MANIFEST.json")
+                if os.path.exists(man):
+                    try:
+                        token = _json.load(open(man)).get("token")
+                    except (OSError, ValueError):
+                        token = None
+                    if token and self.ckpt._m["batches"].get(
+                        str(bid), {}
+                    ).get("dml_token") != token:
+                        continue
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
                 n += 1
         return n
@@ -1043,9 +1074,21 @@ class ReplayEngine:
         records the source lake's identity, so an out_dir last fed by a
         DIFFERENT lake is detected even when watermark/evolved happen
         to agree). Compactions and folds don't force one (they never
-        change live content). A full pass also sweeps part files this
-        exporter owns (exact ``part-NNNNN.parquet`` names) that the new
-        manifest no longer references; foreign files are preserved."""
+        change live content).
+
+        Re-export snapshot isolation: every export writes its touched
+        buckets under GENERATION-versioned names
+        (``part-NNNNN-g######.parquet``, monotone per out_dir) and the
+        manifest records exact filenames — a re-export never overwrites
+        a file the PRIOR manifest references, so a reader resolving
+        files through a manifest sees one consistent generation even
+        while (or after a crash while) the next export runs (in-place
+        names previously made a crashed re-export serve a torn mix of
+        two watermarks under the old manifest). After the manifest
+        commit, exporter-owned files the new manifest doesn't reference
+        are swept, leaving the directory glob-clean at rest; a reader
+        still holding the pre-swap manifest then gets a loud missing-
+        file error, never silently mixed data."""
         import json as _json
 
         from glue_etl_pipeline_ray.stages.merge import (
@@ -1091,8 +1134,18 @@ class ReplayEngine:
             or prior.get("watermark", -1) > wm
         )
 
+        # monotone per-out_dir generation: touched buckets get NEW file
+        # names every export, so the prior manifest's files stay intact
+        # (snapshot isolation for manifest-resolving readers; a crashed
+        # export's orphans are overwritten by the deterministic re-run)
+        gen = (prior.get("gen", 0) if prior else 0) + 1
+        prior_files = {
+            int(b): v["file"]
+            for b, v in (prior.get("buckets", {}) if prior else {}).items()
+        }
+
         def fname(b: int) -> str:
-            return f"part-{b:05d}.parquet"
+            return f"part-{b:05d}-g{gen:06d}.parquet"
 
         if full_needed:
             todo = set(pointers)
@@ -1104,17 +1157,13 @@ class ReplayEngine:
                 if r.get("kind") == "bucket"
                 and int(r.get("batch_id", -1)) > prior_wm
             }
-            prior_buckets = {int(b) for b in prior.get("buckets", {})}
             missing = {
                 b
                 for b in pointers
-                if not os.path.exists(os.path.join(out_dir, fname(b)))
+                if b not in prior_files
+                or not os.path.exists(os.path.join(out_dir, prior_files[b]))
             }
-            todo = (
-                (touched & set(pointers))
-                | missing
-                | (set(pointers) - prior_buckets)
-            )
+            todo = (touched & set(pointers)) | missing
 
         @ray.remote
         def export_bucket(lake_dir, dest, b, base, deltas):
@@ -1153,6 +1202,7 @@ class ReplayEngine:
             "watermark": wm,
             "evolved": evolved_l,
             "n_backfills": n_bf,
+            "gen": gen,
             "key_cols": list(spec.key_cols),
             "columns": cols,
             "buckets": buckets,
@@ -1161,20 +1211,24 @@ class ReplayEngine:
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
         os.replace(tmp, man_path)
-        # a FULL pass owns the whole out_dir: sweep part files this
-        # exporter provably wrote (exact naming scheme) that the new
-        # manifest no longer references (e.g. a prior export from a
-        # different lake). AFTER the atomic manifest commit, so a crash
+        # sweep part files this exporter provably wrote (exact naming
+        # scheme, generation-suffixed or legacy) that the new manifest
+        # does not reference — superseded generations and foreign-lake
+        # leftovers. AFTER the atomic manifest commit, so a crash
         # mid-sweep only leaves unreferenced orphans, never a manifest
-        # pointing at deleted files. Foreign files are preserved.
+        # pointing at deleted files; at rest the directory holds exactly
+        # the manifest's files (plain-glob consumers stay duplicate-
+        # free). Foreign files are preserved.
         stale = 0
-        if full_needed:
-            keep = {v["file"] for v in buckets.values()}
-            for p in glob.glob(os.path.join(out_dir, "part-*.parquet")):
-                bn = os.path.basename(p)
-                if re.fullmatch(r"part-\d{5}\.parquet", bn) and bn not in keep:
-                    os.remove(p)
-                    stale += 1
+        keep = {v["file"] for v in buckets.values()}
+        for p in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+            bn = os.path.basename(p)
+            if (
+                re.fullmatch(r"part-\d{5}(-g\d{6})?\.parquet", bn)
+                and bn not in keep
+            ):
+                os.remove(p)
+                stale += 1
         return {
             "exported_buckets": len(results),
             "reused_buckets": len(buckets) - len(results),
@@ -2275,38 +2329,118 @@ class ReplayEngine:
                 shutil.rmtree(stage, ignore_errors=True)
                 continue
             try:
-                kind = _json.load(open(man)).get("kind")
+                man_d = _json.load(open(man))
             except (OSError, ValueError):
-                kind = None
+                man_d = {}
+            kind = man_d.get("kind")
+            token = man_d.get("token")
             if self.ckpt.is_committed(bid):
-                # self-heal the history annotation: a crash between the
-                # commit and annotate_batch leaves the kind unrecorded,
-                # but the stage manifest still knows it
-                if kind and "dml" not in self.ckpt._m["batches"].get(
-                    str(bid), {}
-                ):
+                s = self.ckpt._m["batches"].get(str(bid), {})
+                if token and s.get("dml_token") != token:
+                    # batch-id ALIASING: the stage crashed pre-commit and
+                    # an ordinary ingest replay later committed ITS OWN
+                    # batch under this id (DML always stages at
+                    # watermark+1 — exactly the id upstream ships next).
+                    # The staged DML never applied; re-stage it under the
+                    # next free id. Seqs stay as staged: the DML was
+                    # issued before that ingest batch, and LWW arbitrates
+                    # exactly as for any later-arriving upstream events.
+                    return self._restage_and_apply(stage, man_d)
+                # committed by us: self-heal the history annotation for
+                # stages committed by pre-token code (the kind now rides
+                # the commit itself, so this is legacy-lake repair only)
+                if kind and "dml" not in s:
                     self.ckpt.annotate_batch(bid, {"dml": kind})
                 continue
             files = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
-            summary = self._dml_apply(bid, files)
+            summary = self._dml_apply(bid, files, kind=kind, token=token)
             if kind:
                 summary["dml"] = kind
-                self.ckpt.annotate_batch(bid, {"dml": kind})
             return summary
         return None
 
-    def _dml_apply(self, batch_id: int, files: list[str]) -> dict:
+    def _restage_and_apply(self, old_stage: str, man: dict) -> dict:
+        """Move a crash-orphaned DML stage whose batch id was since taken
+        by an ingest commit (see resume_dml) to the next free id and
+        apply it: part files are rewritten with the new ``batch_id``
+        column (provenance), a fresh MANIFEST (new token) commits the
+        rename, and only then is the old stage removed — a crash at any
+        point leaves either the old stage (retried) or a complete new
+        stage (applied by the next resume)."""
+        import json as _json
+        import shutil
+        import uuid
+
+        from glue_etl_pipeline_ray.stages.merge import write_atomic
+
+        kind = man.get("kind")
+        new_bid = self.ckpt.watermark + 1
+        new_stage = os.path.join(self._dml_root(), f"batch={new_bid:05d}")
+        if os.path.isdir(new_stage):  # half-restaged leftover: rebuild
+            shutil.rmtree(new_stage, ignore_errors=True)
+        os.makedirs(new_stage, exist_ok=True)
+        bcol = self.spec.batch_col
+        files = sorted(man.get("files", []))
+        for f in files:
+            t = pq.read_table(os.path.join(old_stage, f))
+            t = t.set_column(
+                t.schema.get_field_index(bcol),
+                bcol,
+                pa.array(np.full(t.num_rows, new_bid, np.int64)),
+            )
+            write_atomic(os.path.join(new_stage, f), t)
+        token = uuid.uuid4().hex
+        new_man = dict(
+            man,
+            batch_id=new_bid,
+            token=token,
+            files=files,
+            restaged_from=man.get("batch_id"),
+        )
+        tmp = os.path.join(new_stage, "MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(new_man, fh)
+        os.replace(tmp, os.path.join(new_stage, "MANIFEST.json"))
+        shutil.rmtree(old_stage, ignore_errors=True)
+        summary = self._dml_apply(
+            new_bid,
+            [os.path.join(new_stage, f) for f in files],
+            kind=kind,
+            token=token,
+        )
+        if kind:
+            summary["dml"] = kind
+        summary["restaged_from"] = man.get("batch_id")
+        return summary
+
+    def _dml_apply(
+        self,
+        batch_id: int,
+        files: list[str],
+        kind: str | None = None,
+        token: str | None = None,
+    ) -> dict:
         """Commit a staged DML batch through the normal replay path.
         The source-origin event filter is bypassed: synthesized events
-        are engine-internal, not upstream traffic."""
+        are engine-internal, not upstream traffic. ``kind``/``token``
+        are persisted atomically WITH the commit (via ``_batch_extra``)
+        so history() and resume_dml identity never need a second
+        write."""
         saved = self.event_filter
+        extra: dict = {}
+        if kind:
+            extra["dml"] = kind
+        if token:
+            extra["dml_token"] = token
         self.event_filter = None
+        self._batch_extra = extra or None
         try:
             if self.exchange == "raycore":
                 return self._replay_pipelined([(batch_id, files)], None)[0]
             return self.apply_batch(batch_id, files)
         finally:
             self.event_filter = saved
+            self._batch_extra = None
 
     @_with_writer_lease
     def delete_where(
@@ -2495,7 +2629,6 @@ class ReplayEngine:
                 )
             return summary
 
-        from glue_etl_pipeline_ray.hashing import bucket_of
         from glue_etl_pipeline_ray.stages.merge import (
             CHANGE_TYPE_COL,
             SEQ_COL,
@@ -2516,7 +2649,8 @@ class ReplayEngine:
         payload = [(n, spec.base_type(n)) for n in spec.base_col_names] + [
             (n, type_from_name(t)) for n, t in evolved
         ]
-        nb = spec.num_buckets
+        # NOTE: no re-bucketing here (unlike merge_into) — the feed refs
+        # are already per-bucket, so the protos route for free
         pointers = {b: (base, d) for b, base, d in self._bucket_pointers()}
 
         # the inverse-change proto events, derived bucket-local from the
@@ -2864,9 +2998,13 @@ class ReplayEngine:
                 if m["n"]
             ]
         )
+        import uuid
+
+        token = uuid.uuid4().hex
         manifest = {
             "kind": kind,
             "batch_id": batch_id,
+            "token": token,
             "n_matched": total,
             "seq_base": base_seq,
             "files": sorted(f for f, _ in written),
@@ -2876,9 +3014,9 @@ class ReplayEngine:
             _json.dump(manifest, fh)
         os.replace(tmp, os.path.join(stage, "MANIFEST.json"))
         files = [os.path.join(stage, f) for f in manifest["files"]]
-        summary = self._dml_apply(batch_id, files)
+        # kind + token land atomically with the commit — history() sees
+        # the kind in fresh processes with no annotate-after crash window
+        summary = self._dml_apply(batch_id, files, kind=kind, token=token)
         summary["dml"] = kind
         summary["n_matched"] = total
-        # persist the kind so history() reports it in fresh processes
-        self.ckpt.annotate_batch(batch_id, {"dml": kind})
         return summary

@@ -100,7 +100,7 @@ def test_dml_crash_after_stage_resumes_exactly_once(tmp_path, mode):
     eng = ReplayEngine(spec, str(tmp_path / "lake"), state_mode=mode)
     eng.replay(meta["events_dir"])
     orig_apply = ReplayEngine._dml_apply
-    ReplayEngine._dml_apply = lambda self, bid, files: (_ for _ in ()).throw(
+    ReplayEngine._dml_apply = lambda self, *a, **k: (_ for _ in ()).throw(
         RuntimeError("injected crash after stage")
     )
     try:
@@ -257,7 +257,7 @@ def test_merge_into_crash_after_stage_resumes(tmp_path):
     eng = ReplayEngine(spec, str(tmp_path / "lake"))
     eng.replay(meta["events_dir"])
     orig = ReplayEngine._dml_apply
-    ReplayEngine._dml_apply = lambda self, bid, files: (_ for _ in ()).throw(
+    ReplayEngine._dml_apply = lambda self, *a, **k: (_ for _ in ()).throw(
         RuntimeError("injected crash after stage")
     )
     try:
@@ -411,7 +411,7 @@ def test_gc_dml_staging_follows_retention_discipline(tmp_path, ray_session):
     assert not glob.glob(os.path.join(lake, "_dml", "batch=*"))
     # staged-but-uncommitted survives the sweep
     orig = ReplayEngine._dml_apply
-    ReplayEngine._dml_apply = lambda self, bid, files: (_ for _ in ()).throw(
+    ReplayEngine._dml_apply = lambda self, *a, **k: (_ for _ in ()).throw(
         RuntimeError("crash")
     )
     try:
@@ -451,3 +451,52 @@ def test_restore_inside_retention_window(tmp_path, mode, ray_session):
     assert eng.final_sha256() == want
     with pytest.raises(Exception):
         eng.restore(0)  # outside the window: no silent wrong answer
+
+
+@pytest.mark.parametrize("mode", ["rewrite", "delta"])
+def test_dml_stage_survives_batch_id_aliasing(tmp_path, mode):
+    """Crash after staging batch N, then an ordinary ingest replay
+    commits upstream batch N (DML always stages at watermark+1 — the
+    exact id upstream ships next): the staged DML must re-stage onto
+    the next free id and apply, never be silently dropped, and the
+    ingest batch must NOT be mislabeled as DML in history."""
+    meta = generate_change_events(str(tmp_path), n_events=3000, n_batches=3, seed=21)
+    ev = meta["events_dir"]
+    spec = repo_file_spec(num_buckets=16)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake, state_mode=mode)
+    eng.replay(ev, max_batches=2)  # commits 0,1 -> watermark 1
+
+    orig = ReplayEngine._dml_apply
+    ReplayEngine._dml_apply = lambda self, *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash after stage")
+    )
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            eng.delete_where(_del_md)  # stages batch 2, never commits
+    finally:
+        ReplayEngine._dml_apply = orig
+
+    # a fresh plain-ingest run ships upstream batch 2 — the staged id
+    fresh = ReplayEngine(spec, lake, state_mode=mode)
+    r = fresh.replay(ev)
+    assert 2 in r["applied_batches"]  # the INGEST batch took id 2
+    # ... and the orphaned DML re-staged onto id 3 and applied
+    assert r.get("resumed_dml") is not None
+    assert r["resumed_dml"]["restaged_from"] == 2
+    assert r["resumed_dml"]["dml"] == "delete"
+    s2 = fresh.ckpt._m["batches"]["2"]
+    s3 = fresh.ckpt._m["batches"]["3"]
+    assert "dml" not in s2, "ingest batch mislabeled as DML"
+    assert s3.get("dml") == "delete"
+
+    # ground truth: full stream + the re-staged DML batch, oracle-exact
+    oracle = _oracle_with_dml(spec, ev, lake, str(tmp_path / "oev"))
+    assert fresh.final_sha256() == oracle["sha256"]
+
+    # idempotence: nothing further to apply or resume
+    r2 = fresh.replay(ev)
+    assert r2["applied_batches"] == [] and "resumed_dml" not in r2
+    assert fresh.final_sha256() == oracle["sha256"]
+    # the committed re-staged stage is recognized as ours (no loop)
+    assert fresh.resume_dml() is None

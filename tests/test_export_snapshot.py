@@ -159,8 +159,51 @@ def test_missing_part_file_self_heals(ray_session, tmp_path):
     os.remove(victim)
     out = eng.export_snapshot(exp)  # incremental; nothing touched
     assert not out["full"] and out["exported_buckets"] >= 1
-    assert os.path.exists(victim)
+    # the healed bucket is re-served under the NEW manifest (a fresh
+    # generation-versioned name — never an in-place rewrite); every
+    # manifest-referenced file must exist
+    man = json.load(open(os.path.join(exp, "_export_manifest.json")))
+    for v in man["buckets"].values():
+        assert os.path.exists(os.path.join(exp, v["file"]))
     got = _read_export(exp, spec.key_cols)
     assert table_sha256(got, spec.key_cols) == table_sha256(
         eng.final_table(), spec.key_cols
     )
+
+
+def test_reexport_never_overwrites_prior_manifest_files(ray_session, tmp_path):
+    """Torn-re-export safety: a later export must write touched buckets
+    under NEW generation-versioned names — a reader (or crash) holding
+    the prior manifest can never observe a referenced file's content
+    change under it. At rest the directory holds exactly the new
+    manifest's files."""
+    gen = generate_change_events(
+        str(tmp_path / "w"), n_events=4000, n_batches=3, seed=13
+    )
+    spec = repo_file_spec()
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(gen["events_dir"], max_batches=2)
+    exp = str(tmp_path / "exp")
+    eng.export_snapshot(exp)
+    man1 = json.load(open(os.path.join(exp, "_export_manifest.json")))
+
+    eng.replay(gen["events_dir"])  # batch 2 touches some buckets
+    out = eng.export_snapshot(exp)
+    assert not out["full"] and out["exported_buckets"] >= 1
+    man2 = json.load(open(os.path.join(exp, "_export_manifest.json")))
+    assert man2["gen"] == man1["gen"] + 1
+    touched = {
+        b for b, v in man2["buckets"].items()
+        if b in man1["buckets"] and v != man1["buckets"][b]
+    }
+    assert touched, "expected at least one re-exported bucket"
+    for b in touched:
+        assert man2["buckets"][b]["file"] != man1["buckets"][b]["file"], (
+            f"bucket {b} was rewritten in place under the prior manifest"
+        )
+    # at rest: directory == new manifest exactly (glob consumers clean)
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(exp, "part-*.parquet"))
+    }
+    assert on_disk == {v["file"] for v in man2["buckets"].values()}

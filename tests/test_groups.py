@@ -148,12 +148,32 @@ def test_exchange_paths_agree_incl_passthrough_and_empty_groups(ray_session):
         r["k"]: r["s"]
         for r in grouped_apply(ds, ["k"], group_sum, exchange="sort").take_all()
     }
-    for ex in ("raycore", "auto"):
-        got = {
-            r["k"]: r["s"]
-            for r in grouped_apply(ds, ["k"], group_sum, exchange=ex).take_all()
-        }
-        assert got == want, ex
+    got = {
+        r["k"]: r["s"]
+        for r in grouped_apply(ds, ["k"], group_sum, exchange="auto").take_all()
+    }
+    assert got == want, "auto"
+
+    # EXPLICIT raycore with the unprobeable fn fails loud (the old
+    # silent sort downgrade hid a 4-5x plan change from the caller);
+    # a probe-safe fn takes the raycore path and agrees with sort
+    import pytest
+
+    with pytest.raises(ValueError, match="0-row schema probe"):
+        grouped_apply(ds, ["k"], group_sum, exchange="raycore")
+
+    def group_sum_safe(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"k": g["k"], "s": pa.array([], pa.int64())})
+        return group_sum(g)
+
+    got = {
+        r["k"]: r["s"]
+        for r in grouped_apply(
+            ds, ["k"], group_sum_safe, exchange="raycore"
+        ).take_all()
+    }
+    assert got == want, "raycore"
 
     # passthrough_singletons: first-row-per-key identical across paths
     t2 = pa.table({"k": [1, 1, 2, 3, 3, 3], "v": [10, 11, 20, 30, 31, 32]})
@@ -178,3 +198,21 @@ def test_exchange_paths_agree_incl_passthrough_and_empty_groups(ray_session):
 
     out = grouped_apply(ds, ["k"], head_unsafe, exchange="auto").take_all()
     assert sorted(set(r["k"] for r in out)) == sorted(set(t["k"].to_pylist()))
+
+
+def test_explicit_raycore_request_raises_on_unprobeable_fn(ray_session):
+    """exchange='raycore' requested EXPLICITLY with an fn that raises on
+    the 0-row schema probe must fail loud (naming the probe), never
+    silently run the slower sort plan the caller opted out of."""
+    import pytest
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+
+    def head_unsafe(g: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array([g["k"][0].as_py()], pa.int64())})
+
+    with pytest.raises(ValueError, match="0-row schema probe"):
+        grouped_apply(
+            rd.from_arrow(t), ["k"], head_unsafe, exchange="raycore"
+        )

@@ -136,3 +136,35 @@ def test_left_outer_join_null_left_key_null_extends(ray_session):
     assert df["lv"].tolist() == [7, 8]
     assert df["rv"].isna().tolist() == [True, False]
     assert df["rv"].dropna().tolist() == [80.0]
+
+
+def test_max_group_rows_cap_is_per_key_not_partition_total(ray_session):
+    """A healthy 1:N join whose PARTITION total exceeds the cap must not
+    abort — only a single key whose own cartesian exceeds it may raise
+    (named in the error)."""
+    # 100 keys x (3 left x 4 right) = 1200 output rows, far over the
+    # cap of 50, but every key emits only 12 — must succeed
+    left = pa.table(
+        {"k": pa.array(np.repeat(np.arange(100), 3), pa.int64()),
+         "lv": pa.array(np.arange(300), pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array(np.repeat(np.arange(100), 4), pa.int64()),
+         "rv": pa.array(np.arange(400), pa.int64())}
+    )
+    out = left_outer_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k",
+        num_partitions=2, max_group_rows=50,
+    )
+    assert out.count() == 1200
+
+    # ONE key duplicated 10x on both sides: 100 > 50 -> loud error
+    hot_l = pa.table({"k": pa.array(np.full(10, 7), pa.int64()),
+                      "lv": pa.array(np.arange(10), pa.int64())})
+    hot_r = pa.table({"k": pa.array(np.full(10, 7), pa.int64()),
+                      "rv": pa.array(np.arange(10), pa.int64())})
+    with pytest.raises(Exception, match="max_group_rows"):
+        left_outer_join(
+            rd.from_arrow(hot_l), rd.from_arrow(hot_r), on="k",
+            num_partitions=1, max_group_rows=50,
+        ).materialize()
