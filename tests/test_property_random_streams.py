@@ -683,9 +683,11 @@ def dml_plan(draw):
     n_runs = draw(st.integers(2, 4))
     # between-run actions: 0 none, 1 delete_where, 2 update_where,
     # 3 merge_into (pure upsert of fresh keys), 4 restore (roll back to
-    # the previous committed batch)
+    # the previous committed batch), 5 crash-stage a delete (the NEXT
+    # ingest run then takes the staged batch id — the aliasing recovery
+    # path re-stages and applies it)
     actions = tuple(
-        draw(st.sampled_from([0, 1, 2, 3, 4])) for _ in range(n_runs - 1)
+        draw(st.sampled_from([0, 1, 2, 3, 4, 5])) for _ in range(n_runs - 1)
     )
     return n, seed, n_runs, actions
 
@@ -791,6 +793,26 @@ def test_interleaved_dml_matches_oracle(ray_session, s):
                 )
             elif a == 4 and eng.ckpt.watermark >= 1:
                 eng.restore(eng.ckpt.watermark - 1, seq_base=sb)
+            elif a == 5:
+                # stage a DML then crash before its commit: the NEXT
+                # ingest run ships the staged batch id, and replay()'s
+                # end-of-run drain must re-stage the orphan onto the
+                # then-free id and apply it (never drop it)
+                orig = ReplayEngine._dml_apply
+                ReplayEngine._dml_apply = (
+                    lambda self, *a_, **k_: (_ for _ in ()).throw(
+                        RuntimeError("injected crash after stage")
+                    )
+                )
+                try:
+                    eng.delete_where(
+                        lambda lt: pc.equal(lt["path"], "src/b.js"),
+                        seq_base=sb,
+                    )
+                except RuntimeError:
+                    pass
+                finally:
+                    ReplayEngine._dml_apply = orig
 
     # oracle: original run batches + every staged DML batch
     odir = os.path.join(work, "oev")
