@@ -232,6 +232,7 @@ class ReplayEngine:
         the named batch's merges land but before its checkpoint commit,
         simulating a crash in the at-least-once window.
         """
+        self._gc_orphaned_backfill_lineage()
         batches = discover_batches(events_dir)
         pending = [(b, fs) for b, fs in batches if not self.ckpt.is_committed(b)]
         if max_batches is not None:
@@ -890,7 +891,16 @@ class ReplayEngine:
 
         On a history-retaining lake (``gc_old_versions=False``) the old
         versions stay on disk, so ``final_table(as_of=...)`` keeps
-        resolving pre-backfill snapshots with the pre-backfill schema."""
+        resolving pre-backfill snapshots with the pre-backfill schema.
+
+        History/feed visibility: the backfill redefines state starting
+        at the NEXT span — ``as_of <= wm`` resolves pre-backfill,
+        ``as_of >= wm+1`` post-backfill, and the change feed
+        ``(wm, wm+1]`` carries the backfill's diffs for EVERY bucket
+        alongside batch ``wm+1``'s own changes (so replicas and
+        incremental views converge once they sync past ``wm``; a
+        replica anchored exactly at ``wm`` converges with its next
+        sync after batch ``wm+1`` lands)."""
         from glue_etl_pipeline_ray.spec import type_name
         from glue_etl_pipeline_ray.stages.merge import (
             SEQ_COL,
@@ -1024,35 +1034,110 @@ class ReplayEngine:
         if _fail_before_commit:
             raise RuntimeError("injected crash before backfill commit")
         new_ptrs = {b: out_v for b in in_versions}
+        # make the rewrite VISIBLE to the history machinery BEFORE the
+        # manifest commit: the backfill redefines state starting at the
+        # NEXT span (as_of <= wm keeps resolving pre-backfill), so
+        # versions_as_of / _delta_chain_pointers / the change feed pick
+        # up the new files at batch_id = wm + 1. Without these records a
+        # feed spanning the backfill silently omits every bucket the
+        # next batch didn't touch — permanent replica divergence. Write
+        # order matters: a crash between lineage and manifest leaves
+        # records a re-run rewrites (and replay GCs if never re-run);
+        # the reverse order would leave a committed rewrite the feed is
+        # permanently blind to.
+        self._write_backfill_lineage(wm, new_ptrs)
         if self.state_mode == "delta":
             self.ckpt.record_backfill(summary, None, new_ptrs, new_evolved)
         else:
             self.ckpt.record_backfill(summary, new_ptrs, None, new_evolved)
         if self.gc_old_versions:
-            # bounded retention (delta + retain_batches): superseded
-            # bases are still the ONLY source for as-of <= watermark
-            # reads inside the window — RETIRE them tagged with the
-            # current watermark (purged once the horizon passes it),
-            # exactly like _apply_fold_results; otherwise remove now.
-            retire = (
-                []
-                if self.state_mode == "delta" and self.retain_batches
-                else None
+            if self.retain_batches:
+                # bounded retention (either mode): the superseded files
+                # are still the ONLY source for as-of <= wm reads inside
+                # the window — RETIRE them tagged with their successor
+                # position wm+1 (the span the backfill becomes visible
+                # in), purged once the horizon passes it.
+                sup = [
+                    (b, v) for b, v in in_versions.items() if v != out_v
+                ]
+                if self.state_mode == "delta":
+                    self.ckpt.retire_files(
+                        [(part_name(b, v), wm + 1) for b, v in sup]
+                    )
+                else:
+                    self.ckpt.retire_versions(
+                        [[b, v, wm + 1] for b, v in sup]
+                    )
+            else:
+                for b, v_old in in_versions.items():
+                    if v_old == out_v:
+                        continue
+                    try:
+                        os.remove(
+                            os.path.join(self.lake_dir, part_name(b, v_old))
+                        )
+                    except FileNotFoundError:
+                        pass
+        return summary
+
+    def _write_backfill_lineage(
+        self, wm: int, new_ptrs: dict[int, int]
+    ) -> None:
+        """One lineage file per backfill, named to sort between
+        ``batch={wm}.jsonl`` and ``batch={wm+1}.jsonl`` so read_lineage's
+        file order stays commit order. Bucket records carry
+        ``batch_id = wm + 1`` (the span the rewrite becomes visible in)
+        and ``chain_floor = wm`` (delta chains replay strictly-after
+        deltas on top of the backfilled base)."""
+        import json as _json
+
+        lin_dir = os.path.join(self.lake_dir, "_lineage")
+        os.makedirs(lin_dir, exist_ok=True)
+        path = os.path.join(lin_dir, f"batch={wm:05d}_backfill.jsonl")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "kind": "backfill_summary",
+                        "batch_id": wm + 1,
+                        "watermark": wm,
+                    }
+                )
+                + "\n"
             )
-            for b, v_old in in_versions.items():
-                if v_old == out_v:
-                    continue
-                fname = part_name(b, v_old)
-                if retire is not None:
-                    retire.append((fname, wm))
-                    continue
+            for b, v in sorted(new_ptrs.items()):
+                f.write(
+                    _json.dumps(
+                        {
+                            "kind": "bucket",
+                            "bucket": b,
+                            "batch_id": wm + 1,
+                            "version": v,
+                            "backfill_base": True,
+                            "chain_floor": wm,
+                        }
+                    )
+                    + "\n"
+                )
+        os.replace(tmp, path)
+
+    def _gc_orphaned_backfill_lineage(self) -> None:
+        """Remove backfill lineage files whose manifest commit never
+        landed (crash between the lineage write and ``record_backfill``)
+        — without this, later batches would read half-backfilled
+        pointer sets. A re-run of the same backfill (the documented
+        recovery) rewrites the file before this ever fires."""
+        committed = {bf.get("watermark") for bf in self.ckpt.backfills}
+        for p in glob.glob(
+            os.path.join(self.lake_dir, "_lineage", "batch=*_backfill.jsonl")
+        ):
+            m = re.search(r"batch=(\d+)_backfill\.jsonl$", p)
+            if m and int(m.group(1)) not in committed:
                 try:
-                    os.remove(os.path.join(self.lake_dir, fname))
+                    os.remove(p)
                 except FileNotFoundError:
                     pass
-            if retire:
-                self.ckpt.retire_files(retire)
-        return summary
 
     # ---------------------------------------------------------------- export
     def export_snapshot(
@@ -1156,6 +1241,10 @@ class ReplayEngine:
                 for r in read_lineage(self.lake_dir)
                 if r.get("kind") == "bucket"
                 and int(r.get("batch_id", -1)) > prior_wm
+                # backfill rewrites force a FULL export via the ledger
+                # count above; their bucket records (batch_id = wm+1)
+                # must not keep re-marking every bucket afterwards
+                and not r.get("backfill_base")
             }
             missing = {
                 b
@@ -1270,7 +1359,11 @@ class ReplayEngine:
         out: dict[int, int] = {}
         for rec in recs:
             if rec.get("kind") == "bucket" and rec["batch_id"] <= as_of_batch:
-                out[rec["bucket"]] = max(out.get(rec["bucket"], -1), rec["version"])
+                # LAST record wins — read_lineage returns commit order.
+                # "max version" would be wrong across a backfill, whose
+                # rewrites live in a high version namespace (10^9 + wm)
+                # and are superseded by ordinary batch versions after it.
+                out[rec["bucket"]] = rec["version"]
         return out
 
     def _state_files(self, as_of: int | None = None) -> list[str]:
@@ -1332,29 +1425,36 @@ class ReplayEngine:
                 "old lake — query it there or resync by snapshot"
             )
         chains: dict[int, list] = {}
-        anchors: dict[int, int] = {}
+        bases: dict[int, int | None] = {}
+        # floor = the batch position an anchor's part file folds up to;
+        # deltas strictly after it replay on top. Reshard bases use
+        # their file version AS the floor (those versions are batch
+        # ids); backfill bases live in the 10^9 version namespace and
+        # carry an explicit ``chain_floor``.
+        floors: dict[int, int] = {}
         for rec in recs:
             if (
                 rec.get("kind") == "bucket"
                 and rec["batch_id"] <= as_of
                 and (buckets is None or rec["bucket"] in buckets)
             ):
-                if rec.get("reshard_base"):
-                    anchors[rec["bucket"]] = max(
-                        anchors.get(rec["bucket"], -1), rec["version"]
-                    )
+                if rec.get("reshard_base") or rec.get("backfill_base"):
+                    fl = rec.get("chain_floor", rec["version"])
+                    if fl >= floors.get(rec["bucket"], -1):
+                        floors[rec["bucket"]] = fl
+                        bases[rec["bucket"]] = rec["version"]
                 else:
                     chains.setdefault(rec["bucket"], []).append(
                         [rec["version"], rec["group"]]
                         if "group" in rec
                         else rec["version"]
                     )
-        bases: dict[int, int | None] = dict(anchors)
         if self.retain_batches is not None:
             for b, folds in self.ckpt.fold_history.items():
                 cand = [f for f in folds if f <= as_of]
-                if cand and max(cand) > bases.get(b, -1):
+                if cand and max(cand) > floors.get(b, -1):
                     bases[b] = max(cand)
+                    floors[b] = max(cand)
         return [
             (
                 b,
@@ -1362,13 +1462,13 @@ class ReplayEngine:
                 sorted(
                     (
                         v for v in chains.get(b, [])
-                        if bases.get(b) is None
-                        or delta_entry_version(v) > bases[b]
+                        if b not in floors
+                        or delta_entry_version(v) > floors[b]
                     ),
                     key=delta_entry_version,
                 ),
             )
-            for b in sorted(set(chains) | set(anchors))
+            for b in sorted(set(chains) | set(bases))
         ]
 
     def _delta_live_refs(
@@ -2426,6 +2526,7 @@ class ReplayEngine:
         are persisted atomically WITH the commit (via ``_batch_extra``)
         so history() and resume_dml identity never need a second
         write."""
+        self._gc_orphaned_backfill_lineage()
         saved = self.event_filter
         extra: dict = {}
         if kind:

@@ -79,7 +79,19 @@ class CheckpointManager:
             ki = int(k)
             if best_k < ki <= batch_id and "evolved" in s:
                 best_k, best = ki, s["evolved"]
-        return tuple((n, t) for n, t in best)
+        out = [(n, t) for n, t in best]
+        # columns a backfill added become visible in the NEXT span
+        # (watermark+1, matching versions_as_of's view of the rewrite);
+        # batches committed after the backfill already log them in
+        # their own summaries, so this only fills the gap before one
+        have = {n for n, _ in out}
+        for bf in self._m.get("backfills", []):
+            if bf.get("watermark", batch_id) + 1 <= batch_id:
+                for n, t in bf.get("added_cols", []):
+                    if n not in have:
+                        out.append((n, t))
+                        have.add(n)
+        return tuple(out)
 
     def append_deltas(self, new_deltas: dict[int, int]) -> None:
         """Record batch deltas (called inside commit_batch via
