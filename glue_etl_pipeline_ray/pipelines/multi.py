@@ -71,6 +71,26 @@ class MultiTableReplayer:
         return self._replay_shared(events_dir)
 
     def _replay_shared(self, events_dir: str) -> dict[str, dict]:
+        # honor each engine's writer_lease for the whole shared pass —
+        # _finish_batch is called directly here, bypassing the per-call
+        # lease wrapper on ReplayEngine.replay (per-batch heartbeats
+        # happen inside _finish_batch via _active_lease)
+        leases = []
+        try:
+            for e in self.engines.values():
+                if getattr(e, "writer_lease", False) and e._active_lease is None:
+                    from glue_etl_pipeline_ray.state.lease import WriterLease
+
+                    lease = WriterLease(e.lake_dir, ttl_s=e.lease_ttl_s).acquire()
+                    e._active_lease = lease
+                    leases.append((e, lease))
+            return self._replay_shared_inner(events_dir)
+        finally:
+            for e, lease in leases:
+                e._active_lease = None
+                lease.release()
+
+    def _replay_shared_inner(self, events_dir: str) -> dict[str, dict]:
         import pyarrow.parquet as pq
 
         import ray
@@ -111,7 +131,8 @@ class MultiTableReplayer:
 
         def drain_one():
             fl = inflight.pop(0)
-            for n, e in engines.items():
+            for n in fl["names"]:
+                e = engines[n]
                 outs = ray.get(fl["refs"][n])
                 records = [r for o in outs for r in o["records"]]
                 new_versions = {
@@ -133,36 +154,47 @@ class MultiTableReplayer:
         import os as _os
 
         for bid, files in pending:
+            # only engines that have NOT committed this batch take part:
+            # re-submitting a committed batch would re-merge old events
+            # against the engine's CURRENT state (resurrecting keys
+            # deleted since), overwrite the genuine historic part file
+            # at that version, and rewind bucket_versions on commit.
+            todo = [
+                n for n, e in engines.items() if not e.ckpt.is_committed(bid)
+            ]
             for f in files:
                 sch = pq.read_schema(f)
                 for n, e in engines.items():
                     evolved[n] = discover_evolved(e.spec, sch, evolved[n])
             dlq = {
-                n: _os.path.join(e.lake_dir, "_dlq", f"batch={bid:05d}")
-                for n, e in engines.items()
+                n: _os.path.join(
+                    engines[n].lake_dir, "_dlq", f"batch={bid:05d}"
+                )
+                for n in todo
             }
             n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
             tables = [
                 {
                     "name": n,
-                    "spec": e.spec,
+                    "spec": engines[n].spec,
                     "evolved": evolved[n],
-                    "filter": e.event_filter,
-                    "lake_dir": e.lake_dir,
+                    "filter": engines[n].event_filter,
+                    "lake_dir": engines[n].lake_dir,
                     "dlq_dir": dlq[n],
                     "prev_by_group": prev[n],
                 }
-                for n, e in engines.items()
+                for n in todo
             ]
             refs = submit_batch_multi(
                 tables, files, bid, ne,
                 compute_hash=any_eng.compute_bucket_hash,
             )
-            for n in engines:
+            for n in todo:
                 prev[n] = refs[n]
             inflight.append(
                 {
                     "batch_id": bid,
+                    "names": todo,
                     "refs": refs,
                     "evolved": dict(evolved),
                     "dlq": dlq,
@@ -173,11 +205,17 @@ class MultiTableReplayer:
                 drain_one()
         while inflight:
             drain_one()
+        # drain any staged-but-uncommitted DML, same as the per-table
+        # replay path (see ReplayEngine.replay)
+        resumed = {n: e.resume_dml() for n, e in engines.items()}
         return {
             n: {
                 "applied_batches": [s["batch_id"] for s in summaries[n]],
                 "watermark": engines[n].ckpt.watermark,
                 "summaries": summaries[n],
+                **(
+                    {"resumed_dml": resumed[n]} if resumed.get(n) else {}
+                ),
             }
             for n in engines
         }

@@ -195,3 +195,80 @@ def test_group_watermark_catches_up_after_final_batch_crash(tmp_path):
     snap = multi.consistent_tables()
     assert snap["a"].equals(multi.engines["a"].final_table())
     assert snap["b"].equals(multi.engines["b"].final_table())
+
+
+def test_shared_scan_skips_batches_an_engine_already_committed(tmp_path):
+    """Table A replayed ahead (per-table pass, history retained), table
+    B behind: a shared-scan catch-up must submit A's committed batches
+    to B ONLY — re-merging them against A's current state would
+    resurrect keys deleted since, clobber A's historic part files with
+    future data, and rewind A's bucket pointers on commit."""
+    from glue_etl_pipeline_ray.hashing import table_sha256
+
+    def _route_org0(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+
+    def _route_rest(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.starts_with(pc.fill_null(t["repo"], ""), "org0/"))
+        )
+
+    meta = generate_change_events(
+        str(tmp_path), n_events=6000, n_repos=15, n_paths=40, n_batches=4,
+        seed=29, delete_frac=0.25, dirty_frac=0.0,
+    )
+    spec = repo_file_spec(num_buckets=8)
+    tables = {"a": (spec, _route_org0), "b": (spec, _route_rest)}
+    multi = MultiTableReplayer(
+        str(tmp_path / "lakes"), tables, gc_old_versions=False
+    )
+    ea, eb = multi.engines["a"], multi.engines["b"]
+    ea.replay(meta["events_dir"])               # A at wm=3
+    eb.replay(meta["events_dir"], max_batches=2)  # B at wm=1
+    a_sha = ea.final_sha256()
+    a_versions = dict(ea.ckpt.bucket_versions)
+    a_asof1 = table_sha256(ea.final_table(as_of=1), spec.key_cols)
+
+    res = multi.replay(meta["events_dir"], shared_scan=True)
+    assert res["a"]["applied_batches"] == []
+    assert res["b"]["applied_batches"] == [2, 3]
+    # A untouched: tip, pointers, and historic snapshots all intact
+    assert ea.final_sha256() == a_sha
+    assert dict(ea.ckpt.bucket_versions) == a_versions
+    assert table_sha256(ea.final_table(as_of=1), spec.key_cols) == a_asof1
+    # B converged to its per-table oracle
+    per = MultiTableReplayer(str(tmp_path / "lakes_sep"), tables)
+    per.replay(meta["events_dir"])
+    assert eb.final_sha256() == per.engines["b"].final_sha256()
+
+
+def test_shared_scan_holds_writer_lease(tmp_path):
+    """shared_scan must hold each engine's single-writer lease for the
+    pass (it commits via _finish_batch, bypassing the per-call lease
+    wrapper on replay)."""
+    import pytest
+
+    from glue_etl_pipeline_ray.state.lease import ConcurrentWriter, WriterLease
+
+    def _route_all(t: pa.Table) -> pa.Table:
+        return t
+
+    meta = generate_change_events(
+        str(tmp_path), n_events=2000, n_repos=10, n_paths=20, n_batches=2,
+        seed=31, dirty_frac=0.0,
+    )
+    spec = repo_file_spec(num_buckets=4)
+    multi = MultiTableReplayer(
+        str(tmp_path / "lakes"), {"a": (spec, _route_all)}, writer_lease=True
+    )
+    eng = multi.engines["a"]
+    other = WriterLease(eng.lake_dir, ttl_s=300.0).acquire()
+    try:
+        with pytest.raises(ConcurrentWriter):
+            multi.replay(meta["events_dir"], shared_scan=True)
+    finally:
+        other.release()
+    # lease freed -> the pass goes through and releases its own hold
+    multi.replay(meta["events_dir"], shared_scan=True)
+    assert eng.ckpt.watermark == 1
+    WriterLease(eng.lake_dir, ttl_s=300.0).acquire().release()
