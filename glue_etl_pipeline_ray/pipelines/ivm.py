@@ -56,6 +56,7 @@ import ray
 from glue_etl_pipeline_ray.stages.merge import CHANGE_TYPE_COL, write_atomic
 
 _ADD_TYPES = ("insert", "update_postimage")
+_RETRACT_TYPES = ("delete", "update_preimage")
 _N_COL = "n_rows"
 
 
@@ -75,12 +76,32 @@ def signed_partial(
     changes: pa.Table, group_cols: list[str], sum_cols: list[str]
 ) -> pa.Table:
     """Signed per-group deltas for one slice of a change feed (the
-    per-bucket kernel; also the full fold for a bootstrap feed)."""
+    per-bucket kernel; also the full fold for a bootstrap feed).
+
+    Requires a PRE-IMAGE feed (``update_preimages=True``): a plain
+    ``update`` row is a post-image with no retraction partner, so
+    folding it as either sign silently corrupts counts and sums —
+    reject it loudly instead."""
+    ct = changes[CHANGE_TYPE_COL]
+    if changes.num_rows and not pc.all(
+        pc.is_in(ct, value_set=pa.array(_ADD_TYPES + _RETRACT_TYPES))
+    ).as_py():
+        raise ValueError(
+            "signed_partial needs a pre-image change feed "
+            "(changes_dataset(..., update_preimages=True)); plain "
+            "'update' rows cannot be folded as signed deltas"
+        )
     sign = pc.if_else(
-        pc.is_in(changes[CHANGE_TYPE_COL], value_set=pa.array(_ADD_TYPES)),
+        pc.is_in(ct, value_set=pa.array(_ADD_TYPES)),
         pa.scalar(1, pa.int64()),
         pa.scalar(-1, pa.int64()),
     )
+    missing_g = [c for c in group_cols if c not in changes.column_names]
+    if missing_g:
+        raise ValueError(
+            f"group column(s) {missing_g} not in the table schema (yet): "
+            "views can group only on present columns"
+        )
     cols = {c: changes[c] for c in group_cols}
     cols[_N_COL] = sign
     for c in sum_cols:
@@ -247,10 +268,21 @@ class MaterializedView:
             if self.engine.ckpt.watermark >= 0
             else ()
         )
-        fields = [sch.field(c) for c in self.group_cols]
+        names = set(sch.names)
+        fields = []
+        for c in self.group_cols:
+            if c not in names:
+                raise ValueError(
+                    f"group column {c!r} not in the table schema (yet): "
+                    "views can group only on present columns"
+                )
+            fields.append(sch.field(c))
         fields.append(pa.field(_N_COL, pa.int64()))
         for c in self.sum_cols:
-            st = _sum_type(sch.field(c).type)
+            # a sum column that hasn't evolved in yet folds as all-null
+            # int64 (see signed_partial) — the empty state mirrors that
+            # instead of crashing on a view created before the column
+            st = _sum_type(sch.field(c).type) if c in names else pa.int64()
             fields.append(pa.field(_sum_col(c), st))
             fields.append(pa.field(_nnz_col(c), pa.int64()))
         return pa.schema(fields).empty_table()

@@ -100,6 +100,7 @@ class MultiTableReplayer:
         from glue_etl_pipeline_ray.stages.exchange import (
             default_num_exchange,
             group_of,
+            read_file_metas,
             submit_batch_multi,
         )
 
@@ -162,8 +163,9 @@ class MultiTableReplayer:
             todo = [
                 n for n, e in engines.items() if not e.ckpt.is_committed(bid)
             ]
-            for f in files:
-                sch = pq.read_schema(f)
+            metas = read_file_metas(files)
+            for _f, md in metas:
+                sch = md.schema.to_arrow_schema()
                 for n, e in engines.items():
                     evolved[n] = discover_evolved(e.spec, sch, evolved[n])
             dlq = {
@@ -172,7 +174,7 @@ class MultiTableReplayer:
                 )
                 for n in todo
             }
-            n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            n_events = sum(md.num_rows for _, md in metas)
             tables = [
                 {
                     "name": n,
@@ -188,6 +190,7 @@ class MultiTableReplayer:
             refs = submit_batch_multi(
                 tables, files, bid, ne,
                 compute_hash=any_eng.compute_bucket_hash,
+                metas=metas,
             )
             for n in todo:
                 prev[n] = refs[n]

@@ -53,6 +53,7 @@ from glue_etl_pipeline_ray.stages.evolve import conform, discover_evolved, make_
 from glue_etl_pipeline_ray.stages.exchange import (
     default_num_exchange,
     group_of,
+    read_file_metas,
     submit_batch,
 )
 from glue_etl_pipeline_ray.stages.merge import (
@@ -399,11 +400,15 @@ class ReplayEngine:
                     fold_pending.append(self._submit_folds(over))
 
         for bid, files in pending:
-            # schema-evolution discovery from footers (no data read), in order
-            for f in files:
-                evolved = discover_evolved(spec, pq.read_schema(f), evolved)
+            # ONE footer read per file serves schema discovery, the
+            # event count, and the chunk plan (read_file_metas)
+            metas = read_file_metas(files)
+            for _f, md in metas:
+                evolved = discover_evolved(
+                    spec, md.schema.to_arrow_schema(), evolved
+                )
             dlq_dir = os.path.join(self.lake_dir, "_dlq", f"batch={bid:05d}")
-            n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            n_events = sum(md.num_rows for _, md in metas)
             merge_refs = submit_batch(
                 spec,
                 evolved,
@@ -416,6 +421,7 @@ class ReplayEngine:
                 num_exchange=ne,
                 state_mode=self.state_mode,
                 event_filter=self.event_filter,
+                metas=metas,
             )
             if self.state_mode == "rewrite":
                 # chain per-group merges; delta merges are independent
@@ -457,11 +463,12 @@ class ReplayEngine:
     ) -> dict:
         spec = self.spec
         evolved = self.ckpt.evolved
-        for f in files:
-            evolved = discover_evolved(spec, pq.read_schema(f), evolved)
+        metas = read_file_metas(files)
+        for _f, md in metas:
+            evolved = discover_evolved(spec, md.schema.to_arrow_schema(), evolved)
 
         dlq_dir = os.path.join(self.lake_dir, "_dlq", f"batch={batch_id:05d}")
-        n_events = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        n_events = sum(md.num_rows for _, md in metas)
 
         ds = ray.data.read_parquet(files)
         if self.event_filter is not None:

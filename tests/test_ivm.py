@@ -196,3 +196,46 @@ def test_min_not_supported_loudly(ray_session, tmp_path):
 
 
 import ray  # noqa: E402  (used by test_update_preimage_pairs)
+
+
+def test_view_on_empty_lake_with_pre_evolution_sum_col(
+    ray_session, tmp_path
+):
+    """A view whose sum column hasn't evolved into the schema yet (or
+    whose lake is still empty) must publish an empty/all-null view, not
+    crash building its empty state — the same pre-evolution contract
+    signed_partial documents."""
+    meta = _gen(tmp_path, n_batches=4, evolve_from_batch=2)
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"), gc_old_versions=False)
+    view = MaterializedView(eng, "v", ["lang"], sum_cols=["size_bytes"])
+    t0 = view.table()  # empty lake: KeyError here before the fix
+    assert t0.num_rows == 0
+    assert set(t0.column_names) == {"lang", "n_rows", "sum_size_bytes"}
+    # pre-evolution batches: sums publish as null, counts are real
+    eng.replay(meta["events_dir"], max_batches=2)
+    got = view.refresh()
+    assert got.num_rows > 0
+    assert got["sum_size_bytes"].null_count == got.num_rows
+    # through the evolution the same view picks up real sums
+    eng.replay(meta["events_dir"])
+    got = view.refresh().sort_by("lang")
+    expected = _direct_agg(eng.final_table())
+    assert got.cast(expected.schema).equals(expected)
+    # a group column that never evolved stays a loud error
+    bad = MaterializedView(eng, "bad", ["no_such_col"])
+    with pytest.raises(ValueError, match="group column"):
+        bad.table()
+
+
+def test_signed_partial_rejects_plain_update_rows(ray_session, tmp_path):
+    """Folding a non-preimage feed (plain 'update' rows are post-images
+    with no retraction partner) must raise, not silently subtract."""
+    meta = _gen(tmp_path, n_batches=2, evolve_from_batch=99)
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"), gc_old_versions=False)
+    eng.replay(meta["events_dir"])
+    feed = eng.changes_table(0, 1)  # default feed: plain updates
+    assert "update" in set(feed[CHANGE_TYPE_COL].to_pylist())
+    with pytest.raises(ValueError, match="pre-image"):
+        signed_partial(feed, ["lang"], [])
