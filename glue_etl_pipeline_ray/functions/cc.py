@@ -93,7 +93,6 @@ def _cc_distributed(
     instead: adjacency rows and label rows share a (node, nbr, label)
     schema, each node's group emits (nbr, label(node)) messages, and a
     groupby-min folds messages with current labels."""
-    from glue_etl_pipeline_ray.functions.groups import grouped_apply
 
     def symmetrize(t: pa.Table) -> pa.Table:
         s = pc.cast(t[src_col], pa.int64())

@@ -98,8 +98,16 @@ def mixture_sample(
             r[source_col]: r["count()"]
             for r in ds.groupby(source_col).aggregate(Count()).take_all()
         }
-    total_target = float(sum(proportions.values()))
-    shares = {s: w / total_target for s, w in proportions.items()}
+    if any(w < 0 for w in proportions.values()):
+        raise ValueError("proportions must be non-negative")
+    pos = {s: float(w) for s, w in proportions.items() if w > 0}
+    if not pos:
+        raise ValueError("proportions need at least one positive weight")
+    # zero-weight sources simply fall to thin()'s default rate 0.0
+    # (dropped), same as a source not listed at all — dividing by their
+    # share would be a ZeroDivisionError
+    total_target = sum(pos.values())
+    shares = {s: w / total_target for s, w in pos.items()}
     missing = [s for s in shares if counts.get(s, 0) == 0]
     if missing:
         raise ValueError(f"sources in proportions but not in data: {missing}")
@@ -114,8 +122,14 @@ def mixture_sample(
         src = t[source_col].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         u = _unit_hash(ids, _MIX_SALT)
-        uniq, inv = np.unique(src, return_inverse=True)
-        r = np.array([rate_arr.get(s, 0.0) for s in uniq])[inv]
+        # null sources get rate 0.0 like any unlisted source — np.unique
+        # would TypeError sorting None against str
+        valid = np.array([s is not None for s in src], dtype=bool)
+        r = np.zeros(len(src), np.float64)
+        if valid.any():
+            sv = src[valid]
+            uniq, inv = np.unique(sv, return_inverse=True)
+            r[valid] = np.array([rate_arr.get(s, 0.0) for s in uniq])[inv]
         return t.filter(pa.array(u < r))
 
     expect = int(sum(rates[s] * counts[s] for s in rates))
@@ -168,7 +182,11 @@ def deterministic_shuffle(
         return t
 
     keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
-    out = keyed.sort("__shuffle_key")
+    # tie-break on the id itself: 64-bit hash collisions are expected
+    # at the 10^10-row target (and certain for duplicate ids), and the
+    # sort exchange gives colliding rows no stable relative order
+    # across retries — the resume/epoch contract needs a total order
+    out = keyed.sort(["__shuffle_key", id_col])
     return out.map_batches(
         lambda t: t.drop_columns(["__shuffle_key"]),
         batch_format="pyarrow",

@@ -225,7 +225,7 @@ def heavy_hitters(
     block_drops: list[tuple[int, set]] = []  # (dropped_bound, keys_reported)
     import ray as _ray
 
-    blocks = [_ray.get(r) for r in parts.to_arrow_refs()]  # aggregate-sized
+    blocks = _ray.get(parts.to_arrow_refs())  # aggregate-sized, one fetch
     for b in blocks:
         if b.num_rows == 0:
             continue
@@ -296,6 +296,17 @@ def grouped_kll_quantiles(
     """
 
     def block_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # np.r_[True, ...] segmenting yields starts=[0] on empty
+            # input and keys[0] would raise — an upstream filter can
+            # legitimately empty a block
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "lens": pa.array([], pa.list_(pa.int64())),
+                    "vals": pa.array([], pa.binary()),
+                }
+            )
         keys = np.asarray(t[key_col].to_pylist(), dtype=object)
         vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.argsort(keys, kind="stable")
@@ -360,6 +371,13 @@ def grouped_hll_distinct(
     moves kilobytes per key regardless of group size."""
 
     def block_regs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # see block_partials: empty blocks are legal
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "regs": pa.array([], pa.binary()),
+                }
+            )
         keys = np.asarray(t[key_col].to_pylist(), dtype=object)
         h = key_hash_u64(*(t[c] for c in cols))
         order = np.argsort(keys, kind="stable")

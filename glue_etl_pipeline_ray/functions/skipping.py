@@ -54,13 +54,55 @@ def sorted_write(
     rows_per_file: int = 100_000,
 ) -> dict:
     """Sort by ``sort_col``, write Parquet, return + persist the
-    per-file min/max manifest."""
+    per-file min/max manifest.
+
+    Appends to a dir with a COMMITTED manifest extend that manifest's
+    live set with only the newly written files — never a directory
+    glob: a compaction that crashed after its commit leaves superseded
+    inputs on disk, and a glob would resurrect them (double-counting
+    every superseded row) and drop the compaction bookkeeping."""
     os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "_skipping_manifest.json")
+    before = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out_dir, "*.parquet"))
+    }
     ds.sort(sort_col).write_parquet(
         out_dir, min_rows_per_file=rows_per_file, max_rows_per_file=rows_per_file
     )
-    manifest = build_manifest(out_dir, sort_col)
-    _write_manifest(os.path.join(out_dir, "_skipping_manifest.json"), manifest)
+    new_names = [
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out_dir, "*.parquet"))
+        if os.path.basename(p) not in before
+    ]
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+        if "files" in prev and prev.get("sort_col") == sort_col:
+            add = build_manifest(out_dir, sort_col, names=new_names)
+            manifest = {
+                **prev,
+                "kind": prev.get("kind") if prev.get("kind") else add["kind"],
+                "files": {**prev["files"], **add["files"]},
+            }
+        else:
+            # different scan column (or a zorder manifest): re-derive
+            # stats over committed live + new files, carrying the
+            # compaction bookkeeping through the rebuild
+            live = (
+                list(prev["files"])
+                if "files" in prev
+                else list(next(iter(prev["columns"].values())))
+            )
+            manifest = build_manifest(
+                out_dir, sort_col, names=live + new_names
+            )
+            for k in ("compaction_gen", "superseded"):
+                if k in prev:
+                    manifest[k] = prev[k]
+    else:
+        manifest = build_manifest(out_dir, sort_col)
+    _write_manifest(mpath, manifest)
     return manifest
 
 
@@ -88,6 +130,13 @@ def _file_minmax(path: str, sort_col: str) -> tuple:
     md = pq.ParquetFile(path).metadata
     schema = md.schema.to_arrow_schema()
     idx = schema.get_field_index(sort_col)
+    if idx < 0:
+        # get_field_index's -1 sentinel would silently classify the
+        # LAST column and then crash (or mis-stat) downstream
+        raise KeyError(
+            f"column {sort_col!r} not in {os.path.basename(path)} "
+            f"(has {schema.names})"
+        )
     kind = _col_kind(schema.field(idx).type)
     lo = hi = None
     for rg in range(md.num_row_groups):
@@ -155,13 +204,14 @@ def pruned_read(
             keep.append(os.path.join(out_dir, name))
     total = len(manifest["files"])
     if not keep:
-        empty = rd.from_arrow(
-            pq.read_table(
-                os.path.join(out_dir, next(iter(manifest["files"]))),
-                columns=columns,
-            ).slice(0, 0)
+        # footer-only schema read: the zero-overlap case must not pay a
+        # full data read of the first file just to type an empty table
+        sch = pq.read_schema(
+            os.path.join(out_dir, next(iter(manifest["files"])))
         )
-        return empty, 0, total
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table()), 0, total
 
     ds = rd.read_parquet(keep, columns=columns)
 
@@ -330,11 +380,10 @@ def pruned_read_box(
             keep.append(os.path.join(out_dir, name))
     total = len(names)
     if not keep:
-        empty = rd.from_arrow(
-            pq.read_table(os.path.join(out_dir, names[0]), columns=columns)
-            .slice(0, 0)
-        )
-        return empty, 0, total
+        sch = pq.read_schema(os.path.join(out_dir, names[0]))
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table()), 0, total
 
     ds = rd.read_parquet(keep, columns=columns)
 
@@ -404,7 +453,15 @@ def compact_files(
                 if "files" in manifest
                 else list(next(iter(manifest["columns"].values())))
             )
-            manifest = build_manifest(out_dir, sort_col, names=names)
+            rebuilt = build_manifest(out_dir, sort_col, names=names)
+            # the stats rebuild must not reset the generation counter
+            # (a reset re-uses compact-g names and step (2)'s replace
+            # would overwrite a LIVE committed file pre-commit) nor
+            # drop the superseded list the sweep deletes by name
+            for k in ("compaction_gen", "superseded"):
+                if k in manifest:
+                    rebuilt[k] = manifest[k]
+            manifest = rebuilt
     else:
         manifest = build_manifest(out_dir, sort_col)
 

@@ -124,3 +124,35 @@ def test_mixture_sample_token_budget(ray_session):
     # determinism
     s2, _ = mixture_sample(rd.from_arrow(t), target, weight_col="n_tokens")
     assert sorted(s2.to_pandas()["doc_id"]) == sorted(df["doc_id"])
+
+
+def test_mixture_sample_zero_weight_source_is_dropped(ray_session):
+    """A 0.0 target proportion means 'drop that source' — it must not
+    divide by zero sizing the sample; an all-zero or negative mix is a
+    loud error."""
+    ds = _docs()
+    sampled, plan = mixture_sample(ds, {"a": 1.0, "b": 0.0})
+    srcs = set(sampled.to_pandas()["source"])
+    assert "b" not in srcs and "a" in srcs
+    assert plan["rates"].keys() == {"a"}
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(ds, {"a": 0.0})
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(ds, {"a": 1.0, "b": -0.5})
+
+
+def test_mixture_sample_null_source_rows_dropped(ray_session):
+    """Rows with a NULL source get rate 0.0 like any unlisted source —
+    np.unique would TypeError sorting None against str."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(40)]),
+            "source": pa.array(
+                ["a", "b", None, "a"] * 10, pa.string()
+            ),
+        }
+    )
+    sampled, _ = mixture_sample(rd.from_arrow(t), {"a": 0.5, "b": 0.5})
+    df = sampled.to_pandas()
+    assert not df["source"].isna().any()
+    assert set(df["source"]) <= {"a", "b"}

@@ -85,3 +85,31 @@ def test_kll_quantiles_over_dataset(ray_session):
         lo = np.searchsorted(srt, est, side="left") / len(vals)
         hi = np.searchsorted(srt, est, side="right") / len(vals)
         assert max(lo - q, q - hi, 0.0) <= EPS, q
+
+
+def test_grouped_sketches_tolerate_empty_blocks(ray_session):
+    """An upstream filter can legitimately empty a block; the grouped
+    KLL/HLL partial kernels must emit an empty partial, not IndexError
+    on the np.r_-based segmenting."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from glue_etl_pipeline_ray.functions.sketch import (
+        grouped_hll_distinct,
+        grouped_kll_quantiles,
+    )
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 50 + ["b"] * 50),
+            "v": pa.array(np.arange(100, dtype=np.float64)),
+        }
+    )
+    ds = rd.from_arrow([t, t.slice(0, 0), t])  # one empty block
+    q = grouped_kll_quantiles(ds, "k", "v", qs=[0.5]).to_pandas()
+    assert set(q["k"]) == {"a", "b"}
+    assert (q["n"] == 100).all()
+    d = grouped_hll_distinct(ds, "k", ["v"], p=12).to_pandas()
+    assert set(d["k"]) == {"a", "b"}
+    est = dict(zip(d["k"], d["distinct_est"]))
+    assert abs(est["a"] - 50) / 50 < 0.1 and abs(est["b"] - 50) / 50 < 0.1

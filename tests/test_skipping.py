@@ -329,3 +329,83 @@ def test_pruning_typed_comparisons_timestamp_and_numeric_strings(
     got2, n_read2, n_total2 = pruned_read(out2, "v", 9, 10)
     assert sorted(got2.to_pandas()["v"]) == [9, 10]
     assert n_read2 < n_total2
+
+
+def test_append_after_crashed_compaction_does_not_resurrect_superseded(
+    ray_session, tmp_path
+):
+    """A compaction that crashed between its commit and its cleanup
+    leaves superseded inputs on disk; a later sorted_write append must
+    extend the COMMITTED manifest with only its new files — a directory
+    glob would resurrect the superseded inputs (double-counting every
+    row) and drop the compaction bookkeeping."""
+    import os
+    import shutil
+
+    from glue_etl_pipeline_ray.functions.skipping import compact_files
+
+    ds, out, before = _events_cents(tmp_path)
+    full = ds.to_pandas()
+    lo, hi = int(full["value_cents"].min()), int(full["value_cents"].max())
+
+    # keep copies so we can simulate the crash window after the fact
+    backup = str(tmp_path / "backup")
+    shutil.copytree(out, backup)
+    after = compact_files(out, "value_cents", target_rows=700)
+    assert after["compaction_gen"] == 1 and after["superseded"]
+    # crash between commit and cleanup: superseded inputs reappear
+    for n in after["superseded"]:
+        shutil.copyfile(os.path.join(backup, n), os.path.join(out, n))
+
+    # the append: 100 extra rows in a fresh value range
+    extra = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(
+                    np.arange(10_000_000, 10_000_100, dtype=np.int64)
+                ),
+                "value_cents": pa.array(
+                    np.arange(hi + 10, hi + 110, dtype=np.int64)
+                ),
+            }
+        )
+    )
+    manifest = sorted_write(extra, out, "value_cents", rows_per_file=256)
+    # bookkeeping preserved, superseded NOT resurrected into the live set
+    assert manifest["compaction_gen"] == 1
+    assert set(manifest["superseded"]) == set(after["superseded"])
+    assert not (set(after["superseded"]) & set(manifest["files"]))
+    got, _, _ = pruned_read(out, "value_cents", lo, hi + 200)
+    assert got.count() == len(full) + 100  # no double-counting
+
+    # the next compaction sweeps the leftovers by name and bumps the
+    # generation so output names can never collide with live files
+    again = compact_files(out, "value_cents", target_rows=700)
+    assert again["compaction_gen"] == 2
+    assert set(after["superseded"]) <= set(again["swept"])
+    got, _, _ = pruned_read(out, "value_cents", lo, hi + 200)
+    assert got.count() == len(full) + 100
+
+
+def test_compaction_gen_survives_scan_column_rederive(ray_session, tmp_path):
+    """compact_files on a DIFFERENT scan column re-derives stats from
+    the committed live set; the rebuilt manifest must keep the
+    generation counter — a reset would re-use compact-g file names and
+    overwrite a live committed file before the commit point."""
+    from glue_etl_pipeline_ray.functions.skipping import compact_files
+
+    ds, out, _ = _events_cents(tmp_path)
+    n_full = ds.count()
+    compact_files(out, "value_cents", target_rows=700)
+    after = compact_files(out, "event_id", target_rows=1400)
+    assert after["compaction_gen"] == 2
+    got, _, _ = pruned_read(out, "event_id", -(1 << 62), 1 << 62)
+    assert got.count() == n_full
+
+
+def test_unknown_scan_column_raises_by_name(ray_session, tmp_path):
+    import pytest
+
+    _, out, _ = _events_cents(tmp_path)
+    with pytest.raises(KeyError, match="typo_col"):
+        pruned_read(out, "typo_col", 0, 1)
