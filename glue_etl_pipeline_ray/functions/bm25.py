@@ -73,6 +73,15 @@ def bm25_topk(
         ds.map_batches(doclen, batch_format="pyarrow", batch_size=None)
         .aggregate(Count(), Sum("dl"))
     )
+    # empty-dataset aggregate contract varies by Ray version: None, or
+    # {"count()": 0, "sum(dl)": None} — either way there is no corpus
+    if stats is None or not stats.get("count()"):
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
     n_docs = int(stats["count()"])
     avgdl = float(stats["sum(dl)"]) / max(n_docs, 1)
 
@@ -110,7 +119,12 @@ def bm25_topk(
             score += idf[ti] * (tf * (k1 + 1.0)) / (tf + norm)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         if len(ids) > k:
-            part = np.argpartition(-score, k - 1)[:k]
+            # (-score, id) order, NOT argpartition: under score ties the
+            # partition keeps an arbitrary subset, so the global result
+            # would vary with block partitioning and violate the
+            # documented doc_id tie-break (the final lexsort can only
+            # order survivors, never recover ids a block discarded)
+            part = np.lexsort((ids, -score))[:k]
         else:
             part = np.arange(len(ids))
         return pa.table(

@@ -85,6 +85,10 @@ def kmeans(
     regardless of input size. Off by default: at small block counts
     the extra shuffle costs more than it saves.
     """
+    # pin the input ONCE so the upstream pipeline is not re-executed on
+    # every Lloyd iteration (centroid init + iters + final assignment
+    # each scan ds; same discipline as pagerank/connected_components)
+    ds = ds.materialize()
     cent = build_centroids(ds, n_clusters, vec_col, seed=seed, init="greedy")
     objective: list[float] = []
     for _ in range(iters):
@@ -186,6 +190,8 @@ def semantic_dedup(
     Cross-cluster near-dups are missed by construction (the paper's
     trade-off) — raise quality via ``iters``, not by shrinking clusters
     below near-dup diameter."""
+    # pin once: count + kmeans passes + the tag pass all scan ds
+    ds = ds.materialize()
     if n_clusters == "auto":
         n_clusters = max(16, int(np.ceil(ds.count() / target_cluster_rows)))
     cent, _, _ = kmeans(ds, n_clusters, iters, vec_col, id_col, seed)

@@ -45,7 +45,13 @@ def _col_partial(name: str, col: pa.ChunkedArray) -> dict:
     t = col.type
     if pa.types.is_integer(t) or pa.types.is_floating(t):
         v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
-        row["min_num"], row["max_num"] = float(v.min()), float(v.max())
+        # NaN is not Arrow-null, so drop_null keeps it — exclude it from
+        # min/max or one NaN poisons the whole fold (Python min(nan, x)
+        # is order-dependent); NaN still counts toward cardinality
+        finite = v[~np.isnan(v)]
+        if len(finite):
+            row["min_num"] = float(finite.min())
+            row["max_num"] = float(finite.max())
         hashed = key_hash_u64(valid)
     elif pa.types.is_timestamp(t) or pa.types.is_date(t):
         v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)

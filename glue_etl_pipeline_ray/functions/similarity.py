@@ -128,9 +128,15 @@ def build_centroids(
     n_total = ds.count()
     sample_ds = ds
     if n_total > sample_limit:
-        # oversample 1.3x so the post-filter limit() still fills up
+        # oversample 1.3x so the post-filter limit() still fills up;
+        # clamp — frac hits exactly 1.0 whenever n_total <= 1.3x the
+        # limit, and uint64(2**64) overflows
         frac = min(1.0, 1.3 * sample_limit / n_total)
-        thresh = np.uint64(int(frac * float(2**64)))
+        thresh = (
+            np.uint64(2**64 - 1)
+            if frac >= 1.0
+            else np.uint64(int(frac * float(2**64)))
+        )
 
         def hsample(t: pa.Table) -> pa.Table:
             m = _batch_matrix(t, vec_col).astype(np.float32, copy=False)
@@ -148,6 +154,11 @@ def build_centroids(
     sample = sample_ds.limit(sample_limit).to_pandas()
     if len(sample) == 0:  # degenerate content (all-identical vectors)
         sample = ds.limit(sample_limit).to_pandas()
+    if len(sample) == 0:
+        raise ValueError(
+            "build_centroids: input dataset has no rows — cannot seed "
+            "centroids from an empty corpus"
+        )
     m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(m))
@@ -239,6 +250,10 @@ def embed_cosine_pairs(
       (recall < 1 by construction; rows-only oracle).
     """
     if method == "brute":
+        # pin the input ONCE: to_arrow_refs() executes the upstream
+        # pipeline to build the broadcast corpus, and the block scan
+        # below would otherwise re-execute it from scratch
+        ds = ds.materialize()
         # assemble the broadcast corpus IN the object store: block refs go
         # to one remote concat task and the (ids, matrix) result stays
         # remote — the driver never materializes the corpus (round 1
@@ -326,9 +341,6 @@ def embed_cosine_pairs(
                 "vec_id_b": pa.array(b[keep], pa.int64()),
             }
         )
-
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
 
     from glue_etl_pipeline_ray.functions.groups import grouped_apply, grouped_first
 

@@ -77,3 +77,42 @@ def test_bm25_ranks_planted_relevant_doc_first(ray_session):
     assert out["doc_id"].to_pylist() == [30, 31]
     s = out["score"].to_pylist()
     assert s[0] > s[1] > 0
+
+
+def test_bm25_empty_corpus_returns_typed_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    out = bm25_topk(ds, ["needle"], k=5)
+    assert out.num_rows == 0
+    assert out.schema.field("doc_id").type == pa.int64()
+    assert out.schema.field("score").type == pa.float64()
+
+
+def test_bm25_zero_hit_ties_break_on_doc_id_across_blocks(ray_session):
+    """All-tie corpus (query term hits nothing) larger than k, split
+    across blocks: the block-local top-k must keep the LOWEST doc_ids,
+    not an arbitrary argpartition subset — the global merge can only
+    order survivors, never recover ids a block discarded."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 40
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["common words only"] * n, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    out = bm25_topk(ds, ["absent_term"], k=10)
+    assert out["doc_id"].to_pylist() == list(range(10))
+    assert all(s == 0.0 for s in out["score"].to_pylist())

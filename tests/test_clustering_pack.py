@@ -10,6 +10,7 @@ import pytest
 import ray.data as rd
 
 from glue_etl_pipeline_ray.functions.clustering import kmeans, semantic_dedup
+from glue_etl_pipeline_ray.functions.similarity import build_centroids
 from glue_etl_pipeline_ray.functions.pack import pack_sequences, packing_stats
 
 SF = "/root/testdata/sf0.001"
@@ -282,3 +283,37 @@ def test_centroid_init_sample_not_first_blocks_biased(ray_session):
     sims = _normalize(means) @ cent.T
     # every true blob has a centroid essentially on top of it
     assert (sims.max(axis=1) > 0.95).all(), sims.max(axis=1)
+
+
+def test_build_centroids_oversample_band_no_overflow(ray_session):
+    """Corpus size in (sample_limit, 1.3*sample_limit]: frac is exactly
+    1.0 and the uint64 threshold must clamp, not overflow."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 120
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                rng.standard_normal((n, 8)).tolist(), pa.list_(pa.float64())
+            ),
+        }
+    )
+    cent = build_centroids(rd.from_arrow(t), n_centroids=4, sample_limit=100)
+    assert cent.shape == (4, 8)
+    assert np.isfinite(cent).all()
+
+
+def test_build_centroids_empty_input_raises_clearly(ray_session):
+    import pytest
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        }
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        build_centroids(rd.from_arrow(t), n_centroids=4)

@@ -48,3 +48,26 @@ def test_profile_handles_nulls_and_subset(ray_session):
     assert got.loc["a", "min_num"] == 1.0 and got.loc["a", "max_num"] == 3.0
     assert got.loc["b", "min_str"] == "x" and got.loc["b", "max_str"] == "y"
     assert got.loc["b", "approx_distinct"] == 2
+
+
+def test_profile_nan_does_not_poison_float_minmax(ray_session):
+    """NaN is not Arrow-null (drop_null keeps it): min/max must come
+    from the finite values regardless of block arrival order."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "f": pa.array(
+                [float("nan"), 1.5, float("nan"), 5.0, None, 2.0],
+                pa.float64(),
+            )
+        }
+    )
+    got = (
+        profile_table(rd.from_arrow(t).repartition(3), columns=["f"])
+        .to_pandas()
+        .set_index("column")
+    )
+    assert got.loc["f", "min_num"] == 1.5
+    assert got.loc["f", "max_num"] == 5.0
+    assert got.loc["f", "n_null"] == 1
