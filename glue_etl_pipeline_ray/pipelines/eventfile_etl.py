@@ -46,6 +46,7 @@ dead-letter — they neither crash the run (ref bug B4,
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -134,16 +135,17 @@ def _parse_times(values: list) -> np.ndarray | None:
     cast would silently null their partitions instead)."""
     import pandas as pd
 
+    ser = pd.Series(values, dtype="object")
     try:
-        ts = pd.to_datetime(
-            pd.Series(values, dtype="object"),
-            utc=True,
-            errors="coerce",
-            format="ISO8601",
-        )
-    except (TypeError, ValueError):  # older pandas: no ISO8601 shortcut
-        ts = pd.to_datetime(pd.Series(values, dtype="object"), utc=True,
-                            errors="coerce")
+        ts = pd.to_datetime(ser, utc=True, errors="coerce", format="ISO8601")
+    except (TypeError, ValueError):  # some versions raise on the shortcut
+        ts = None
+    if ts is None or (len(values) > 0 and bool(ts.isna().all())):
+        # older pandas does NOT raise with errors="coerce": it treats
+        # "ISO8601" as a literal strptime format and coerces every value
+        # to NaT — gate the fallback on the RESULT, not an exception, or
+        # 100% of valid events dead-letter as 'time' on pandas 1.x
+        ts = pd.to_datetime(ser, utc=True, errors="coerce")
     out = np.full((len(values), 4), -1, dtype=np.int64)
     ok = ts.notna().to_numpy()
     if ok.any():
@@ -156,10 +158,10 @@ def _parse_times(values: list) -> np.ndarray | None:
 
 
 def _write_atomic(path: str, table: pa.Table) -> None:
+    from glue_etl_pipeline_ray.stages.merge import write_atomic
+
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+    write_atomic(path, table)
 
 
 def _chunk_marker(out_dir: str, chunk_id: int) -> str:
@@ -382,6 +384,28 @@ def run_eventfile_etl(
         paths[i : i + max(1, files_per_task)]
         for i in range(0, len(paths), max(1, files_per_task))
     ]
+    def _purge_chunk_outputs(ci: int, m: dict, mp: str) -> None:
+        # delete everything the old marker recorded (then the marker):
+        # a stale chunk's files would otherwise survive as phantom data
+        for name, py, pm, pd_, ph in map(tuple, m.get("partitions", [])):
+            stale = os.path.join(
+                out_dir, name, f"year={py}", f"month={pm}",
+                f"day={pd_}", f"hour={ph}",
+                f"part-c{ci:05d}.parquet",
+            )
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
+        for side in ("_dlq", "_audit"):
+            try:
+                os.remove(
+                    os.path.join(out_dir, side, f"part-c{ci:05d}.parquet")
+                )
+            except FileNotFoundError:
+                pass
+        os.remove(mp)
+
     done: dict[int, dict] = {}
     if resume:
         for ci, ch in enumerate(chunks):
@@ -394,27 +418,22 @@ def run_eventfile_etl(
                 done[ci] = m
             else:
                 # input changed: the re-run may land in DIFFERENT
-                # partitions, so the old run's files would survive as
-                # stale data — delete everything the old marker recorded
-                # (then the marker) before re-running the chunk
-                for name, py, pm, pd_, ph in map(tuple, m.get("partitions", [])):
-                    stale = os.path.join(
-                        out_dir, name, f"year={py}", f"month={pm}",
-                        f"day={pd_}", f"hour={ph}",
-                        f"part-c{ci:05d}.parquet",
-                    )
-                    try:
-                        os.remove(stale)
-                    except FileNotFoundError:
-                        pass
-                for side in ("_dlq", "_audit"):
-                    try:
-                        os.remove(
-                            os.path.join(out_dir, side, f"part-c{ci:05d}.parquet")
-                        )
-                    except FileNotFoundError:
-                        pass
-                os.remove(mp)
+                # partitions — purge before re-running the chunk
+                _purge_chunk_outputs(ci, m, mp)
+        # a SHRUNK input leaves tail chunks beyond the current chunk
+        # list; their markers and outputs are stale data no loop index
+        # reaches — sweep them too
+        prog_dir = os.path.join(out_dir, "_progress")
+        if os.path.isdir(prog_dir):
+            for fn in sorted(os.listdir(prog_dir)):
+                mm = re.match(r"chunk-(\d+)\.json$", fn)
+                if not mm or int(mm.group(1)) < len(chunks):
+                    continue
+                ci = int(mm.group(1))
+                mp = os.path.join(prog_dir, fn)
+                with open(mp) as f:
+                    m = _json.load(f)
+                _purge_chunk_outputs(ci, m, mp)
     refs = {
         ci: _etl_chunk.options(num_cpus=1).remote(
             ci, ch, specs, out_dir, require_source

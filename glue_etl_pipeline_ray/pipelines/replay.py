@@ -235,13 +235,18 @@ class ReplayEngine:
         """
         self._gc_orphaned_backfill_lineage()
         batches = discover_batches(events_dir)
+        committed_before = [
+            b for b, _ in batches if self.ckpt.is_committed(b)
+        ]
         pending = [(b, fs) for b, fs in batches if not self.ckpt.is_committed(b)]
         if max_batches is not None:
             pending = pending[: max(1, max_batches)]
         if max_events is not None and pending:
+            # read_file_metas memoizes the footer, so the pipeline's own
+            # metadata pass over the same files is a cache hit
             budget, cut = max_events, 0
             for _, fs in pending:
-                budget -= sum(pq.ParquetFile(f).metadata.num_rows for f in fs)
+                budget -= sum(md.num_rows for _, md in read_file_metas(fs))
                 cut += 1
                 if budget <= 0:
                     break
@@ -261,11 +266,20 @@ class ReplayEngine:
         # no collision it simply applies. Either way a crash-orphaned
         # DML can never be silently dropped by a plain ingest run.
         resumed = self.resume_dml()
+        # skipped_committed = committed BEFORE this run; batches the
+        # max_batches/max_events budget cut are "deferred" — listing them
+        # as committed would tell an operator unapplied work is safe
+        deferred = [
+            b
+            for b, _ in batches
+            if b not in applied and b not in committed_before
+        ]
         return {
             "applied_batches": sorted(applied),
-            "skipped_committed": [b for b, _ in batches if b not in applied],
+            "skipped_committed": committed_before,
             "watermark": self.ckpt.watermark,
             "summaries": summaries,
+            **({"deferred": deferred} if deferred else {}),
             **({"resumed_dml": resumed} if resumed else {}),
         }
 
@@ -733,6 +747,21 @@ class ReplayEngine:
                     if isinstance(ent, (list, tuple))
                     else delta_name(b, ent)
                 )
+        # files retired but not yet purged are committed history, not
+        # orphans (same exclusion fsck applies)
+        retired = {
+            fname for fname, _ in self.ckpt._m.get("retired_files", [])
+        } | {
+            part_name(b, v)
+            for b, v, *_ in self.ckpt._m.get("retired", [])
+        }
+        # the backfill namespace (10^9 + wm) defeats the "version >
+        # watermark means uncommitted" test: a committed backfill's files
+        # are ALWAYS numbered above any watermark, so judge them by the
+        # backfill ledger instead
+        backfilled_wms = {
+            bf.get("watermark") for bf in self.ckpt.backfills
+        }
         wm = self.ckpt.watermark
         pat = re.compile(r"(?:part|delta|gdelta)-(\d+)-v(\d+)\.parquet$")
         n = 0
@@ -741,7 +770,16 @@ class ReplayEngine:
         ):
             name = os.path.basename(f)
             m = pat.match(name)
-            if m and name not in referenced and int(m.group(2)) > wm:
+            if not m or name in referenced or name in retired:
+                continue
+            v = int(m.group(2))
+            if v >= 1_000_000_000:
+                # backfill file: orphan only if no backfill committed at
+                # its watermark (crash leftover a re-run overwrites)
+                orphan = (v - 1_000_000_000) not in backfilled_wms
+            else:
+                orphan = v > wm
+            if orphan:
                 try:
                     os.remove(f)
                     n += 1
@@ -981,6 +1019,17 @@ class ReplayEngine:
                         f"existing column {c!r} — widen via a change "
                         "batch instead"
                     )
+            missing_payload = [
+                c for c in canon_cols if c not in out.column_names
+            ]
+            if missing_payload:
+                raise ValueError(
+                    f"backfill transform dropped existing column(s) "
+                    f"{missing_payload} in bucket {bucket} — a backfill "
+                    "must return every canonical column (silently "
+                    "nulling them lake-wide would be unrecoverable "
+                    "data loss)"
+                )
             reserved = {
                 spec.seq_col,
                 spec.op_col,
@@ -2134,6 +2183,8 @@ class ReplayEngine:
             fold_threshold=self.fold_threshold,
             event_filter=self.event_filter,
             retain_batches=self.retain_batches,
+            writer_lease=self.writer_lease,
+            lease_ttl_s=self.lease_ttl_s,
         )
 
     @_with_writer_lease

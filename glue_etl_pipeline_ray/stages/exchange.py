@@ -47,13 +47,33 @@ from glue_etl_pipeline_ray.stages.partial import BUCKET_COL
 from glue_etl_pipeline_ray.stages.validate import ValidateFn
 
 
+_META_CACHE: dict[tuple, "pq.FileMetaData"] = {}
+_META_CACHE_MAX = 4096
+
+
+def _file_meta(f: str) -> "pq.FileMetaData":
+    """Footer metadata memo keyed by (path, mtime_ns, size): batch files
+    land atomically and are immutable, so a same-process re-read (the
+    work-budget pass, then the pipeline's schema/chunk-plan pass) must
+    not pay a second metadata round trip per file."""
+    st = os.stat(f)
+    key = (f, st.st_mtime_ns, st.st_size)
+    md = _META_CACHE.get(key)
+    if md is None:
+        md = pq.ParquetFile(f).metadata
+        if len(_META_CACHE) >= _META_CACHE_MAX:
+            _META_CACHE.clear()
+        _META_CACHE[key] = md
+    return md
+
+
 def read_file_metas(files: list[str]) -> list[tuple[str, "pq.FileMetaData"]]:
     """ONE footer read per file: callers derive the schema (evolution
     discovery), the event count, and the row-group chunk plan from the
     same FileMetaData instead of re-opening the footer three times per
     file per micro-batch on the driver hot path — three serial metadata
     round trips per file against object storage at the 100 TB target."""
-    return [(f, pq.ParquetFile(f).metadata) for f in files]
+    return [(f, _file_meta(f)) for f in files]
 
 
 def plan_chunks(

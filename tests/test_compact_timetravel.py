@@ -103,3 +103,88 @@ def test_gc_orphans_removes_crash_leftovers(tmp_path):
     assert eng2.final_sha256() == oracle["sha256"]
     # after full commit, nothing is an orphan
     assert ReplayEngine(spec, lake).gc_orphans() == 0
+
+
+def test_gc_orphans_preserves_committed_backfill_history(tmp_path):
+    """A committed backfill's files live in the 10^9+wm version
+    namespace — always numbered above any watermark — so the plain
+    'version > watermark' orphan test would delete them once later
+    batches advance the bucket pointers past them, destroying the
+    time-travel history a keep-history lake promised."""
+    import glob as _glob
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    meta = _gen(tmp_path, n_batches=4)
+    spec = repo_file_spec(num_buckets=8)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(spec, lake, gc_old_versions=False)
+    eng.replay(meta["events_dir"], max_batches=3)  # wm=2
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "content_len",
+            pc.cast(pc.fill_null(pc.utf8_length(t["content"]), 0), pa.int64()),
+        )
+
+    eng.backfill(add_len)
+    eng.replay(meta["events_dir"])  # batch 3 advances pointers past some
+    bf_files = set(_glob.glob(os.path.join(lake, "part-*-v10000000*.parquet")))
+    assert bf_files, "backfill produced namespace files"
+    sha_tip = eng.final_sha256()
+    sha_pre = eng.final_sha256(as_of=2)  # pre-backfill snapshot
+
+    assert ReplayEngine(spec, lake, gc_old_versions=False).gc_orphans() == 0
+    assert set(_glob.glob(os.path.join(lake, "part-*-v10000000*.parquet"))) == bf_files
+    eng2 = ReplayEngine(spec, lake, gc_old_versions=False)
+    assert eng2.final_sha256() == sha_tip
+    assert eng2.final_sha256(as_of=2) == sha_pre
+
+
+def test_backfill_dropping_existing_column_raises(tmp_path):
+    """A transform that forgets a payload column must fail loudly, not
+    silently null that column across every live row in the lake."""
+    import pytest
+
+    meta = _gen(tmp_path, n_batches=2)
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    eng.replay(meta["events_dir"])
+    sha = eng.final_sha256()
+
+    def drop_content(t):
+        return t.drop_columns(["content"])
+
+    with pytest.raises(Exception, match="dropped existing column"):
+        eng.backfill(drop_content)
+    # nothing committed: state unchanged
+    assert ReplayEngine(spec, str(tmp_path / "lake")).final_sha256() == sha
+
+
+def test_replay_summary_separates_deferred_from_committed(tmp_path):
+    """Batches the max_batches budget cut are 'deferred', never listed
+    as 'skipped_committed' — that field promised safely-applied work."""
+    meta = _gen(tmp_path, n_batches=4)
+    spec = repo_file_spec(num_buckets=8)
+    eng = ReplayEngine(spec, str(tmp_path / "lake"))
+    s1 = eng.replay(meta["events_dir"], max_batches=2)
+    assert s1["applied_batches"] == [0, 1]
+    assert s1["skipped_committed"] == []
+    assert s1.get("deferred") == [2, 3]
+    s2 = eng.replay(meta["events_dir"])
+    assert s2["applied_batches"] == [2, 3]
+    assert s2["skipped_committed"] == [0, 1]
+    assert "deferred" not in s2
+
+
+def test_reshard_forwards_writer_lease(tmp_path):
+    meta = _gen(tmp_path, n_batches=2)
+    spec = repo_file_spec(num_buckets=4)
+    eng = ReplayEngine(
+        spec, str(tmp_path / "lake"), writer_lease=True, lease_ttl_s=120.0
+    )
+    eng.replay(meta["events_dir"])
+    new = eng.reshard(str(tmp_path / "lake2"), factor=2)
+    assert new.writer_lease is True
+    assert new.lease_ttl_s == 120.0
+    assert new.final_sha256() == eng.final_sha256()

@@ -178,3 +178,33 @@ def test_lineage_manifest_written_and_consistent(ray_session, tmp_path):
     # identical rerun overwrites the same manifest (no proliferation)
     run_eventfile_etl(paths, [_spec()], out, files_per_task=2)
     assert len(glob.glob(os.path.join(out, "_lineage", "run-*.json"))) == 1
+
+
+def test_resume_sweeps_stale_tail_chunks_when_input_shrinks(
+    ray_session, tmp_path
+):
+    """Re-running with FEWER input files must purge the prior run's
+    tail-chunk outputs and markers — otherwise plain-glob consumers read
+    rows from files no longer in the input."""
+    paths = _blobs(tmp_path, n_files=6)
+    out = str(tmp_path / "out")
+    run_eventfile_etl(paths, [_spec()], out, files_per_task=2, resume=True)
+    assert os.path.exists(
+        os.path.join(out, "_progress", "chunk-00002.json")
+    )
+
+    # shrink to the first 2 files (one chunk)
+    c = run_eventfile_etl(paths[:2], [_spec()], out, files_per_task=2,
+                          resume=True)
+    assert c["chunks_skipped"] == 1  # chunk 0 unchanged
+    # tail chunks' markers and data files are gone
+    markers = sorted(os.listdir(os.path.join(out, "_progress")))
+    assert markers == ["chunk-00000.json"]
+    data = glob.glob(os.path.join(out, "SVC_EVENT", "**", "*.parquet"),
+                     recursive=True)
+    assert all("part-c00000" in os.path.basename(f) for f in data), data
+    # surviving rows are exactly the first 2 files' events
+    import pyarrow.parquet as pq
+
+    ks = sorted(pq.read_table(data)["k"].to_pylist())
+    assert ks == sorted([fi * 10 + i for fi in range(2) for i in range(5)])
