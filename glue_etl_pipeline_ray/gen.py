@@ -195,7 +195,12 @@ def generate_change_events(
     event_id = np.array([f"ev-{s:012d}-{rng.integers(0, 1 << 30):08x}" for s in seq], dtype=object)
     ts = (1_700_000_000_000 + seq * 137).astype(np.int64)
 
-    # F3 dirty injection (never on DELETE rows so the op mix stays visible)
+    # F3 dirty injection. Positions are drawn over ALL rows, DELETEs
+    # included (a dirty row always dead-letters, so engine and oracle
+    # agree either way) — which means delete_frac is nominal PRE-dirt:
+    # mode-4 dirt on a DELETE row turns it into a dead-lettered UPDATE.
+    # Kept as-is deliberately: the seeded draws are a reproducibility
+    # contract (the recorded soak shas depend on them).
     n_dirty = int(n_events * dirty_frac)
     dirty_pos = rng.choice(n_events, size=n_dirty, replace=False) if n_dirty else np.array([], int)
     repos_d, commit_d, lang_d, content_d, op_d = (repos, commit, lang, content, op)
@@ -321,7 +326,9 @@ def generate_change_events_parallel(
     @ray.remote(num_cpus=num_cpus_per_task)
     def gen_batch(b: int, pool: np.ndarray) -> tuple[str, int]:
         brng = np.random.default_rng([seed, b])
-        lo = b * batch_size
+        # clamp: when n_batches > n_events the tail batches are empty —
+        # the serial path writes empty files, a negative m would crash
+        lo = min(b * batch_size, n_events)
         hi = min(n_events, lo + batch_size)
         m = hi - lo
         seq = np.arange(lo, hi, dtype=np.int64)

@@ -23,6 +23,40 @@ import pyarrow.parquet as pq
 from glue_etl_pipeline_ray.hashing import table_sha256
 from glue_etl_pipeline_ray.spec import TableSpec, type_from_name, type_name
 
+_BATCH_NUM = re.compile(r"batch=(\d+)")
+
+
+def _seq_sort_key(seq_col: str):
+    """Null-safe per-batch row order: a null/missing ``seq`` (the F3
+    dirt the ``seq not_null`` rule exists for) sorts first and then
+    dead-letters during validation — the engine handles that stream, so
+    the ground-truth oracle must not crash on it."""
+    return lambda r: (r.get(seq_col) is None, r.get(seq_col) or 0)
+
+
+def batch_files(events_dir: str) -> list[str]:
+    """Same layout AND ordering contract as the engine's
+    discover_batches: a batch is one ``batch=N.parquet`` file or a
+    ``batch=N/`` directory of part files, applied in NUMERIC batch
+    order (lexicographic order diverges on unpadded names — the engine
+    parses the integer, so the oracle must too)."""
+
+    def bid(p: str) -> int:
+        m = _BATCH_NUM.search(os.path.basename(p.rstrip("/")))
+        return int(m.group(1)) if m else -1
+
+    files: list[str] = []
+    entries = sorted(
+        glob.glob(os.path.join(events_dir, "batch=*")),
+        key=lambda p: (bid(p), p),
+    )
+    for entry in entries:
+        if os.path.isdir(entry):
+            files.extend(sorted(glob.glob(os.path.join(entry, "*.parquet"))))
+        elif entry.endswith(".parquet"):
+            files.append(entry)
+    return files
+
 
 def _resolve_path(row: dict, path: str):
     """Dotted-path lookup mirroring the engine's struct-field resolution
@@ -76,10 +110,6 @@ def _row_errors_planned(spec: TableSpec, row: dict, plan: list) -> list[str]:
             if not (r.lo <= v <= r.hi):
                 errs.append(r.error)
     return errs
-
-
-def _row_errors(spec: TableSpec, row: dict) -> list[str]:
-    return _row_errors_planned(spec, row, build_rule_plan(spec))
 
 
 def apply_renames_oracle(spec: TableSpec, t: pa.Table) -> pa.Table:
@@ -157,15 +187,7 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
     Returns dict with: ``table`` (live rows, canonical layout), ``sha256``,
     ``evolved`` (first-seen extra columns), ``dlq`` rows, counters.
     """
-    # same layout contract as the engine's discover_batches: a batch is
-    # either one ``batch=N.parquet`` file or a ``batch=N/`` directory of
-    # part files (e.g. the engine's staged DML batches)
-    files: list[str] = []
-    for entry in sorted(glob.glob(os.path.join(events_dir, "batch=*"))):
-        if os.path.isdir(entry):
-            files.extend(sorted(glob.glob(os.path.join(entry, "*.parquet"))))
-        elif entry.endswith(".parquet"):
-            files.append(entry)
+    files = batch_files(events_dir)
     evolved: list[tuple[str, str]] = []
     state: dict[tuple, dict] = {}  # key -> {"seq": int, "deleted": bool, "row": dict}
     dlq: list[dict] = []
@@ -176,7 +198,7 @@ def replay_oracle(spec: TableSpec, events_dir: str) -> dict:
         t = apply_renames_oracle(spec, pq.read_table(f))
         register_evolution(spec, t.schema, evolved)
         rows = t.to_pylist()
-        rows.sort(key=lambda r: r[spec.seq_col])
+        rows.sort(key=_seq_sort_key(spec.seq_col))
         for row in rows:
             errs = _row_errors_planned(spec, row, plan)
             if errs:

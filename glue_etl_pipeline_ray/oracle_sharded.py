@@ -13,7 +13,7 @@ Independence from the engine is preserved where it matters:
 - routing uses ``zlib.crc32`` over the key tuple — NOT the engine's
   bucket hash — so a routing bug in either cannot cancel out;
 - per-row validation / LWW / evolution are the serial oracle's own
-  functions (``_row_errors``, ``register_evolution``), not the
+  functions (``_row_errors_planned``, ``register_evolution``), not the
   engine's vectorized kernels;
 - the final sha256 is :func:`hashing.table_sha256`, which re-sorts the
   assembled table globally, so shard order cannot leak into the digest.
@@ -42,8 +42,10 @@ import pyarrow.parquet as pq
 from glue_etl_pipeline_ray.hashing import table_sha256, upcast_large_strings
 from glue_etl_pipeline_ray.oracle import (
     _row_errors_planned,
+    _seq_sort_key,
     apply_renames_oracle,
     assemble_live,
+    batch_files,
     build_rule_plan,
     register_evolution,
 )
@@ -87,13 +89,6 @@ class _OracleShard:
     ordering (submission order per actor) provides that for free.
     """
 
-    # columns whose values repeat across rows (keys, enums, pooled
-    # content) — worth interning so 10^7+ live rows share one Python
-    # object per distinct string. Per-event-unique columns (commit,
-    # event ids) must NOT be interned: the cache would retain every
-    # value ever applied, not just the live set.
-    _NEVER_INTERN = ("commit",)
-
     def __init__(self, spec: TableSpec, keep_dlq: bool):
         self.spec = spec
         self.keep_dlq = keep_dlq
@@ -109,7 +104,12 @@ class _OracleShard:
         spec = self.spec
         # per-chunk column plan (rows of one chunk share the schema):
         # which payload columns exist, and which of those to intern
-        never = set(self._NEVER_INTERN)
+        # columns whose values repeat across rows (keys, enums, pooled
+        # content) are interned so 10^7+ live rows share one Python
+        # object per distinct string; the spec names its per-event-unique
+        # payload columns (spec.unique_cols) — interning those would
+        # retain every value ever applied, not just the live set
+        never = set(self.spec.unique_cols)
         meta = {
             spec.seq_col,
             spec.op_col,
@@ -133,7 +133,7 @@ class _OracleShard:
 
         plan = self._plan
         rows = chunk.to_pylist()
-        rows.sort(key=lambda r: r[seq_col])
+        rows.sort(key=_seq_sort_key(seq_col))
         n_dlq = n_deleted = n_applied = 0
         for row in rows:
             errs = _row_errors_planned(spec, row, plan)
@@ -243,14 +243,15 @@ class ShardedOracle:
         # so actors don't need the running registry)
         units: deque = deque()
         for f in files:
+            pf = pq.ParquetFile(f)  # ONE footer read: schema + row groups
             register_evolution(
                 spec,
                 apply_renames_oracle(
-                    spec, pq.read_schema(f).empty_table()
+                    spec, pf.schema_arrow.empty_table()
                 ).schema,
                 self.evolved,
             )
-            md = pq.ParquetFile(f).metadata
+            md = pf.metadata
             nrg = md.num_row_groups
             if nrg == 0:
                 continue
@@ -282,9 +283,10 @@ class ShardedOracle:
                 ray.get(pending.popleft())
 
     def apply_dir(self, events_dir: str) -> None:
-        self.apply_files(
-            sorted(glob.glob(os.path.join(events_dir, "batch=*.parquet")))
-        )
+        # batch_files honors the engine's full layout contract (file- and
+        # directory-style batches, NUMERIC order) — a plain file glob
+        # silently skipped batch=N/ directories
+        self.apply_files(batch_files(events_dir))
 
     def result(self, with_table: bool = True) -> dict:
         import ray
@@ -320,7 +322,7 @@ class ShardedOracle:
         rows: list[dict] = []
         for part in ray.get([s.dlq_rows.remote() for s in self.shards]):
             rows.extend(part)
-        rows.sort(key=lambda r: r[self.spec.seq_col])
+        rows.sort(key=_seq_sort_key(self.spec.seq_col))
         return rows
 
 

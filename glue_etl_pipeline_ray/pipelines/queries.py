@@ -1420,13 +1420,20 @@ def q_value_quantiles_hist(sf_dir: str):
         count_alias="cnt",
     )
     h = hist.to_arrow_refs()
-    t = pa.concat_tables(ray.get(h))  # ~|distinct| rows, tiny by design
+    # ~|distinct| rows, tiny by design; skip the empty zero-column
+    # blocks Ray emits for key-less groupby partitions
+    parts = [t for t in ray.get(h) if t.num_columns > 0]
+    t = pa.concat_tables(parts) if parts else pa.table(
+        {"cents": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+    )
     t = t.sort_by("cents")
     vals = t["cents"].to_numpy(zero_copy_only=False)
     cum = np.cumsum(t["cnt"].to_numpy(zero_copy_only=False))
     n = int(cum[-1]) if len(cum) else 0
 
-    def pick(q: float) -> int:
+    def pick(q: float):
+        if n == 0:
+            return None
         idx = int(np.ceil(n * q)) - 1  # quantile_disc rank
         return int(vals[np.searchsorted(cum, idx, side="right")])
 

@@ -153,6 +153,10 @@ class TableSpec:
     # columns the downstream has explicitly dropped: ingest ignores them
     # (never evolves them in) instead of growing the lake schema
     ignored_cols: tuple[str, ...] = ()
+    # payload columns whose values are per-event-unique (commit shas,
+    # event ids): caching replayers must never intern these — the cache
+    # would retain every value ever applied, not just the live set
+    unique_cols: tuple[str, ...] = ()
 
     @property
     def base_col_names(self) -> tuple[str, ...]:
@@ -225,4 +229,5 @@ def repo_file_spec(num_buckets: int = 64) -> TableSpec:
         ),
         num_buckets=num_buckets,
         extra_meta_cols=("event_id", "ts"),
+        unique_cols=("commit",),
     )

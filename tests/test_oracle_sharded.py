@@ -145,3 +145,112 @@ def test_multi_unit_row_group_routing(ray_session, tmp_path):
     assert out["n_dead_lettered"] == serial["n_dead_lettered"]
     assert out["n_live"] == serial["n_live"]
     assert _dlq_key(o.dlq_rows(), spec) == _dlq_key(serial["dlq"], spec)
+
+
+def test_sharded_oracle_reads_directory_batches(ray_session, tmp_path):
+    """apply_dir must honor the engine's full layout contract: a batch
+    can be a ``batch=N/`` DIRECTORY of part files (staged DML batches,
+    _events_as_cdc output) — a plain file glob silently replayed
+    partial data."""
+    import shutil
+
+    generate_change_events(str(tmp_path), **{**GEN, "n_events": 6000})
+    ev = str(tmp_path / "events")
+    spec = repo_file_spec()
+    serial = replay_oracle(spec, ev)
+
+    # convert batch 2 to directory layout
+    src = os.path.join(ev, "batch=00002.parquet")
+    d = os.path.join(ev, "batch=00002")
+    os.makedirs(d)
+    shutil.move(src, os.path.join(d, "part-0.parquet"))
+    assert replay_oracle(spec, ev)["sha256"] == serial["sha256"]
+    sharded = replay_oracle_sharded(spec, ev, num_shards=3)
+    assert sharded["sha256"] == serial["sha256"]
+    assert sharded["n_dead_lettered"] == serial["n_dead_lettered"]
+
+
+def test_oracles_survive_null_seq_rows(ray_session, tmp_path):
+    """A null ``seq`` (the dirt the seq not_null rule exists for) must
+    dead-letter in BOTH oracles, not crash the per-batch sort."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = str(tmp_path / "events")
+    os.makedirs(ev)
+    n = 20
+    seq = list(range(n))
+    seq[7] = None  # one null-seq row
+    t = pa.table(
+        {
+            "seq": pa.array(seq, pa.int64()),
+            "batch_id": pa.array(np.zeros(n, np.int64)),
+            "op": pa.array(["INSERT"] * n, pa.string()),
+            "repo": pa.array(["o/r"] * n, pa.string()),
+            "path": pa.array([f"f{i}.py" for i in range(n)], pa.string()),
+            "commit": pa.array(["ab" * 20] * n, pa.string()),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array([f"c{i}" for i in range(n)], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(ev, "batch=00000.parquet"))
+    spec = repo_file_spec()
+    serial = replay_oracle(spec, ev)
+    assert serial["n_dead_lettered"] == 1
+    assert serial["n_live"] == n - 1
+    sharded = replay_oracle_sharded(spec, ev, num_shards=2)
+    assert sharded["sha256"] == serial["sha256"]
+    assert sharded["n_dead_lettered"] == 1
+
+
+def test_oracle_batch_order_is_numeric_not_lexicographic(
+    ray_session, tmp_path
+):
+    """Unpadded batch names (batch=2 vs batch=10) must replay in
+    numeric order like the engine's discover_batches — lexicographic
+    order applies 10 before 2 and flips LWW outcomes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = str(tmp_path / "events")
+    os.makedirs(ev)
+
+    def one(bid, seq, content):
+        return pa.table(
+            {
+                "seq": pa.array([seq], pa.int64()),
+                "batch_id": pa.array([bid], pa.int64()),
+                "op": pa.array(["INSERT" if bid == 2 else "UPDATE"]),
+                "repo": pa.array(["o/r"]),
+                "path": pa.array(["f.py"]),
+                "commit": pa.array(["ab" * 20]),
+                "lang": pa.array(["py"]),
+                "content": pa.array([content]),
+            }
+        )
+
+    pq.write_table(one(2, 0, "old"), os.path.join(ev, "batch=2.parquet"))
+    pq.write_table(one(10, 1, "new"), os.path.join(ev, "batch=10.parquet"))
+    spec = repo_file_spec()
+    serial = replay_oracle(spec, ev)
+    assert serial["table"]["content"].to_pylist() == ["new"]
+    sharded = replay_oracle_sharded(spec, ev, num_shards=2)
+    assert sharded["sha256"] == serial["sha256"]
+
+
+def test_parallel_generator_more_batches_than_events(ray_session, tmp_path):
+    """n_batches > n_events: tail batches are empty files in the serial
+    path; the parallel path must not crash on a negative row count."""
+    import pyarrow.parquet as pq
+
+    p = generate_change_events_parallel(
+        str(tmp_path / "b"), n_events=10, n_batches=20, seed=5
+    )
+    files = sorted(glob.glob(os.path.join(p["events_dir"], "batch=*.parquet")))
+    assert len(files) == 20
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 10
+    spec = repo_file_spec()
+    res = replay_oracle(spec, p["events_dir"])
+    assert res["n_live"] + res["n_dead_lettered"] >= 1
