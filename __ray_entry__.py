@@ -459,15 +459,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_windows": """
             WITH o AS (
-                SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS brk
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
+                -- order by (ts, event_id) like the brk window: under a
+                -- tied ts the prefix sum would otherwise split sessions
+                -- differently from the engine's sorted-ts gap pass
                 SELECT user_id, ts, cents,
-                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
                 FROM o
             )

@@ -97,7 +97,11 @@ def make_events(n_events: int, out_dir: str, n_batches: int = 4) -> str:
 
 
 def run_headline(
-    ev_dir: str, n_events: int, num_buckets: int = 64, state_mode: str = "rewrite"
+    ev_dir: str,
+    n_events: int,
+    num_buckets: int = 64,
+    state_mode: str = "rewrite",
+    cache_dir: str = "/tmp/gepr_bench_cache",
 ) -> dict:
     """Replay the change stream into a fresh lake; return throughput."""
     from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
@@ -107,7 +111,9 @@ def run_headline(
     try:
         # untimed mini-replay: settles worker pool + code paths so the
         # measured run reflects steady state, not cluster boot
-        warm_ev = make_events(50_000, os.path.dirname(os.path.dirname(ev_dir)))
+        # warm events go in the CACHE dir, never derived from ev_dir —
+        # a user-supplied --events-dir must not get sibling files planted
+        warm_ev = make_events(50_000, cache_dir)
         warm_lake = tempfile.mkdtemp(prefix="gepr_bench_warm_")
         ReplayEngine(
             repo_file_spec(num_buckets=num_buckets), warm_lake,
@@ -266,7 +272,10 @@ def main() -> int:
         os.makedirs(args.cache_dir, exist_ok=True)
         ev_dir = args.events_dir or make_events(n_events, args.cache_dir)
         t_start = time.perf_counter()
-        headline = run_headline(ev_dir, n_events, state_mode=args.state_mode)
+        headline = run_headline(
+            ev_dir, n_events, state_mode=args.state_mode,
+            cache_dir=args.cache_dir,
+        )
         queries = {} if args.headline_only else run_queries(args.sf_dir)
         total = time.perf_counter() - t_start
         print(

@@ -70,8 +70,14 @@ def main(argv=None) -> int:
         elif args.command == "compact":
             out = eng.compact()
         elif args.command == "verify":
-            out = {"sha256": eng.final_sha256(),
-                   "n_live": eng.final_table().num_rows}
+            # ONE unsorted assembly: table_sha256 re-sorts internally
+            # (with the large_string upcast), and a second sorted pass
+            # would overflow int32 offsets at 10^9 scale
+            from glue_etl_pipeline_ray.hashing import table_sha256
+
+            t = eng.final_table(sort=False)
+            out = {"sha256": table_sha256(t, eng.spec.key_cols),
+                   "n_live": t.num_rows}
         else:
             out = {"orphans_removed": eng.gc_orphans()}
         print(json.dumps(out))

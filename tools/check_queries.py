@@ -70,6 +70,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, sqls = entry.queries(), entry.oracle_sql()
+    unknown = sorted(set(only or ()) - set(qs))
+    if unknown:
+        print(f"FAIL  unknown query name(s): {unknown}")
+        return 1
     failed = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -93,12 +93,17 @@ def main() -> int:
     rp.ray.get = timed_get
     rp.submit_batch = timed_submit
 
-    # warm mini-replay (untimed) as bench.py does
+    # warm mini-replay (untimed) as bench.py does; make_events
+    # generates-or-reuses the cached warm input (a hardcoded cache path
+    # crashed on any box where bench.py hadn't populated it)
+    from bench import make_events
+
+    warm_ev = make_events(50_000, "/tmp/gepr_bench_cache")
     warm_lake = tempfile.mkdtemp(prefix="gepr_prof_warm_")
     rp.ReplayEngine(
         repo_file_spec(num_buckets=64), warm_lake,
         compute_bucket_hash=False, state_mode=args.state_mode,
-    ).replay("/tmp/gepr_bench_cache/events_50000/events")
+    ).replay(warm_ev)
     shutil.rmtree(warm_lake, ignore_errors=True)
     for k in timings:
         timings[k] = 0.0 if isinstance(timings[k], float) else 0

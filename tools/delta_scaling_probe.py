@@ -187,7 +187,7 @@ def main() -> int:
         line = proc.stdout.strip().splitlines()[-1]
         out[cpus] = json.loads(line)
         print(line)
-    lo, hi = levels
+    lo, hi = levels[0], levels[-1]  # 3+ levels: endpoints, like bench.py
     for stage in ("reduce", "fold"):
         eff = out[hi][stage]["tasks_per_sec"] / (
             (hi / lo) * out[lo][stage]["tasks_per_sec"]

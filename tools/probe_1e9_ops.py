@@ -108,7 +108,8 @@ def main() -> int:
     t0 = time.perf_counter()
     rd = eng.redrive_dlq()
     new_bid = rd.get("batch_id")
-    requeued = sum(
+    # an empty/drained DLQ returns batch_id=None — nothing was requeued
+    requeued = 0 if new_bid is None else sum(
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(
             os.path.join(args.lake, "_dlq", f"batch={new_bid:05d}", "*.parquet")

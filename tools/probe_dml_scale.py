@@ -140,10 +140,11 @@ def main() -> int:
     n_live1 = eng.final_dataset(columns=["repo"]).count()
     fsck = eng.fsck()
     out["n_live_after"] = n_live1
-    out["fsck_ok"] = not fsck.get("missing") and not fsck.get("corrupt")
+    out["fsck_ok"] = bool(fsck["ok"])
     print(json.dumps({"summary": out}))
     ray.shutdown()
-    return 0
+    # a lake failing fsck after the DML sequence must fail the probe
+    return 0 if out["fsck_ok"] else 1
 
 
 if __name__ == "__main__":

@@ -163,7 +163,11 @@ def phase_replay(args) -> int:
     per_chunk = []
     t_all = time.perf_counter()
     ck_sha = None
-    done = 0
+    # anchor at the ABSOLUTE watermark: a --resume run otherwise counts
+    # from 0, fires the checkpoint sha at the wrong absolute batch, and
+    # inflates events_per_sec with work a previous process did
+    start_done = eng.ckpt.watermark + 1
+    done = start_done
     while done < N_BATCHES:
         take = min(chunk, args.checkpoint_batches - done) if (
             done < args.checkpoint_batches
@@ -178,6 +182,7 @@ def phase_replay(args) -> int:
     tip_sha = eng.final_sha256()
     files = glob.glob(os.path.join(lake, "**", "*.parquet"), recursive=True)
     nbytes = sum(os.path.getsize(p) for p in files)
+    applied_events = (done - start_done) * (N_EVENTS // N_BATCHES)
     out = {
         "phase": "replay",
         "state_mode": args.state_mode,
@@ -185,8 +190,10 @@ def phase_replay(args) -> int:
         "keep_all": args.keep_all,
         "num_cpus": args.num_cpus,
         "n_events": N_EVENTS,
+        "n_events_applied": applied_events,
+        **({"resumed_from_batch": start_done} if start_done else {}),
         "wall_sec": round(wall, 1),
-        "events_per_sec": round(N_EVENTS / wall),
+        "events_per_sec": round(applied_events / max(wall, 1e-9)),
         "per_chunk_sec": per_chunk,
         "batches_per_chunk": args.batches_per_chunk,
         "checkpoint_batches": args.checkpoint_batches,

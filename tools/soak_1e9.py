@@ -138,10 +138,18 @@ def main() -> int:
     ]
 
     def gen_segment(ids, out: dict):
+        # capture failures for the main loop: a raise inside the thread
+        # would otherwise be swallowed by join(), and the loop would die
+        # later on a KeyError('meta') with the prior segment's source
+        # files already deleted — masking the root cause
         t0 = time.perf_counter()
-        out["meta"] = generate_change_events_parallel(
-            work, batch_ids=ids, **gen_kw
-        )
+        try:
+            out["meta"] = generate_change_events_parallel(
+                work, batch_ids=ids, **gen_kw
+            )
+        except BaseException as e:  # re-raised by the consumer
+            out["error"] = e
+            return
         out["sec"] = round(time.perf_counter() - t0, 1)
 
     per_segment = []
@@ -152,6 +160,8 @@ def main() -> int:
     cur: dict = {}
     gen_segment(segments[0], cur)  # segment 0: nothing to overlap
     for si, ids in enumerate(segments):
+        if "error" in cur:
+            raise cur["error"]
         meta, t_gen = cur["meta"], cur["sec"]
         files = sorted(meta["files"])
         n_seg_events = meta["n_events"]

@@ -96,7 +96,7 @@ def main() -> int:
         )
         out[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
         print(proc.stdout.strip().splitlines()[-1])
-    lo, hi = levels
+    lo, hi = levels[0], levels[-1]  # 3+ levels: endpoints, like bench.py
     eff = out[hi]["tasks_per_sec"] / ((hi / lo) * out[lo]["tasks_per_sec"])
     inflation = out[hi]["mean_task_sec"] / out[lo]["mean_task_sec"]
     print(json.dumps({
