@@ -127,16 +127,13 @@ def build_centroids(
     can never seed the other regions' centroids."""
     n_total = ds.count()
     sample_ds = ds
-    if n_total > sample_limit:
-        # oversample 1.3x so the post-filter limit() still fills up;
-        # clamp — frac hits exactly 1.0 whenever n_total <= 1.3x the
-        # limit, and uint64(2**64) overflows
-        frac = min(1.0, 1.3 * sample_limit / n_total)
-        thresh = (
-            np.uint64(2**64 - 1)
-            if frac >= 1.0
-            else np.uint64(int(frac * float(2**64)))
-        )
+    # oversample 1.3x so the post-filter limit() still fills up; when
+    # frac would clamp to 1.0 (n_total <= 1.3x the limit) skip the
+    # filter pass entirely — a keep-everything hash scan is pure waste,
+    # and uint64(2**64) overflows
+    frac = 1.3 * sample_limit / max(n_total, 1)
+    if n_total > sample_limit and frac < 1.0:
+        thresh = np.uint64(int(frac * float(2**64)))
 
         def hsample(t: pa.Table) -> pa.Table:
             m = _batch_matrix(t, vec_col).astype(np.float32, copy=False)

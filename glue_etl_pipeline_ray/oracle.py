@@ -28,9 +28,11 @@ _BATCH_NUM = re.compile(r"batch=(\d+)")
 
 def _seq_sort_key(seq_col: str):
     """Null-safe per-batch row order: a null/missing ``seq`` (the F3
-    dirt the ``seq not_null`` rule exists for) sorts first and then
-    dead-letters during validation — the engine handles that stream, so
-    the ground-truth oracle must not crash on it."""
+    dirt the ``seq not_null`` rule exists for) sorts LAST (False < True
+    in the tuple key) and then dead-letters during validation — the
+    engine handles that stream, so the ground-truth oracle must not
+    crash on it. Null position only affects DLQ encounter order, never
+    LWW state."""
     return lambda r: (r.get(seq_col) is None, r.get(seq_col) or 0)
 
 
@@ -47,7 +49,9 @@ def batch_files(events_dir: str) -> list[str]:
 
     files: list[str] = []
     entries = sorted(
-        glob.glob(os.path.join(events_dir, "batch=*")),
+        # entries with no numeric id (batch=tmp, batch=staging/) are
+        # skipped exactly as the engine's discover_batches skips them
+        (p for p in glob.glob(os.path.join(events_dir, "batch=*")) if bid(p) >= 0),
         key=lambda p: (bid(p), p),
     )
     for entry in entries:

@@ -128,6 +128,34 @@ _AUDIT_SCHEMA = pa.schema(
 )
 
 
+_ISO8601_SHORTCUT_OK: bool | None = None
+
+
+def _iso8601_shortcut_works() -> bool:
+    """Capability probe, once per process: pandas >= 2 understands
+    ``format="ISO8601"``; pandas 1.x treats it as a literal strptime
+    format and (with ``errors="coerce"``) silently coerces EVERY value
+    to NaT instead of raising. Probing a known-good sample keeps the
+    per-row acceptance contract independent of which other events share
+    the chunk — an all-NaT fallback gate would accept or dead-letter
+    the same event depending on its neighbors."""
+    global _ISO8601_SHORTCUT_OK
+    if _ISO8601_SHORTCUT_OK is None:
+        import pandas as pd
+
+        try:
+            probe = pd.to_datetime(
+                pd.Series(["2022-01-02T03:04:05Z"]),
+                utc=True,
+                errors="coerce",
+                format="ISO8601",
+            )
+            _ISO8601_SHORTCUT_OK = bool(probe.notna().all())
+        except (TypeError, ValueError):
+            _ISO8601_SHORTCUT_OK = False
+    return _ISO8601_SHORTCUT_OK
+
+
 def _parse_times(values: list) -> np.ndarray | None:
     """ISO-8601 parse tolerant of fractional seconds / offsets; returns
     an int64 array of [year, month, day, hour] rows with -1 for
@@ -136,15 +164,9 @@ def _parse_times(values: list) -> np.ndarray | None:
     import pandas as pd
 
     ser = pd.Series(values, dtype="object")
-    try:
+    if _iso8601_shortcut_works():
         ts = pd.to_datetime(ser, utc=True, errors="coerce", format="ISO8601")
-    except (TypeError, ValueError):  # some versions raise on the shortcut
-        ts = None
-    if ts is None or (len(values) > 0 and bool(ts.isna().all())):
-        # older pandas does NOT raise with errors="coerce": it treats
-        # "ISO8601" as a literal strptime format and coerces every value
-        # to NaT — gate the fallback on the RESULT, not an exception, or
-        # 100% of valid events dead-letter as 'time' on pandas 1.x
+    else:
         ts = pd.to_datetime(ser, utc=True, errors="coerce")
     out = np.full((len(values), 4), -1, dtype=np.int64)
     ok = ts.notna().to_numpy()
@@ -434,6 +456,27 @@ def run_eventfile_etl(
                 with open(mp) as f:
                     m = _json.load(f)
                 _purge_chunk_outputs(ci, m, mp)
+        # chunks about to (re-)run may have crashed AFTER writing some
+        # outputs but BEFORE their marker — no marker records what they
+        # wrote, so sweep their deterministic part-c{ci} names directly:
+        # a changed input could otherwise leave phantom partition files
+        import glob as _glob
+
+        run_names = {
+            f"part-c{ci:05d}.parquet"
+            for ci in range(len(chunks))
+            if ci not in done
+        }
+        if run_names:
+            for p in _glob.glob(
+                os.path.join(out_dir, "**", "part-c*.parquet"),
+                recursive=True,
+            ):
+                if os.path.basename(p) in run_names:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
     refs = {
         ci: _etl_chunk.options(num_cpus=1).remote(
             ci, ch, specs, out_dir, require_source

@@ -62,7 +62,11 @@ def _file_meta(f: str) -> "pq.FileMetaData":
     if md is None:
         md = pq.ParquetFile(f).metadata
         if len(_META_CACHE) >= _META_CACHE_MAX:
-            _META_CACHE.clear()
+            # evict the oldest half (dict preserves insertion order) —
+            # clear() would wipe the cache mid-run and the pipeline's
+            # second pass over a >4096-file pending set would miss
+            for k in list(_META_CACHE)[: _META_CACHE_MAX // 2]:
+                del _META_CACHE[k]
         _META_CACHE[key] = md
     return md
 

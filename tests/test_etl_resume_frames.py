@@ -208,3 +208,73 @@ def test_resume_sweeps_stale_tail_chunks_when_input_shrinks(
 
     ks = sorted(pq.read_table(data)["k"].to_pylist())
     assert ks == sorted([fi * 10 + i for fi in range(2) for i in range(5)])
+
+
+def test_resume_purges_outputs_of_unmarked_crashed_chunk(
+    ray_session, tmp_path
+):
+    """A chunk that crashed after writing outputs but before its marker
+    must not leave phantom partition files when its input changes: the
+    resume path sweeps part-c{ci} names for every chunk it re-runs."""
+    paths = _blobs(tmp_path, n_files=4)
+    out = str(tmp_path / "out")
+    run_eventfile_etl(paths, [_spec()], out, files_per_task=2, resume=True)
+
+    # simulate the crash window: marker for chunk 1 lost
+    os.remove(os.path.join(out, "_progress", "chunk-00001.json"))
+    # change chunk 1's input so the re-run lands in DIFFERENT partitions
+    evs = json.dumps(
+        {
+            "id": "zz0",
+            "time": "2030-12-31T23:00:00Z",
+            "detail": {
+                "type": "EFEvaluationEvent",
+                "evaluation": {"service": "svc", "k": 999},
+            },
+        }
+    )
+    with open(paths[2], "w") as f:
+        f.write(evs)
+    with open(paths[3], "w") as f:
+        f.write("")
+
+    run_eventfile_etl(paths, [_spec()], out, files_per_task=2, resume=True)
+    data = glob.glob(os.path.join(out, "SVC_EVENT", "**", "*.parquet"),
+                     recursive=True)
+    c1 = [p for p in data if "part-c00001" in os.path.basename(p)]
+    # exactly one chunk-1 file, in the NEW partition — no phantoms
+    assert len(c1) == 1 and "year=2030" in c1[0], c1
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(c1[0])["k"].to_pylist() == [999]
+
+
+def test_time_acceptance_is_row_independent(ray_session, tmp_path):
+    """A non-ISO timestamp must dead-letter regardless of which other
+    events share its chunk (the parse path is probed per process, not
+    gated on the chunk's parse results)."""
+
+    def ev(i, time):
+        return json.dumps(
+            {
+                "id": f"x{i}",
+                "time": time,
+                "detail": {
+                    "type": "EFEvaluationEvent",
+                    "evaluation": {"service": "svc", "k": i},
+                },
+            }
+        )
+
+    # chunk A: non-ISO alone; chunk B: non-ISO next to a valid ISO row
+    pa_ = tmp_path / "ef-a"
+    pa_.write_text(ev(0, "05/14/2024 10:00"))
+    pb = tmp_path / "ef-b"
+    pb.write_text(ev(1, "05/14/2024 10:00") + ev(2, "2022-01-01T00:00:00Z"))
+    out = str(tmp_path / "outti")
+    c = run_eventfile_etl(
+        [str(pa_), str(pb)], [_spec()], out, files_per_task=1
+    )
+    # both non-ISO rows dead-letter identically; only the ISO row lands
+    assert c["dead_lettered"] == 2
+    assert c["tables"]["SVC_EVENT"] == 1

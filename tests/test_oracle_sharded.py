@@ -254,3 +254,21 @@ def test_parallel_generator_more_batches_than_events(ray_session, tmp_path):
     spec = repo_file_spec()
     res = replay_oracle(spec, p["events_dir"])
     assert res["n_live"] + res["n_dead_lettered"] >= 1
+
+
+def test_batch_files_skips_non_numeric_entries(ray_session, tmp_path):
+    """Scratch entries like batch=tmp.parquet / batch=staging/ are
+    skipped by the engine's discover_batches — the oracles must skip
+    them too, not replay them first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from glue_etl_pipeline_ray.oracle import batch_files
+
+    ev = str(tmp_path / "events")
+    os.makedirs(os.path.join(ev, "batch=staging"))
+    t = pa.table({"x": pa.array([1], pa.int64())})
+    pq.write_table(t, os.path.join(ev, "batch=tmp.parquet"))
+    pq.write_table(t, os.path.join(ev, "batch=staging", "p.parquet"))
+    pq.write_table(t, os.path.join(ev, "batch=00000.parquet"))
+    got = batch_files(ev)
+    assert [os.path.basename(f) for f in got] == ["batch=00000.parquet"]
