@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_agg": Q.q_cube_agg,
         "scd2_history": Q.q_scd2_history,
         "full_outer_join": Q.q_full_outer_join,
+        "vocab_lev1": Q.q_vocab_lev1,
     }
 
 

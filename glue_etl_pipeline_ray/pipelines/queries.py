@@ -3229,3 +3229,24 @@ def q_full_outer_join(sf_dir: str):
         return t.filter(pa.array(keep))
 
     return folded.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# ============================================== round-5 session-2 additions
+
+
+def q_vocab_lev1(sf_dir: str):
+    """Near-miss key detection: all pairs of DISTINCT part names at
+    edit distance exactly 1 — the fuzzy-matching / typo-clustering
+    step of entity resolution, via the FastSS deletion-neighborhood
+    EQUI-join (functions/fuzzy.py) instead of the quadratic
+    levenshtein cross join the predicate naively demands.
+
+    Scale shape: the corpus is touched once (distinct-term partials);
+    every later stage is vocabulary-sized. Gate: hash-exact DuckDB
+    ``levenshtein(a,b) = 1`` oracle + a planted-typo fixture covering
+    substitution/insertion/deletion (tests/test_vocab_lev1.py)."""
+    from glue_etl_pipeline_ray.functions.fuzzy import vocab_lev1_pairs
+
+    return vocab_lev1_pairs(
+        _t(sf_dir, "part", ["p_name"]), col="p_name", mode="values"
+    )
