@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": Q.q_scd2_history,
         "full_outer_join": Q.q_full_outer_join,
         "vocab_lev1": Q.q_vocab_lev1,
+        "triangle_count": Q.q_triangle_count,
     }
 
 

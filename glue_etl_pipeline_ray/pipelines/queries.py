@@ -3250,3 +3250,60 @@ def q_vocab_lev1(sf_dir: str):
     return vocab_lev1_pairs(
         _t(sf_dir, "part", ["p_name"]), col="p_name", mode="values"
     )
+
+
+def q_triangle_count(sf_dir: str):
+    """Per-supplier triangle counts over the co-supplier graph (two
+    suppliers are adjacent iff they ship lines of the same order) —
+    the graph-statistics kernel (local clustering / community
+    features) beside q_pagerank_suppliers' centrality.
+
+    Plan: ONE keyed exchange on l_orderkey builds the distinct edge
+    set (per-partition vectorized pair enumeration over per-order
+    supplier runs — pairs bounded by order width, the same per-group
+    arithmetic as the interval join's sweep); triangle_counts then
+    runs the degree-ordered wedge check with the edge CSR broadcast
+    once and tasks sized by cumulative wedge count
+    (functions/triangles.py — hot-hub safe by the O(m^1.5) orientation
+    bound). Gate: hash-exact DuckDB triple-self-join oracle + planted
+    graphs (tests/test_triangles.py)."""
+    from glue_etl_pipeline_ray.functions.groups import (
+        grouped_apply_partitions,
+    )
+    from glue_etl_pipeline_ray.functions.triangles import (
+        enumerate_run_pairs,
+        triangle_counts,
+    )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def order_pairs(part: pa.Table) -> pa.Table:
+        ok = part["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = part["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ok) == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((sk, ok))
+        ok_s, sk_s = ok[order], sk[order]
+        # drop repeated (order, supplier) rows, then enumerate each
+        # order's supplier pairs (ascending within run -> src < dst)
+        first = np.r_[True, (ok_s[1:] != ok_s[:-1]) | (sk_s[1:] != sk_s[:-1])]
+        ok_d, sk_d = ok_s[first], sk_s[first]
+        starts = np.flatnonzero(np.r_[True, ok_d[1:] != ok_d[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok_d)])
+        run_idx, i, j = enumerate_run_pairs(sizes)
+        u = sk_d[starts[run_idx] + i]
+        v = sk_d[starts[run_idx] + j]
+        key = np.unique((u << np.int64(32)) | v)
+        return pa.table(
+            {
+                "src": pa.array(key >> np.int64(32), pa.int64()),
+                "dst": pa.array(key & np.int64((1 << 32) - 1), pa.int64()),
+            }
+        )
+
+    edges = grouped_apply_partitions(
+        li, ["l_orderkey"], order_pairs, num_partitions=32
+    )
+    return triangle_counts(edges, "src", "dst")
