@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": Q.q_full_outer_join,
         "vocab_lev1": Q.q_vocab_lev1,
         "triangle_count": Q.q_triangle_count,
+        "bpe_train": Q.q_bpe_train,
     }
 
 

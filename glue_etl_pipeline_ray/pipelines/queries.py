@@ -3307,3 +3307,23 @@ def q_triangle_count(sf_dir: str):
         li, ["l_orderkey"], order_pairs, num_partitions=32
     )
     return triangle_counts(edges, "src", "dst")
+
+
+def q_bpe_train(sf_dir: str):
+    """Tokenizer construction: learn the corpus's top-40 BPE merges
+    (pair, merged token, weighted count) — the training step whose
+    OUTPUT functions/text.py's BpeTokenCount consumes.
+
+    Shape: one distributed word-count pass over the corpus, then the
+    word vocabulary lives hash-sharded as persistent Ray task state;
+    each of the 40 rounds exchanges only pair-count partials (bounded
+    by distinct adjacent pairs) and one broadcast merge decision —
+    corpus rows are never rescanned (functions/bpe.py). Gate: exact
+    merge-sequence equality vs the single-process textbook
+    implementation on this corpus + planted tie/overlap fixtures
+    (tests/test_bpe.py)."""
+    from glue_etl_pipeline_ray.functions.bpe import bpe_train
+
+    return bpe_train(
+        _t(sf_dir, "documents", ["text"]), text_col="text", n_merges=40
+    )
