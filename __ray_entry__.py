@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_lev1": Q.q_vocab_lev1,
         "triangle_count": Q.q_triangle_count,
         "bpe_train": Q.q_bpe_train,
+        "copurchase_cosine": Q.q_copurchase_cosine,
     }
 
 

@@ -3327,3 +3327,35 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(
         _t(sf_dir, "documents", ["text"]), text_col="text", n_merges=40
     )
+
+
+def q_copurchase_cosine(sf_dir: str):
+    """Customer co-purchase similarity: all customer pairs whose
+    part-basket count vectors have cosine >= 0.2 — the
+    collaborative-filtering / kNN-graph edge list, via the exact
+    integer all-pairs formulation (functions/sparse_sim.py: one
+    inverted-index exchange on the part, one pair-fold exchange, the
+    threshold decided in int64 cross-multiplication, never a float).
+
+    Baskets come from one hash equi-join (lineitem x orders); the
+    (id, term, c, n2) vectors build in a single keyed exchange so the
+    squared norm rides into the index instead of joining an id-scale
+    norms table onto the pairs. Gate: hash-exact DuckDB oracle
+    (tests/test_sparse_sim.py; 3180 pairs at sf0.001)."""
+    from glue_etl_pipeline_ray.functions.joins import inner_join
+    from glue_etl_pipeline_ray.functions.sparse_sim import (
+        cosine_pairs_exact,
+        tf_with_norms,
+    )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    joined = inner_join(li, orders, on="l_orderkey", num_partitions=16)
+    tf = tf_with_norms(joined, "o_custkey", "l_partkey")
+    return cosine_pairs_exact(tf, tau_num=1, tau_den=5)
