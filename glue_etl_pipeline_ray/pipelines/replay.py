@@ -2007,19 +2007,27 @@ class ReplayEngine:
         }
 
     @_with_writer_lease
-    def reshard(self, out_lake_dir: str, factor: int = 2) -> "ReplayEngine":
-        """Scale-out re-bucketing (blue/green): write a new lake with
-        ``num_buckets * factor`` buckets and return an engine over it
-        that resumes replay exactly-once from the same watermark.
+    def reshard(
+        self, out_lake_dir: str, factor: int = 2, mode: str = "split"
+    ) -> "ReplayEngine":
+        """Re-bucketing in either direction (blue/green): write a new
+        lake with ``num_buckets * factor`` buckets (``mode="split"``,
+        scale-out) or ``num_buckets // factor`` buckets
+        (``mode="merge"``, scale-in — the symmetric answer to an
+        OVER-provisioned layout whose tiny files start to dominate),
+        and return an engine over it that resumes replay exactly-once
+        from the same watermark.
 
-        The split is LOCAL — no shuffle: ``h % (f*B)`` is congruent to
-        ``h % B`` mod B, so every row of old bucket ``b`` lands in one
-        of the ``factor`` new buckets ``{b + k*B}``; one Ray task per
-        old bucket folds its committed state (rewrite part file, or
-        delta base+chain) and writes its split files. O(state) total
-        work, cluster-parallel, zero cross-bucket traffic — the answer
-        to an under-provisioned ``num_buckets`` at 10^10 keys without
-        an all-to-all rewrite.
+        Both directions are LOCAL — no shuffle. Split: ``h % (f*B)``
+        is congruent to ``h % B`` mod B, so every row of old bucket
+        ``b`` lands in one of the ``factor`` new buckets ``{b + k*B}``;
+        one Ray task per old bucket. Merge: with ``B' = B / f`` a
+        divisor of B, ``h % B'  ==  (h % B) % B'``, so new bucket
+        ``nb`` is exactly the union of old buckets ``{nb + k*B'}`` —
+        disjoint key sets, one Ray task per NEW bucket concatenates
+        them. O(state) total work, cluster-parallel, zero cross-bucket
+        traffic — the answer to a mis-provisioned ``num_buckets`` at
+        10^10 keys without an all-to-all rewrite.
 
         Tombstones are carried (a late stale update to a deleted key
         must still lose LWW after the reshard). The new manifest copies
@@ -2042,12 +2050,22 @@ class ReplayEngine:
 
         if factor < 2:
             raise ValueError("factor must be >= 2")
+        if mode not in ("split", "merge"):
+            raise ValueError(f"unknown reshard mode {mode!r}")
         wm = self.ckpt.watermark
         if wm < 0:
             raise ValueError("nothing to reshard: no committed batches")
         spec, evolved = self.spec, self.ckpt.evolved
         nb_old = spec.num_buckets
-        nb_new = nb_old * factor
+        if mode == "merge":
+            if nb_old % factor != 0:
+                raise ValueError(
+                    f"merge reshard needs factor | num_buckets "
+                    f"({factor} does not divide {nb_old})"
+                )
+            nb_new = nb_old // factor
+        else:
+            nb_new = nb_old * factor
         os.makedirs(out_lake_dir, exist_ok=True)
         st = state_schema(spec, evolved)
         key_cols, lake = spec.key_cols, self.lake_dir
@@ -2061,8 +2079,7 @@ class ReplayEngine:
             ptrs = None
         bv = self.ckpt.bucket_versions
 
-        @ray.remote
-        def split(bucket: int) -> list[int]:
+        def read_old_bucket(bucket: int) -> pa.Table:
             if ptrs is not None:
                 base, chain = ptrs[bucket]
                 t = read_bucket_state(spec, evolved, lake, base, chain, bucket)
@@ -2070,7 +2087,11 @@ class ReplayEngine:
                 t = pq.read_table(
                     os.path.join(lake, part_name(bucket, bv[bucket]))
                 )
-            t = conform(t, st)
+            return conform(t, st)
+
+        @ray.remote
+        def split(bucket: int) -> list[int]:
+            t = read_old_bucket(bucket)
             if t.num_rows == 0:
                 return []
             h = (
@@ -2092,10 +2113,45 @@ class ReplayEngine:
                 written.append(nb)
             return written
 
+        @ray.remote
+        def merge(nb: int, sources: list[int]) -> list[int]:
+            tabs = [
+                x
+                for x in (read_old_bucket(b) for b in sources)
+                if x.num_rows
+            ]
+            if not tabs:
+                return []
+            t = pa.concat_tables(tabs)
+            h = (
+                key_hash_u64(*(t[k] for k in key_cols)) % np.uint64(nb_new)
+            ).astype(np.int64)
+            assert (h == nb).all(), (
+                "merge invariant violated: a row left its bucket family"
+            )
+            path = os.path.join(out_lake_dir, part_name(nb, wm))
+            tmp = path + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)
+            return [nb]
+
         buckets = sorted(ptrs) if ptrs is not None else sorted(bv)
-        new_buckets = [
-            nb for r in ray.get([split.remote(b) for b in buckets]) for nb in r
-        ]
+        if mode == "merge":
+            have = set(buckets)
+            refs = [
+                merge.remote(
+                    nb,
+                    [
+                        nb + k * nb_new
+                        for k in range(factor)
+                        if nb + k * nb_new in have
+                    ],
+                )
+                for nb in range(nb_new)
+            ]
+        else:
+            refs = [split.remote(b) for b in buckets]
+        new_buckets = [nb for r in ray.get(refs) for nb in r]
 
         # carry the quarantine queue: the DLQ is keyed by BATCH, not
         # bucket, so it re-buckets trivially — and redrive_dlq must
@@ -2131,6 +2187,7 @@ class ReplayEngine:
                         "kind": "reshard_base",
                         "batch_id": wm,
                         "factor": factor,
+                        "mode": mode,
                         "num_buckets": nb_new,
                     }
                 )
