@@ -6,12 +6,21 @@ connects to the running cluster); locally it starts a local session. This
 is the ONLY module in the package that may call ``ray.init`` — and only
 under ``__main__``.
 
-Subcommands:
+Subcommands (each prints one JSON line):
 
 - ``replay``  : apply pending change-event batches to a lake.
 - ``compact`` : fold deltas / drop tombstones.
 - ``verify``  : recompute the live-table sha256 (prints it).
 - ``gc``      : remove crash orphans.
+- ``fsck``    : metadata-only integrity check (missing / orphan files).
+- ``reshard`` : blue/green re-bucketing to ``--out-lake`` —
+  ``--mode split`` multiplies the bucket count by ``--factor``,
+  ``--mode merge`` divides it (factor must divide the bucket count).
+- ``redrive`` : reprocess the DLQ as one new batch (rows that fail
+  re-validation re-quarantine exactly once).
+- ``export``  : publish the live table as partitioned Parquet +
+  manifest under ``--out-dir``.
+- ``metrics`` : per-batch / totals rollup from lineage.
 """
 
 from __future__ import annotations
@@ -36,13 +45,35 @@ def build_engine(args):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="glue_etl_pipeline_ray")
-    p.add_argument("command", choices=["replay", "compact", "verify", "gc"])
+    p.add_argument(
+        "command",
+        choices=[
+            "replay",
+            "compact",
+            "verify",
+            "gc",
+            "fsck",
+            "reshard",
+            "redrive",
+            "export",
+            "metrics",
+        ],
+    )
     p.add_argument("--events", help="events dir (batch=N.parquet files)")
     p.add_argument("--lake", required=True)
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--state-mode", choices=["rewrite", "delta"], default="rewrite")
     p.add_argument("--window", type=int, default=4)
     p.add_argument("--no-bucket-hash", action="store_true")
+    p.add_argument("--out-lake", help="reshard: destination lake dir")
+    p.add_argument("--factor", type=int, default=2, help="reshard factor")
+    p.add_argument(
+        "--mode",
+        choices=["split", "merge"],
+        default="split",
+        help="reshard direction",
+    )
+    p.add_argument("--out-dir", help="export: destination dir")
     p.add_argument("--address", default=None,
                    help='ray address ("auto" inside ray job submit; default local)')
     p.add_argument("--num-cpus", type=int, default=None)
@@ -78,6 +109,32 @@ def main(argv=None) -> int:
             t = eng.final_table(sort=False)
             out = {"sha256": table_sha256(t, eng.spec.key_cols),
                    "n_live": t.num_rows}
+        elif args.command == "fsck":
+            out = eng.fsck()
+        elif args.command == "reshard":
+            if not args.out_lake:
+                p.error("reshard requires --out-lake")
+            eng2 = eng.reshard(args.out_lake, factor=args.factor, mode=args.mode)
+            out = {
+                "out_lake": args.out_lake,
+                "mode": args.mode,
+                "num_buckets": eng2.spec.num_buckets,
+                "watermark": eng2.ckpt.watermark,
+            }
+        elif args.command == "redrive":
+            out = eng.redrive_dlq()
+            if isinstance(out.get("summary"), dict):
+                out["summary"] = {
+                    k: v
+                    for k, v in out["summary"].items()
+                    if k != "summaries"
+                }
+        elif args.command == "export":
+            if not args.out_dir:
+                p.error("export requires --out-dir")
+            out = eng.export_snapshot(args.out_dir)
+        elif args.command == "metrics":
+            out = eng.metrics()
         else:
             out = {"orphans_removed": eng.gc_orphans()}
         print(json.dumps(out))
