@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": Q.q_triangle_count,
         "bpe_train": Q.q_bpe_train,
         "copurchase_cosine": Q.q_copurchase_cosine,
+        "dedup_phash": Q.q_dedup_phash,
     }
 
 
@@ -749,6 +750,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
         """,
         # rows-only (non-SQL-expressible): dedup_embed_lsh, dedup_minhash, dedup_simhash,
-        # rolling_fingerprint, lang_id, ann_ivf_topk, media_decode,
+        # dedup_phash, rolling_fingerprint, lang_id, ann_ivf_topk, media_decode,
         # frame_sample
     }

@@ -25,6 +25,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -691,3 +692,76 @@ def substring_dup_stats(
         )
 
     return ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------- generic 64-bit hamming join
+
+
+def hamming_pairs(
+    ds: Dataset,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> Dataset:
+    """Near-dup pairs over ANY precomputed 64-bit hash column (pHash,
+    simhash, audio fingerprints, ...): the same 4x16-bit pigeonhole
+    banding as ``simhash_pairs`` — any pair within hamming distance 3
+    shares at least one exact 16-bit quarter — exact-verified inside
+    each band bucket. One keyed exchange over 4 rows/doc; per-bucket
+    work is |bucket|^2 on 16-bit-equal candidates only.
+
+    Rows with a null hash (e.g. decode dead-letters upstream) are
+    skipped, mirroring the everything-lands-somewhere discipline: they
+    stay in their producer's error channel, never in the pair graph."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16-bit banding's "
+            "recall guarantee (<= 3); use more bands for larger radii"
+        )
+
+    def add_bands(batch: pa.Table) -> pa.Table:
+        mask = pc.is_valid(batch[hash_col])
+        batch = batch.filter(mask)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes = (
+            batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        n = len(ids)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = (
+            (hashes[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+                "hash64": pa.array(np.repeat(hashes, 4), pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        uniq = sorted(
+            set(zip(group["doc_id"].to_pylist(), group["hash64"].to_pylist()))
+        )
+        a_out, b_out, ham = [], [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                d = bin(uniq[i][1] ^ uniq[j][1]).count("1")
+                if d <= max_hamming:
+                    a_out.append(uniq[i][0])
+                    b_out.append(uniq[j][0])
+                    ham.append(d)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a_out, pa.int64()),
+                "doc_id_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(ham, pa.int64()),
+            }
+        )
+
+    banded = ds.map_batches(add_bands, batch_format="pyarrow", batch_size=None)
+    pairs = grouped_apply(
+        banded, ["band_id", "band_key"], bucket_pairs, min_group_size=2
+    )
+    return grouped_first(pairs, ["doc_id_a", "doc_id_b", "hamming"])

@@ -270,3 +270,41 @@ class FakeResizer:
                 "resized_digest": pa.array(digests, pa.string()),
             }
         )
+
+
+class PngPerceptualHasher:
+    """Actor-pool REAL perceptual-hash stage: PNG payload column ->
+    64-bit pHash (grayscale -> box-mean 32x32 -> 2-D DCT -> median
+    threshold; functions/png.py). The DCT basis is built ONCE per actor
+    in __init__ (the stateful-stage discipline: setup per actor, matmul
+    per image). Decode failures carry an ``error`` column with a null
+    hash instead of killing the task (ref bug B4 discipline)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id"):
+        from glue_etl_pipeline_ray.functions import png  # once per actor
+
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self._decode = png.png_decode
+        self._phash = png.phash64
+        self._basis = png.dct2_basis(32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes: list[int | None] = []
+        errors: list[str | None] = []
+        for payload in batch[self.payload_col].to_pylist():
+            try:
+                hashes.append(
+                    self._phash(self._decode(payload or b""), self._basis)
+                )
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001 — corrupt payload
+                hashes.append(None)
+                errors.append(f"decode: {e}")
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "phash": pa.array(hashes, pa.uint64()),
+                "error": pa.array(errors, pa.string()),
+            }
+        )

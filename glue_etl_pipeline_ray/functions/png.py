@@ -163,3 +163,59 @@ def pixel_stats(arr: np.ndarray) -> dict:
         "mean_luma_e6": int(round(luma.mean() * 1_000_000)),
         "pixel_sum": int(arr.sum(dtype=np.int64)),
     }
+
+
+# --------------------------------------------------- perceptual hash
+
+
+def dct2_basis(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n): ``D @ img @ D.T`` is the
+    2-D DCT. Pure function of ``n`` — build once per actor, reuse per
+    image (a 32x32 matmul pair per hash, no per-pixel Python)."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    x = np.arange(n, dtype=np.float64)[None, :]
+    basis = np.cos((2.0 * x + 1.0) * k * np.pi / (2.0 * n)) * np.sqrt(2.0 / n)
+    basis[0] /= np.sqrt(2.0)
+    return basis
+
+
+def phash64(
+    arr: np.ndarray, basis: np.ndarray | None = None, size: int = 32
+) -> int:
+    """64-bit perceptual hash (classic pHash): grayscale -> box-mean
+    resize to ``size``x``size`` (integral image, exact and vectorized;
+    sub-``size`` inputs clamp to at-least-one-source-row, i.e. nearest)
+    -> 2-D DCT-II -> top-left 8x8 low-frequency block -> median
+    threshold (median over the 63 AC terms; the DC term compares
+    against the same median) -> 64 bits, MSB-first.
+
+    Deterministic: no RNG, float64 throughout, so engine runs and the
+    pytest oracle agree bit-for-bit."""
+    if basis is None:
+        basis = dct2_basis(size)
+    h, w, c = arr.shape
+    rgb = arr[:, :, :3] if c >= 3 else np.repeat(arr[:, :, :1], 3, axis=2)
+    luma = rgb.astype(np.float64) @ _LUMA
+    # integral image -> exact box means per target cell
+    integ = np.zeros((h + 1, w + 1), np.float64)
+    integ[1:, 1:] = luma.cumsum(0).cumsum(1)
+    yb = (np.arange(size + 1, dtype=np.int64) * h) // size
+    xb = (np.arange(size + 1, dtype=np.int64) * w) // size
+    y0, y1 = yb[:-1], np.maximum(yb[1:], yb[:-1] + 1)
+    x0, x1 = xb[:-1], np.maximum(xb[1:], xb[:-1] + 1)
+    y0 = np.minimum(y0, h - 1)
+    y1 = np.minimum(y1, h)
+    x0 = np.minimum(x0, w - 1)
+    x1 = np.minimum(x1, w)
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.float64)
+    small = (
+        integ[y1[:, None], x1[None, :]]
+        - integ[y0[:, None], x1[None, :]]
+        - integ[y1[:, None], x0[None, :]]
+        + integ[y0[:, None], x0[None, :]]
+    ) / area
+    dct = basis @ small @ basis.T
+    block = dct[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    return int(np.packbits(bits).view(">u8")[0])

@@ -3359,3 +3359,68 @@ def q_copurchase_cosine(sf_dir: str):
     joined = inner_join(li, orders, on="l_orderkey", num_partitions=16)
     tf = tf_with_norms(joined, "o_custkey", "l_partkey")
     return cosine_pairs_exact(tf, tau_num=1, tau_den=5)
+
+
+def synth_phash_dup_payloads(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic PNG fixture with PLANTED visual near-duplicates:
+    rows with ``doc_id % 10 == 1`` re-encode doc_id-1's seeded image
+    with three +/-1 single-channel pixel tweaks (imperceptible — the
+    re-encode/resize/crop-robustness class pHash exists for). Every
+    97th payload is truncated to exercise the decode dead-letter path
+    (a corrupted member drops its planted pair — the pytest oracle
+    accounts for both rules)."""
+    from glue_etl_pipeline_ray.functions.png import png_encode
+
+    payloads = []
+    for did in t[id_col].to_pylist():
+        base_id = did - 1 if did % 10 == 1 else did
+        rng = np.random.default_rng(base_id)
+        h, w = 16 + base_id % 9, 16 + (base_id // 3) % 9
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if did != base_id:
+            tweak = np.random.default_rng(did)
+            arr = arr.copy()
+            for _ in range(3):
+                y, x, c = (
+                    int(tweak.integers(0, h)),
+                    int(tweak.integers(0, w)),
+                    int(tweak.integers(0, 3)),
+                )
+                arr[y, x, c] = np.uint8(
+                    min(255, max(0, int(arr[y, x, c]) + 1))
+                )
+        p = png_encode(arr)
+        if did % 97 == 0:
+            p = p[: len(p) // 2]  # truncated -> decode dead-letter
+        payloads.append(p)
+    return pa.table(
+        {id_col: t[id_col], "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_dedup_phash(sf_dir: str):
+    """Perceptual-hash image near-dup detection over the REAL codec:
+    PNG payloads -> native decode -> 64-bit pHash (grayscale, box-mean
+    32x32, 2-D DCT, median threshold; DCT basis built once per actor)
+    -> 4x16-bit pigeonhole banding -> exact hamming verify (<= 3)
+    inside band buckets. The image-side sibling of simhash dedup: one
+    keyed exchange over 4 rows/image regardless of corpus size; decode
+    failures dead-letter upstream and never enter the pair graph.
+
+    Rows-only driver gate; the planted-pair recall/precision oracle is
+    tests/test_phash.py (pairs = exactly the synthesized near-dups
+    whose members both decode)."""
+    from glue_etl_pipeline_ray.functions.dedup import hamming_pairs
+    from glue_etl_pipeline_ray.functions.multimodal import PngPerceptualHasher
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    binary = ds.map_batches(
+        synth_phash_dup_payloads, batch_format="pyarrow", batch_size=256
+    )
+    hashed = binary.map_batches(
+        PngPerceptualHasher,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 8),
+    )
+    return hamming_pairs(hashed, "phash", max_hamming=3)
