@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": Q.q_bpe_train,
         "copurchase_cosine": Q.q_copurchase_cosine,
         "dedup_phash": Q.q_dedup_phash,
+        "ann_pq_topk": Q.q_ann_pq_topk,
     }
 
 
@@ -750,6 +751,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
         """,
         # rows-only (non-SQL-expressible): dedup_embed_lsh, dedup_minhash, dedup_simhash,
-        # dedup_phash, rolling_fingerprint, lang_id, ann_ivf_topk, media_decode,
-        # frame_sample
+        # dedup_phash, rolling_fingerprint, lang_id, ann_ivf_topk, ann_pq_topk,
+        # media_decode, frame_sample
     }

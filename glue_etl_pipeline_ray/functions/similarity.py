@@ -103,28 +103,14 @@ def cosine_topk(
 # ------------------------------------------------------------------- IVF
 
 
-def build_centroids(
-    ds: Dataset,
-    n_centroids: int = 16,
-    vec_col: str = "embedding",
-    sample_limit: int = 10_000,
-    iters: int = 5,
-    seed: int = 42,
-    init: str = "random",
+def _sample_matrix(
+    ds: Dataset, vec_col: str, sample_limit: int
 ) -> np.ndarray:
-    """Deterministic coarse k-means over a bounded sample (Lloyd, few
-    iterations, seeded init). The sample is the only driver-side
-    materialization; assignment streams. ``init="greedy"`` uses
-    farthest-first traversal (deterministic k-means++: first point
-    seeded-random, each next = the sample point with max min-distance
-    to chosen centroids) — immune to two seeds landing in one natural
-    cluster, which plain random init cannot recover from (a Lloyd
-    centroid that loses all members never moves again).
-
-    The sample is a deterministic content-hash threshold over the
-    vector bytes, not ``limit()`` — the first blocks of a sorted or
-    clustered input all come from one region, and a one-region sample
-    can never seed the other regions' centroids."""
+    """Deterministic bounded sample of a vector column as a float64
+    matrix — a content-hash threshold over the vector bytes, not
+    ``limit()`` (the first blocks of a sorted/clustered input all come
+    from one region; a one-region sample cannot represent the corpus).
+    Shared by every sampled trainer (coarse k-means, PQ codebooks)."""
     n_total = ds.count()
     sample_ds = ds
     # oversample 1.3x so the post-filter limit() still fills up; when
@@ -153,10 +139,35 @@ def build_centroids(
         sample = ds.limit(sample_limit).to_pandas()
     if len(sample) == 0:
         raise ValueError(
-            "build_centroids: input dataset has no rows — cannot seed "
-            "centroids from an empty corpus"
+            "vector sample: input dataset has no rows — cannot train "
+            "from an empty corpus"
         )
-    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    return np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+
+
+def build_centroids(
+    ds: Dataset,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_limit: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+    init: str = "random",
+) -> np.ndarray:
+    """Deterministic coarse k-means over a bounded sample (Lloyd, few
+    iterations, seeded init). The sample is the only driver-side
+    materialization; assignment streams. ``init="greedy"`` uses
+    farthest-first traversal (deterministic k-means++: first point
+    seeded-random, each next = the sample point with max min-distance
+    to chosen centroids) — immune to two seeds landing in one natural
+    cluster, which plain random init cannot recover from (a Lloyd
+    centroid that loses all members never moves again).
+
+    The sample is a deterministic content-hash threshold over the
+    vector bytes, not ``limit()`` — the first blocks of a sorted or
+    clustered input all come from one region, and a one-region sample
+    can never seed the other regions' centroids."""
+    m = _normalize(_sample_matrix(ds, vec_col, sample_limit))
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(m))
     if init == "greedy":
@@ -498,5 +509,119 @@ def project_rerank_topk(
         rerank_block, batch_format="pyarrow", batch_size=None
     )
     return scored.groupby("query_id").map_groups(
+        _make_final_topk(k), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------- product quantization (PQ)
+
+
+def train_pq_codebooks(
+    ds: Dataset,
+    m: int = 8,
+    n_codes: int = 32,
+    vec_col: str = "embedding",
+    sample_limit: int = 10_000,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Product-quantization codebooks, shape ``(m, n_codes, d/m)``:
+    vectors are L2-normalized first (so ADC dot products approximate the
+    cosine), then each of the ``m`` subspaces gets an independent seeded
+    Lloyd k-means over the shared deterministic content-hash sample
+    (``_sample_matrix`` — the only driver-side materialization; the
+    corpus itself never leaves the cluster for training)."""
+    mat = _normalize(_sample_matrix(ds, vec_col, sample_limit))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub_d = d // m
+    rng = np.random.default_rng(seed)
+    k = min(n_codes, len(mat))
+    books = np.zeros((m, n_codes, sub_d), np.float64)
+    for j in range(m):
+        x = np.ascontiguousarray(mat[:, j * sub_d : (j + 1) * sub_d])
+        cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(iters):
+            # Euclidean argmin via -2x.c + |c|^2 (|x|^2 constant per row)
+            d2 = -2.0 * (x @ cent.T) + (cent**2).sum(1)[None, :]
+            assign = d2.argmin(1)
+            for c in range(k):
+                sel = x[assign == c]
+                if len(sel):
+                    cent[c] = sel.mean(0)
+        books[j, :k] = cent
+        if k < n_codes:  # degenerate tiny sample: pad with the first code
+            books[j, k:] = cent[0]
+    return books
+
+
+def pq_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 32,
+    rerank: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """ADC product-quantization top-k — the compressed-domain ANN scale
+    path. Corpus vectors quantize to ``m`` uint8 codes (float32 d=64 at
+    m=8: 256 bytes -> 8 bytes, 32x), and each query scores a block with
+    ONE (m x n_codes) lookup table: gathers + adds, no per-row matmul —
+    at 100 TB the codes table is what you persist and scan. The top
+    ``rerank*k`` ADC candidates per (query, block) are re-scored exactly
+    against the block's full vectors (the classic ADC + exact re-rank;
+    ``rerank=0`` returns pure ADC scores), then the shared per-query
+    reduce folds block-local candidates to the global top-k. Encode and
+    scan fuse into one corpus pass here; recall gate vs the brute-force
+    oracle in tests/test_pq.py."""
+    books = train_pq_codebooks(ds, m, n_codes, vec_col=vec_col)
+    sub_d = books.shape[2]
+    qn = _normalize(np.asarray(queries, np.float64))
+    # per-query ADC lookup tables: lut[q, j, c] = q_sub_j . book[j, c]
+    luts = np.einsum("qjd,jcd->qjc", qn.reshape(len(qn), m, sub_d), books)
+    ref = ray.put((books, luts, np.asarray(query_ids, np.int64), qn))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        bks, lut, qids, qm = ray.get(ref)
+        x = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        xs = x.reshape(n, m, sub_d)
+        codes = np.empty((n, m), np.int64)
+        for j in range(m):
+            d2 = -2.0 * (xs[:, j] @ bks[j].T) + (bks[j] ** 2).sum(1)[None, :]
+            codes[:, j] = d2.argmin(1)
+        sub_idx = np.arange(m, dtype=np.int64)[None, :]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(lut.shape[0]):
+            adc = lut[qi][sub_idx, codes].sum(1)  # (n,) gathers + adds
+            cand = np.nonzero(ids != qids[qi])[0]
+            if not len(cand):
+                continue
+            take = min(len(cand), max(k, rerank * k) if rerank else k)
+            top = cand[np.lexsort((ids[cand], -adc[cand]))[:take]]
+            if rerank:
+                exact = x[top] @ qm[qi]
+                order = np.lexsort((ids[top], -exact))[:k]
+                sel, sims = top[order], exact[order]
+            else:
+                sel, sims = top[:k], adc[top[:k]]
+            out_q.extend([qids[qi]] * len(sel))
+            out_id.extend(ids[sel].tolist())
+            out_sim.extend(sims.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+    return partial.groupby("query_id").map_groups(
         _make_final_topk(k), batch_format="pyarrow"
     )

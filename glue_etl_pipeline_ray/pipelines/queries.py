@@ -3424,3 +3424,21 @@ def q_dedup_phash(sf_dir: str):
         concurrency=(1, 8),
     )
     return hamming_pairs(hashed, "phash", max_hamming=3)
+
+
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN (ADC + exact re-rank): the
+    compressed-domain third leg of the ANN family next to brute
+    (`ann_cosine_topk`), IVF (`ann_ivf_topk`) and JL project-rerank
+    (`ann_project_rerank`). Codebooks train on the deterministic
+    content-hash sample; blocks score via per-query lookup-table
+    gathers over 8 uint8 codes/vector (32x fewer bytes than float32
+    d=64 — the corpus representation you'd persist and scan at 100 TB).
+    Rows-only driver gate; recall@10-vs-brute oracle in
+    tests/test_pq.py."""
+    from glue_etl_pipeline_ray.functions.similarity import pq_topk
+
+    q, ids = _query_vectors(sf_dir)
+    return pq_topk(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), q, ids, k=10
+    )
