@@ -20,6 +20,8 @@ Subcommands (each prints one JSON line):
   re-validation re-quarantine exactly once).
 - ``export``  : publish the live table as partitioned Parquet +
   manifest under ``--out-dir``.
+- ``clone``   : zero-copy shallow clone (hardlinked snapshot) of the
+  committed lake to ``--out-lake``; both lakes evolve independently.
 - ``metrics`` : per-batch / totals rollup from lineage.
 """
 
@@ -56,6 +58,7 @@ def main(argv=None) -> int:
             "reshard",
             "redrive",
             "export",
+            "clone",
             "metrics",
         ],
     )
@@ -129,6 +132,15 @@ def main(argv=None) -> int:
                     for k, v in out["summary"].items()
                     if k != "summaries"
                 }
+        elif args.command == "clone":
+            if not args.out_lake:
+                p.error("clone requires --out-lake")
+            eng2 = eng.clone(args.out_lake)
+            out = {
+                "out_lake": args.out_lake,
+                "watermark": eng2.ckpt.watermark,
+                **eng2._clone_stats,
+            }
         elif args.command == "export":
             if not args.out_dir:
                 p.error("export requires --out-dir")

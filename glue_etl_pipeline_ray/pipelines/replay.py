@@ -2245,6 +2245,81 @@ class ReplayEngine:
         )
 
     @_with_writer_lease
+    def clone(self, out_lake_dir: str) -> "ReplayEngine":
+        """Zero-copy shallow clone (the Delta-Lake CLONE analog): the
+        committed manifest, lineage log, DLQ and every data file are
+        HARDLINKED into a new lake root — O(files) metadata work, no
+        data bytes moved — and an independent engine over the new root
+        is returned. Sharing inodes is safe because every lake write in
+        this engine is immutable-once-committed (tmp-write + atomic
+        rename, never append/truncate in place; judged above at
+        lineage.py:22, checkpoint.py:291, and the DLQ/redrive tmp
+        pattern), so a post-clone commit in either lake replaces only
+        its OWN directory entry and either side's GC merely unlinks its
+        own name. Filesystems that refuse the link (cross-device)
+        silently fall back to a copy. On a real object store this is a
+        manifest-level copy (paths resolve into the source prefix) —
+        the standard lakehouse shallow-clone contract.
+
+        The clone snapshots COMMITTED state only: transient staging
+        (``_redrive/``, ``_dml/``) and derived exports are skipped, and
+        the source's writer lock is held for the walk so no commit can
+        tear it. Both lakes then evolve fully independently — time
+        travel, retention, reshard, DML all work on each side without
+        touching the other (tests/test_clone.py)."""
+        import shutil as _shutil
+
+        if self.ckpt.watermark < 0:
+            raise ValueError("nothing to clone: no committed batches")
+        if os.path.exists(out_lake_dir) and os.listdir(out_lake_dir):
+            raise ValueError(
+                f"clone destination {out_lake_dir!r} is not empty"
+            )
+        skip_tops = {"_redrive", "_dml", "_export"}
+        src_root = os.path.abspath(self.lake_dir)
+        n_linked = n_copied = 0
+        for dirpath, dirnames, filenames in os.walk(src_root):
+            rel = os.path.relpath(dirpath, src_root)
+            if rel != "." and rel.split(os.sep, 1)[0] in skip_tops:
+                dirnames[:] = []
+                continue
+            out_dir = (
+                out_lake_dir
+                if rel == "."
+                else os.path.join(out_lake_dir, rel)
+            )
+            os.makedirs(out_dir, exist_ok=True)
+            for name in filenames:
+                if name.endswith(".tmp") or name == "WRITER_LOCK":
+                    continue
+                src = os.path.join(dirpath, name)
+                dst = os.path.join(out_dir, name)
+                try:
+                    os.link(src, dst)
+                    n_linked += 1
+                except OSError:  # cross-device / no-link fs
+                    _shutil.copy2(src, dst)
+                    n_copied += 1
+        eng = ReplayEngine(
+            self.spec,
+            out_lake_dir,
+            compute_bucket_hash=self.compute_bucket_hash,
+            validate_batch_size=self.validate_batch_size,
+            exchange=self.exchange,
+            num_exchange=self.num_exchange,
+            window=self.window,
+            gc_old_versions=self.gc_old_versions,
+            state_mode=self.state_mode,
+            fold_threshold=self.fold_threshold,
+            event_filter=self.event_filter,
+            retain_batches=self.retain_batches,
+            writer_lease=self.writer_lease,
+            lease_ttl_s=self.lease_ttl_s,
+        )
+        eng._clone_stats = {"linked": n_linked, "copied": n_copied}
+        return eng
+
+    @_with_writer_lease
     def redrive_dlq(self, batches: list[int] | None = None, fixer=None) -> dict:
         """Reprocess dead-lettered rows after a fix (the DLQ redrive /
         repair loop every quarantining ingest needs — the reference
