@@ -22,6 +22,9 @@ Subcommands (each prints one JSON line):
   manifest under ``--out-dir``.
 - ``clone``   : zero-copy shallow clone (hardlinked snapshot) of the
   committed lake to ``--out-lake``; both lakes evolve independently.
+- ``diff``    : cross-lake drift check vs ``--out-lake`` (same bucket
+  layout): per-change-type counts of rows that would turn the other
+  lake's live table into this one's.
 - ``metrics`` : per-batch / totals rollup from lineage.
 """
 
@@ -33,12 +36,16 @@ import sys
 
 
 def build_engine(args):
+    return ReplayEngine_for(args, args.lake)
+
+
+def ReplayEngine_for(args, lake_dir):
     from glue_etl_pipeline_ray.pipelines.replay import ReplayEngine
     from glue_etl_pipeline_ray.spec import repo_file_spec
 
     return ReplayEngine(
         repo_file_spec(num_buckets=args.num_buckets),
-        args.lake,
+        lake_dir,
         compute_bucket_hash=not args.no_bucket_hash,
         state_mode=args.state_mode,
         window=args.window,
@@ -59,6 +66,7 @@ def main(argv=None) -> int:
             "redrive",
             "export",
             "clone",
+            "diff",
             "metrics",
         ],
     )
@@ -141,6 +149,22 @@ def main(argv=None) -> int:
                 "watermark": eng2.ckpt.watermark,
                 **eng2._clone_stats,
             }
+        elif args.command == "diff":
+            if not args.out_lake:
+                p.error("diff requires --out-lake (the other lake)")
+            other = ReplayEngine_for(args, args.out_lake)
+            import collections
+
+            import pyarrow.compute as pc
+
+            counts = collections.Counter()
+            for batch in eng.diff_with(other).iter_batches(
+                batch_format="pyarrow"
+            ):
+                for row in pc.value_counts(batch["_change_type"]).to_pylist():
+                    counts[row["values"]] += row["counts"]
+            out = {"vs": args.out_lake, "changes": dict(counts),
+                   "total": sum(counts.values())}
         elif args.command == "export":
             if not args.out_dir:
                 p.error("export requires --out-dir")

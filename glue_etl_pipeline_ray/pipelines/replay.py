@@ -1742,6 +1742,103 @@ class ReplayEngine:
         out = pa.concat_tables(parts)
         return out.sort_by([(k, "ascending") for k in self.spec.key_cols])
 
+    def diff_with(
+        self, other: "ReplayEngine", update_preimages: bool = False
+    ) -> "ray.data.Dataset":
+        """CROSS-LAKE diff: the net row-level changes that would turn
+        ``other``'s live table into ``self``'s, as a streaming Dataset of
+        ``insert`` / ``update`` / ``delete`` rows — the drift detector
+        for clones, replicas and blue/green lakes (did the replica
+        converge? what did the clone change since the fork?).
+
+        Shuffle-free by layout: both lakes must share ``num_buckets``
+        and key columns (clone/replicate preserve them), so bucket ``b``
+        of one lake pairs with bucket ``b`` of the other — one
+        ``snapshot_diff`` task per bucket, zero cross-bucket traffic.
+        Mismatched layouts raise (reshard one side first) rather than
+        silently shipping an all-to-all. State modes may differ per
+        side. Schemas are unified additively (the union of both lakes'
+        evolved columns, sorted by name; a same-name type conflict
+        raises as ambiguous), so a column only one side evolved shows
+        as null on the other — the same contract as in-lake evolution."""
+        from glue_etl_pipeline_ray.stages.merge import (
+            CHANGE_TYPE_COL,
+            read_bucket_state,
+            snapshot_diff,
+        )
+
+        if self.spec.num_buckets != other.spec.num_buckets:
+            raise ValueError(
+                f"diff_with needs matching bucket layouts "
+                f"({other.spec.num_buckets} vs {self.spec.num_buckets}); "
+                "reshard one side first"
+            )
+        if tuple(self.spec.key_cols) != tuple(other.spec.key_cols):
+            raise ValueError("diff_with needs matching key columns")
+        ev: dict[str, str] = dict(other.ckpt.evolved)
+        for name, tn in self.ckpt.evolved:
+            if ev.get(name, tn) != tn:
+                raise ValueError(
+                    f"diff_with: column {name!r} evolved to different "
+                    f"types in the two lakes ({ev[name]} vs {tn})"
+                )
+            ev[name] = tn
+        ev_to = tuple(sorted(ev.items()))
+        spec = self.spec
+        st = state_schema(spec, ev_to)
+
+        def tip_desc(eng: "ReplayEngine") -> dict[int, tuple]:
+            if eng.state_mode == "delta":
+                return {
+                    b: ("delta", eng.lake_dir, d["base"], tuple(d["deltas"]))
+                    for b, d in eng.ckpt.bucket_deltas.items()
+                }
+            return {
+                b: ("rewrite", eng.lake_dir, v, ())
+                for b, v in eng.ckpt.bucket_versions.items()
+            }
+
+        old_desc, new_desc = tip_desc(other), tip_desc(self)
+
+        @ray.remote
+        def diff_bucket_cross(b, od, nd):
+            def live(desc):
+                if desc is None:
+                    return st.empty_table()
+                kind, lake_dir, base, chain = desc
+                if kind == "delta":
+                    t = read_bucket_state(
+                        spec, ev_to, lake_dir, base, list(chain), b
+                    )
+                else:
+                    t = conform(
+                        pq.read_table(
+                            os.path.join(lake_dir, part_name(b, base))
+                        ),
+                        st,
+                    )
+                return t.filter(pc.invert(t[DELETED_COL]))
+
+            return snapshot_diff(
+                spec,
+                ev_to,
+                live(od),
+                live(nd),
+                update_preimages=update_preimages,
+            )
+
+        buckets = sorted(set(old_desc) | set(new_desc))
+        refs = [
+            diff_bucket_cross.remote(b, old_desc.get(b), new_desc.get(b))
+            for b in buckets
+        ]
+        if not refs:
+            sch = spec.canonical_schema(ev_to).append(
+                pa.field(CHANGE_TYPE_COL, pa.string())
+            )
+            return ray.data.from_arrow(sch.empty_table())
+        return ray.data.from_arrow_refs(refs)
+
     def final_dataset(
         self, as_of: int | None = None, columns: list[str] | None = None
     ) -> "ray.data.Dataset":
