@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_cosine": Q.q_copurchase_cosine,
         "dedup_phash": Q.q_dedup_phash,
         "ann_pq_topk": Q.q_ann_pq_topk,
+        "cdc_filter_scan": Q.q_cdc_filter_scan,
     }
 
 

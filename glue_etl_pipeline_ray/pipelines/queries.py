@@ -3442,3 +3442,17 @@ def q_ann_pq_topk(sf_dir: str):
     return pq_topk(
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]), q, ids, k=10
     )
+
+
+def q_cdc_filter_scan(sf_dir: str):
+    """Predicate-pushdown scan of the LWW lake: replay the change
+    stream, then ``scan(where=[("event_type", "==", "purchase")])`` —
+    the filter rides into the Parquet scanner so row groups whose
+    statistics exclude the value never decompress, and pre-evolution
+    files are skipped whole. Gate: hash-exact vs the DuckDB LWW window
+    query with the same WHERE."""
+    work = tempfile.mkdtemp(prefix="gepr_cdc_fs_")
+    ev_dir = _events_as_cdc(sf_dir, work)
+    eng = ReplayEngine(user_state_spec(), os.path.join(work, "lake"))
+    eng.replay(ev_dir)
+    return eng.scan([("event_type", "==", "purchase")])

@@ -1914,6 +1914,95 @@ class ReplayEngine:
             load_pruned, batch_format="pyarrow", batch_size=1
         )
 
+    _SCAN_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+
+    def scan(
+        self,
+        where: list[tuple],
+        columns: list[str] | None = None,
+        as_of: int | None = None,
+    ) -> "ray.data.Dataset":
+        """Predicate-pushdown live-table scan. ``where`` is a
+        conjunction of ``(col, op, value)`` triples, ``op`` one of
+        ``== != < <= > >= in`` (``in`` takes a list). Null never matches
+        any op — SQL comparison semantics, including ``!=``.
+
+        Rewrite mode (tip and as-of): the predicate is handed to the
+        Parquet scanner (``pq.read_table(filters=...)``), so row groups
+        whose min/max statistics exclude the value range never
+        decompress — on a lake whose buckets were backfill-sorted on
+        the column, most files cost only their footer. Files written
+        before the predicate column evolved in are skipped whole (their
+        rows are all-null for it). Delta mode: a key's LWW winner is
+        only known AFTER the fold — filtering pre-fold rows could
+        resurrect a stale version whose payload matches — so the
+        per-bucket fold runs as usual (with column pushdown) and the
+        predicate applies vectorized post-fold. Both paths return the
+        same rows (tests/test_scan_where.py)."""
+        evolved = (
+            self.ckpt.evolved if as_of is None else self.ckpt.evolved_as_of(as_of)
+        )
+        cols = self.spec.canonical_cols(evolved)
+        for col, op, _ in where:
+            if col not in cols:
+                raise ValueError(f"unknown predicate column {col!r}")
+            if op not in self._SCAN_OPS:
+                raise ValueError(
+                    f"unknown op {op!r}; supported: {self._SCAN_OPS}"
+                )
+        out_cols = (
+            [c for c in cols if c in set(columns)] if columns is not None else cols
+        )
+        where_cols = [c for c, _, _ in where]
+        spec = self.spec
+
+        if self.state_mode == "delta":
+            need = list(dict.fromkeys(out_cols + where_cols))
+            base = self.final_dataset(as_of=as_of, columns=need)
+
+            def apply_where(t: pa.Table) -> pa.Table:
+                return t.filter(_where_mask(t, where)).select(out_cols)
+
+            return base.map_batches(
+                apply_where, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        if as_of is not None:
+            self._require_history(as_of)
+        files = self._state_files(as_of)
+        sch_out = self.spec.canonical_schema(evolved).empty_table().select(
+            out_cols
+        )
+        if not files:
+            return ray.data.from_arrow(sch_out)
+        need = list(dict.fromkeys(out_cols + where_cols + [DELETED_COL]))
+        st_need = pa.schema(
+            [f for f in state_schema(spec, evolved) if f.name in set(need)]
+        )
+        pq_filters = [tuple(w) for w in where] + [(DELETED_COL, "==", False)]
+
+        def load_filtered(batch: pa.Table) -> pa.Table:
+            outs = []
+            for path in batch["item"].to_pylist():
+                names = set(pq.read_schema(path).names)
+                if any(c not in names for c in where_cols):
+                    # pre-evolution file: the column is all-null there,
+                    # and null matches no predicate — skip whole file
+                    continue
+                t = pq.read_table(
+                    path,
+                    columns=[c for c in need if c in names],
+                    filters=pq_filters,
+                )
+                outs.append(conform(t, st_need).select(out_cols))
+            if not outs:
+                return sch_out
+            return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
+
+        return ray.data.from_items(files).map_batches(
+            load_filtered, batch_format="pyarrow", batch_size=1
+        )
+
     def final_table(
         self, as_of: int | None = None, sort: bool = True
     ) -> pa.Table:
@@ -3408,3 +3497,32 @@ class ReplayEngine:
         summary["dml"] = kind
         summary["n_matched"] = total
         return summary
+
+
+def _where_mask(t: pa.Table, where: list[tuple]) -> pa.Array:
+    """Vectorized conjunction mask for :meth:`ReplayEngine.scan`'s
+    residual filter (delta mode / any post-fold check). Null compares
+    to nothing (``fill_null(False)``) so both execution paths agree
+    with the Parquet scanner's SQL-style semantics."""
+    mask = None
+    for col, op, val in where:
+        c = t[col]
+        if op == "==":
+            m = pc.equal(c, val)
+        elif op == "!=":
+            m = pc.not_equal(c, val)
+        elif op == "<":
+            m = pc.less(c, val)
+        elif op == "<=":
+            m = pc.less_equal(c, val)
+        elif op == ">":
+            m = pc.greater(c, val)
+        elif op == ">=":
+            m = pc.greater_equal(c, val)
+        elif op == "in":
+            m = pc.is_in(c, value_set=pa.array(list(val)))
+        else:  # validated upstream; defensive
+            raise ValueError(f"unknown op {op!r}")
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
