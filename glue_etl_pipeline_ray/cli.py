@@ -25,6 +25,8 @@ Subcommands (each prints one JSON line):
 - ``diff``    : cross-lake drift check vs ``--out-lake`` (same bucket
   layout): per-change-type counts of rows that would turn the other
   lake's live table into this one's.
+- ``optimize``: cluster every bucket by ``--sort-col`` (sha-invariant
+  permutation) so predicate scans prune row groups.
 - ``metrics`` : per-batch / totals rollup from lineage.
 """
 
@@ -67,6 +69,7 @@ def main(argv=None) -> int:
             "export",
             "clone",
             "diff",
+            "optimize",
             "metrics",
         ],
     )
@@ -78,6 +81,7 @@ def main(argv=None) -> int:
     p.add_argument("--no-bucket-hash", action="store_true")
     p.add_argument("--out-lake", help="reshard: destination lake dir")
     p.add_argument("--factor", type=int, default=2, help="reshard factor")
+    p.add_argument("--sort-col", help="optimize: column to cluster by")
     p.add_argument(
         "--mode",
         choices=["split", "merge"],
@@ -165,6 +169,10 @@ def main(argv=None) -> int:
                     counts[row["values"]] += row["counts"]
             out = {"vs": args.out_lake, "changes": dict(counts),
                    "total": sum(counts.values())}
+        elif args.command == "optimize":
+            if not args.sort_col:
+                p.error("optimize requires --sort-col")
+            out = eng.optimize_sort(args.sort_col)
         elif args.command == "export":
             if not args.out_dir:
                 p.error("export requires --out-dir")

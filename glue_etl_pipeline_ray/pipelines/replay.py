@@ -910,6 +910,125 @@ class ReplayEngine:
 
     # --------------------------------------------------------------- backfill
     @_with_writer_lease
+    def optimize_sort(
+        self, sort_col: str, _fail_before_commit: bool = False
+    ) -> dict:
+        """Cluster every bucket's state file by ``sort_col`` — the
+        single-column OPTIMIZE/clustering pass of a lakehouse, run
+        in-place under backfill's crash-safety discipline (deterministic
+        ``10^9 + watermark`` out-version, ONE atomic manifest commit,
+        one rewrite per watermark). A pure row PERMUTATION: payload,
+        seq and tombstone flags all ride the same ``take``, so logical
+        content — and every sha — is unchanged; what changes is the
+        Parquet row-group min/max statistics on the column, which a
+        subsequent ``scan(where=[(sort_col, ...)])`` turns into skipped
+        row groups instead of decompressed ones. Nulls (hence tombstone
+        payloads) sort last; key columns break ties so the permutation
+        is deterministic under any parallelism. Delta mode folds each
+        chain to a single base first (the fold is its own committed
+        step), then sorts the base."""
+        from glue_etl_pipeline_ray.stages.merge import write_atomic
+
+        wm = self.ckpt.watermark
+        if wm < 0:
+            raise ValueError("nothing to optimize: empty lake")
+        spec = self.spec
+        evolved = self.ckpt.evolved
+        if sort_col not in spec.canonical_cols(evolved):
+            raise ValueError(f"unknown sort column {sort_col!r}")
+        if any(bf.get("watermark") == wm for bf in self.ckpt.backfills):
+            raise ValueError(
+                f"already rewritten at watermark {wm}: apply another "
+                "batch before optimizing again (the shared one-rewrite-"
+                "per-watermark ledger keeps re-runs reading pristine "
+                "inputs)"
+            )
+        out_v = 1_000_000_000 + wm
+
+        if self.state_mode == "delta":
+            targets = {
+                b: d
+                for b, d in self.ckpt.bucket_deltas.items()
+                if d["deltas"]
+            }
+            if targets:
+                self._fold_buckets(targets)
+            in_versions = {
+                b: d["base"]
+                for b, d in self.ckpt.bucket_deltas.items()
+                if d["base"] is not None
+            }
+        else:
+            in_versions = self.ckpt.bucket_versions
+
+        @ray.remote
+        def sort_bucket(lake_dir: str, bucket: int, in_version: int) -> int:
+            st = state_schema(spec, evolved)
+            t = conform(
+                pq.read_table(
+                    os.path.join(lake_dir, part_name(bucket, in_version))
+                ),
+                st,
+            )
+            idx = pc.sort_indices(
+                t,
+                sort_keys=[(sort_col, "ascending")]
+                + [(k, "ascending") for k in spec.key_cols],
+                null_placement="at_end",
+            )
+            write_atomic(
+                os.path.join(lake_dir, part_name(bucket, out_v)),
+                t.take(idx),
+            )
+            return bucket
+
+        ray.get(
+            [
+                sort_bucket.remote(self.lake_dir, b, v)
+                for b, v in sorted(in_versions.items())
+            ]
+        )
+        summary = {
+            "kind": "optimize_sort",
+            "watermark": wm,
+            "sort_col": sort_col,
+            "buckets": len(in_versions),
+            "out_version": out_v,
+        }
+        if _fail_before_commit:
+            raise RuntimeError("injected crash before optimize commit")
+        new_ptrs = {b: out_v for b in in_versions}
+        self._write_backfill_lineage(wm, new_ptrs)
+        if self.state_mode == "delta":
+            self.ckpt.record_backfill(summary, None, new_ptrs, evolved)
+        else:
+            self.ckpt.record_backfill(summary, new_ptrs, None, evolved)
+        if self.gc_old_versions:
+            if self.retain_batches:
+                sup = [
+                    (b, v) for b, v in in_versions.items() if v != out_v
+                ]
+                if self.state_mode == "delta":
+                    self.ckpt.retire_files(
+                        [(part_name(b, v), wm + 1) for b, v in sup]
+                    )
+                else:
+                    self.ckpt.retire_versions(
+                        [[b, v, wm + 1] for b, v in sup]
+                    )
+            else:
+                for b, v_old in in_versions.items():
+                    if v_old == out_v:
+                        continue
+                    try:
+                        os.remove(
+                            os.path.join(self.lake_dir, part_name(b, v_old))
+                        )
+                    except FileNotFoundError:
+                        pass
+        return summary
+
+    @_with_writer_lease
     def backfill(self, transform, _fail_before_commit: bool = False) -> dict:
         """Lake-wide payload transform (recompute a column, or ADD one
         derived from existing data) as a crash-safe in-place version
