@@ -911,7 +911,10 @@ class ReplayEngine:
     # --------------------------------------------------------------- backfill
     @_with_writer_lease
     def optimize_sort(
-        self, sort_col: str, _fail_before_commit: bool = False
+        self,
+        sort_col: str,
+        row_group_rows: int = 65536,
+        _fail_before_commit: bool = False,
     ) -> dict:
         """Cluster every bucket's state file by ``sort_col`` — the
         single-column OPTIMIZE/clustering pass of a lakehouse, run
@@ -976,9 +979,12 @@ class ReplayEngine:
                 + [(k, "ascending") for k in spec.key_cols],
                 null_placement="at_end",
             )
+            # bounded row groups: sorted data + small groups = tight
+            # min/max stats the scanner can actually skip on
             write_atomic(
                 os.path.join(lake_dir, part_name(bucket, out_v)),
                 t.take(idx),
+                row_group_size=row_group_rows,
             )
             return bucket
 

@@ -169,11 +169,27 @@ def lww_state(
 STATE_COMPRESSION = "lz4"
 
 
-def write_atomic(path: str, table: pa.Table, compression: str = STATE_COMPRESSION) -> None:
+def write_atomic(
+    path: str,
+    table: pa.Table,
+    compression: str = STATE_COMPRESSION,
+    row_group_size: int | None = None,
+) -> None:
+    """Tmp-write + atomic rename (the engine-wide immutability
+    contract). ``row_group_size``: bound rows per Parquet row group —
+    clustered rewrites (optimize_sort) pass a small bound so predicate
+    scans get row groups to prune; the default (pyarrow's 1Mi) is right
+    for plain state files, where one group per bucket file minimizes
+    footer overhead."""
     import pyarrow.parquet as pq
 
     tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp, compression=compression)
+    if row_group_size is None:
+        pq.write_table(table, tmp, compression=compression)
+    else:
+        pq.write_table(
+            table, tmp, compression=compression, row_group_size=row_group_size
+        )
     os.replace(tmp, path)
 
 

@@ -101,3 +101,27 @@ def test_part_name_format_assumption(tmp_path, ray_session):
     assert os.path.exists(
         os.path.join(str(tmp_path / "lake"), f"part-{b:05d}-v{v:05d}.parquet")
     )
+
+
+def test_optimize_sort_produces_prunable_row_groups(tmp_path, ray_session):
+    meta = _gen(tmp_path, seed=54, n_events=20000, n_batches=1)
+    eng = ReplayEngine(repo_file_spec(num_buckets=2), str(tmp_path / "lake"))
+    eng.replay(meta["events_dir"])
+    eng.optimize_sort("lang", row_group_rows=64)
+    total = matching = 0
+    for b, v in eng.ckpt.bucket_versions.items():
+        pf = pq.ParquetFile(
+            os.path.join(str(tmp_path / "lake"), f"part-{b:05d}-v{v:05d}.parquet")
+        )
+        idx = pf.schema_arrow.names.index("lang")
+        assert pf.metadata.num_row_groups > 2  # bounded groups exist
+        for g in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(g).column(idx).statistics
+            total += 1
+            # all-null groups (the tombstone tail) have no min/max and
+            # are trivially prunable for any comparison predicate
+            if st is not None and st.min is not None and st.min <= "py" <= st.max:
+                matching += 1
+    # clustered + bounded groups => a point predicate overlaps only a
+    # strict subset of row groups: the scanner has something to skip
+    assert 0 < matching < total
