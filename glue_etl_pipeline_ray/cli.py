@@ -27,6 +27,8 @@ Subcommands (each prints one JSON line):
   lake's live table into this one's.
 - ``optimize``: cluster every bucket by ``--sort-col`` (sha-invariant
   permutation) so predicate scans prune row groups.
+- ``filters`` : build per-bucket key Bloom sidecars so absent-key
+  point lookups skip bucket reads entirely.
 - ``metrics`` : per-batch / totals rollup from lineage.
 """
 
@@ -70,6 +72,7 @@ def main(argv=None) -> int:
             "clone",
             "diff",
             "optimize",
+            "filters",
             "metrics",
         ],
     )
@@ -173,6 +176,8 @@ def main(argv=None) -> int:
             if not args.sort_col:
                 p.error("optimize requires --sort-col")
             out = eng.optimize_sort(args.sort_col)
+        elif args.command == "filters":
+            out = eng.build_lookup_filters()
         elif args.command == "export":
             if not args.out_dir:
                 p.error("export requires --out-dir")

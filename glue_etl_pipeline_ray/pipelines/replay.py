@@ -2739,9 +2739,128 @@ class ReplayEngine:
             "summary": summary,
         }
 
+    def _current_bucket_anchors(self) -> dict[int, str]:
+        """Exact identity of each bucket's committed tip state — the
+        freshness token lookup-filter sidecars are anchored to. Any
+        commit path that changes what a bucket read would return
+        (replay, compaction/fold, backfill, optimize_sort, reshard)
+        changes the pointer and hence the anchor."""
+        if self.state_mode == "delta":
+            return {
+                b: f"d:{d['base']}:{list(d['deltas'])}"
+                for b, d in self.ckpt.bucket_deltas.items()
+            }
+        return {b: f"v:{v}" for b, v in self.ckpt.bucket_versions.items()}
+
+    def build_lookup_filters(self, fp_rate: float = 0.005) -> dict:
+        """Per-bucket key Bloom sidecars for negative point lookups: one
+        task per committed bucket reads that bucket's KEY columns only,
+        builds a ~1.2-bytes/key filter over the same ``key_hash_u64``
+        the exchange routes by, and a sidecar manifest
+        (``_filters/manifest.json``, written LAST) anchors every filter
+        to the exact committed state it summarizes. ``lookup`` then
+        skips any touched bucket in which NO requested key can exist —
+        at 10^10 keys the common "is X present?" miss costs zero data
+        I/O instead of a bucket read. Bloom = no false negatives;
+        staleness is an anchor mismatch (any later commit to the bucket
+        changes its pointer) and a stale filter is simply ignored, so
+        correctness NEVER depends on the sidecar — it only removes
+        reads. Rebuild after ingest/compaction as part of the
+        operational loop (cli.py ``filters``)."""
+        import numpy as np
+
+        from glue_etl_pipeline_ray.functions.bloom import BloomFilter
+        from glue_etl_pipeline_ray.hashing import key_hash_u64
+        from glue_etl_pipeline_ray.stages.merge import (
+            read_bucket_state,
+            read_parquet_pruned,
+        )
+
+        if self.ckpt.watermark < 0:
+            raise ValueError("nothing to index: no committed batches")
+        spec = self.spec
+        evolved = self.ckpt.evolved
+        kc = list(spec.key_cols)
+        lake_dir = self.lake_dir
+        anchors = self._current_bucket_anchors()
+        st = state_schema(spec, evolved)
+        delta = self.state_mode == "delta"
+        if delta:
+            srcs = {
+                b: (d["base"], list(d["deltas"]))
+                for b, d in self.ckpt.bucket_deltas.items()
+            }
+        else:
+            srcs = dict(self.ckpt.bucket_versions)
+
+        @ray.remote
+        def build(b, src):
+            if delta:
+                base, deltas = src
+                t = read_bucket_state(
+                    spec, evolved, lake_dir, base, deltas, b, columns=kc
+                )
+            else:
+                t = conform(
+                    read_parquet_pruned(
+                        os.path.join(lake_dir, part_name(b, src)),
+                        kc + [DELETED_COL],
+                    ),
+                    st,
+                )
+            live = t.filter(
+                pc.invert(pc.fill_null(t[DELETED_COL], False))
+            )
+            h = key_hash_u64(*(live[k] for k in kc))
+            bf = BloomFilter(max(1, len(h)), fp_rate)
+            bf.add_hashes(h)
+            return b, np.packbits(bf.bits).tobytes(), bf.m, bf.k, len(h)
+
+        results = ray.get([build.remote(b, s) for b, s in sorted(srcs.items())])
+        fdir = os.path.join(self.lake_dir, "_filters")
+        os.makedirs(fdir, exist_ok=True)
+        meta: dict[str, dict] = {}
+        total_bytes = 0
+        import json as _json
+
+        for b, bits, m, k, n in results:
+            fname = f"bucket={b:05d}.bits"
+            tmp = os.path.join(fdir, fname + ".tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(bits)
+            os.replace(tmp, os.path.join(fdir, fname))
+            meta[str(b)] = {
+                "file": fname,
+                "m": m,
+                "k": k,
+                "n_keys": n,
+                "anchor": anchors[b],
+            }
+            total_bytes += len(bits)
+        mtmp = os.path.join(fdir, "manifest.json.tmp")
+        with open(mtmp, "w") as fh:
+            _json.dump({"fp_rate": fp_rate, "buckets": meta}, fh)
+        os.replace(mtmp, os.path.join(fdir, "manifest.json"))
+        return {
+            "buckets": len(results),
+            "bytes": total_bytes,
+            "fp_rate": fp_rate,
+        }
+
+    def _lookup_filter_meta(self) -> dict | None:
+        import json as _json
+
+        path = os.path.join(self.lake_dir, "_filters", "manifest.json")
+        try:
+            with open(path) as fh:
+                return _json.load(fh)
+        except FileNotFoundError:
+            return None
+
     def lookup(
         self, keys, as_of: int | None = None,
         columns: list[str] | None = None,
+        use_filters: bool = True,
     ) -> pa.Table:
         """Point lookups by primary key WITHOUT scanning the lake: each
         requested key hashes to its sink bucket (the same
@@ -2783,6 +2902,39 @@ class ReplayEngine:
         per_bucket: dict[int, list[int]] = {}
         for i, b in enumerate(buckets.tolist()):
             per_bucket.setdefault(b, []).append(i)
+
+        # Bloom sidecar prefilter (tip reads only — time travel anchors
+        # never match): drop touched buckets in which no requested key
+        # can possibly exist. No false negatives; stale filters (anchor
+        # != current pointer) are ignored, so this only removes reads.
+        skipped = 0
+        if use_filters and as_of is None and per_bucket:
+            fmeta = self._lookup_filter_meta()
+            if fmeta:
+                from glue_etl_pipeline_ray.functions.bloom import BloomFilter
+
+                cur = self._current_bucket_anchors()
+                for b in list(per_bucket):
+                    m = fmeta["buckets"].get(str(b))
+                    if not m or m["anchor"] != cur.get(b):
+                        continue
+                    path = os.path.join(
+                        self.lake_dir, "_filters", m["file"]
+                    )
+                    try:
+                        packed = np.fromfile(path, dtype=np.uint8)
+                    except FileNotFoundError:
+                        continue
+                    bf = BloomFilter.__new__(BloomFilter)
+                    bf.m, bf.k = m["m"], m["k"]
+                    bf.bits = np.unpackbits(packed)[: m["m"]].astype(bool)
+                    if not bf.contains_hashes(kh[per_bucket[b]]).any():
+                        del per_bucket[b]
+                        skipped += 1
+        self._last_lookup_stats = {
+            "buckets_touched": len(per_bucket),
+            "buckets_skipped": skipped,
+        }
 
         evolved = (
             self.ckpt.evolved if as_of is None else self.ckpt.evolved_as_of(as_of)
