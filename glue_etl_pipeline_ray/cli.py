@@ -29,6 +29,8 @@ Subcommands (each prints one JSON line):
   permutation) so predicate scans prune row groups.
 - ``filters`` : build per-bucket key Bloom sidecars so absent-key
   point lookups skip bucket reads entirely.
+- ``scan``    : predicate-pushdown live read (``--where col=value``,
+  repeatable; equality only from the CLI) printing the match count.
 - ``metrics`` : per-batch / totals rollup from lineage.
 """
 
@@ -73,6 +75,7 @@ def main(argv=None) -> int:
             "diff",
             "optimize",
             "filters",
+            "scan",
             "metrics",
         ],
     )
@@ -85,6 +88,12 @@ def main(argv=None) -> int:
     p.add_argument("--out-lake", help="reshard: destination lake dir")
     p.add_argument("--factor", type=int, default=2, help="reshard factor")
     p.add_argument("--sort-col", help="optimize: column to cluster by")
+    p.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        help="scan: col=value equality predicate (repeatable, ANDed)",
+    )
     p.add_argument(
         "--mode",
         choices=["split", "merge"],
@@ -176,6 +185,16 @@ def main(argv=None) -> int:
             if not args.sort_col:
                 p.error("optimize requires --sort-col")
             out = eng.optimize_sort(args.sort_col)
+        elif args.command == "scan":
+            if not args.where:
+                p.error("scan requires at least one --where col=value")
+            preds = []
+            for w in args.where:
+                if "=" not in w:
+                    p.error(f"bad --where {w!r}: expected col=value")
+                c, v = w.split("=", 1)
+                preds.append((c, "==", v))
+            out = {"where": args.where, "rows": eng.scan(preds).count()}
         elif args.command == "filters":
             out = eng.build_lookup_filters()
         elif args.command == "export":
