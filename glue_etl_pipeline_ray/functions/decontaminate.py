@@ -145,3 +145,70 @@ def decontaminate(
         )
 
     return train.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+
+def benchmark_embedding_matrix(
+    bench: Dataset, vec_col: str = "embedding"
+) -> "ray.ObjectRef":
+    """L2-normalized float64 benchmark embedding matrix as an ObjectRef
+    assembled IN the object store (one remote fold over block refs; the
+    driver only ever holds the ref — the same broadcast discipline as
+    the n-gram hash set)."""
+    from glue_etl_pipeline_ray.functions.similarity import (
+        _batch_matrix,
+        _normalize,
+    )
+
+    @ray.remote
+    def reduce_stack(*tables: pa.Table) -> np.ndarray:
+        mats = [
+            _batch_matrix(t, vec_col)
+            for t in tables
+            if vec_col in t.schema.names and t.num_rows
+        ]
+        if not mats:
+            return np.zeros((0, 0), np.float64)
+        return _normalize(np.vstack(mats))
+
+    return reduce_stack.remote(*bench.to_arrow_refs())
+
+
+def decontaminate_embed(
+    train: Dataset,
+    bench: Dataset,
+    tau: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    drop: bool = True,
+) -> Dataset:
+    """Embedding-space benchmark decontamination — the SEMANTIC
+    contamination guard (catches paraphrased/reworded benchmark leakage
+    that n-gram overlap cannot see): keep a training row iff its max
+    cosine against EVERY benchmark embedding is < ``tau``. The
+    benchmark matrix (benchmark-sized = aggregate data by definition)
+    broadcasts once via its object-store ref; the training side streams
+    shuffle-free, one block matmul per batch. ``drop=False`` tags rows
+    with ``max_bench_sim`` instead of filtering (audit mode)."""
+    from glue_etl_pipeline_ray.functions.similarity import (
+        _batch_matrix,
+        _normalize,
+    )
+
+    ref = benchmark_embedding_matrix(bench, vec_col)
+
+    def guard(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        if bm.size == 0:
+            if drop:
+                return t
+            return t.append_column(
+                "max_bench_sim",
+                pa.array(np.zeros(t.num_rows), pa.float64()),
+            )
+        m = _normalize(_batch_matrix(t, vec_col))
+        mx = (m @ bm.T).max(axis=1) if t.num_rows else np.zeros(0)
+        if drop:
+            return t.filter(pa.array(mx < tau))
+        return t.append_column("max_bench_sim", pa.array(mx, pa.float64()))
+
+    return train.map_batches(guard, batch_format="pyarrow", batch_size=None)

@@ -3456,3 +3456,33 @@ def q_cdc_filter_scan(sf_dir: str):
     eng = ReplayEngine(user_state_spec(), os.path.join(work, "lake"))
     eng.replay(ev_dir)
     return eng.scan([("event_type", "==", "purchase")])
+
+
+def q_decontaminate_embed(sf_dir: str):
+    """Embedding-space benchmark decontamination (the semantic sibling
+    of `decontaminate`): vectors with ``vec_id % 17 == 0`` play the
+    held-out benchmark; every other vector survives iff its max cosine
+    against the whole benchmark is < 0.4. One object-store broadcast of
+    the (aggregate-sized) benchmark matrix + one shuffle-free block
+    matmul per training batch. Gate: pytest hash-exact vs DuckDB's
+    ``list_cosine_similarity`` NOT-EXISTS anti-join (the driver window
+    is saturated, so this rides the pytest-DuckDB gate)."""
+    from glue_etl_pipeline_ray.functions.decontaminate import (
+        decontaminate_embed,
+    )
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _side(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 17 == 0) == want_bench))
+
+        return f
+
+    bench = ds.map_batches(_side(True), batch_format="pyarrow", batch_size=None)
+    train = ds.map_batches(_side(False), batch_format="pyarrow", batch_size=None)
+    kept = decontaminate_embed(train, bench, tau=0.4)
+    return kept.map_batches(
+        lambda t: t.select(["vec_id"]), batch_format="pyarrow", batch_size=None
+    )
