@@ -3486,3 +3486,55 @@ def q_decontaminate_embed(sf_dir: str):
     return kept.map_batches(
         lambda t: t.select(["vec_id"]), batch_format="pyarrow", batch_size=None
     )
+
+
+def q_dedup_phash_keep_one(sf_dir: str):
+    """Image-corpus keep-one dedup composed end-to-end over the REAL
+    codec: pHash near-dup pairs (``dedup_phash``) -> connected
+    components -> each visual cluster keeps its min doc_id -> one
+    shuffle-free filter pass over the image corpus. The multimodal
+    sibling of ``dedup_fuzzy_keep_one``, with the same scale shape: the
+    drop set is dedup OUTPUT (aggregate-sized), shipped once via
+    ``ray.put``; the corpus never shuffles. Decode dead-letters keep
+    their rows (they carry ``error``, are in no cluster, and survive to
+    be quarantined by the caller — never silently dropped). Gate:
+    pytest set-oracle from the planted-duplicate fixture."""
+    from glue_etl_pipeline_ray.functions.cc import connected_components
+    from glue_etl_pipeline_ray.functions.dedup import hamming_pairs
+    from glue_etl_pipeline_ray.functions.multimodal import PngPerceptualHasher
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    binary = ds.map_batches(
+        synth_phash_dup_payloads, batch_format="pyarrow", batch_size=256
+    )
+    hashed = binary.map_batches(
+        PngPerceptualHasher,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 8),
+    ).materialize()  # hashed once, read by both the pair join and the filter
+    pairs = hamming_pairs(hashed, "phash", max_hamming=3)
+    comp = connected_components(pairs, "doc_id_a", "doc_id_b")
+    drop_parts = ray.get(
+        comp.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.equal(t["node"], t["component"]))
+            ).select(["node"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).to_arrow_refs()
+    )
+    drop = np.unique(
+        pa.concat_tables(drop_parts)["node"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(d, ids)
+        pos_c = np.minimum(pos, max(len(d) - 1, 0))
+        dropped = (d[pos_c] == ids) if len(d) else np.zeros(len(ids), bool)
+        return t.filter(pa.array(~dropped))
+
+    return hashed.map_batches(keep, batch_format="pyarrow", batch_size=None)

@@ -121,3 +121,23 @@ def test_dedup_phash_query_planted_recall_and_precision(ray_session):
     # found set should be exactly the planted set
     assert got_pairs == planted
     assert (got["hamming"] <= 3).all()
+
+
+def test_dedup_phash_keep_one_set_oracle(ray_session):
+    from glue_etl_pipeline_ray.pipelines.queries import q_dedup_phash_keep_one
+
+    got = q_dedup_phash_keep_one(SF_DIR).to_pandas()
+    all_ids = set(
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+    )
+    # expected: for each planted pair (a, b) that both decode, b (the
+    # larger id) is dropped; everything else survives — including the
+    # decode dead-letters, which carry error and belong to no cluster
+    expect = set(all_ids)
+    for a, b in _expected_planted_pairs():
+        expect.discard(b)
+    assert set(got["doc_id"]) == expect
+    dead = got[got["error"].notna()]
+    assert len(dead) == sum(1 for d in all_ids if d % 97 == 0)
