@@ -6,7 +6,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship CDC replay over the input_hint table shape
   (synthetic change events on (repo, path) keys -> exactly-once upserted
   lake), returning the live table as a Dataset.
-- ``queries()``: 120 pipelines — one per operator family from SURVEY.md
+- ``queries()``: 121 pipelines — one per operator family from SURVEY.md
   section 2 (flatten/validate/evolve/joins incl. as-of [plain +
   range-sharded], anti/semi [direct + Bloom-prefiltered], windowed
   aggregates incl. RANGE-frame sliding windows, exact + histogram
@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_filter_scan": Q.q_cdc_filter_scan,
         "decontaminate_embed": Q.q_decontaminate_embed,
         "dedup_phash_keep_one": Q.q_dedup_phash_keep_one,
+        "topk_per_group_sketch": Q.q_topk_per_group_sketch,
     }
 
 

@@ -414,3 +414,111 @@ def grouped_hll_distinct(
     return grouped_apply(
         partials, [key_col], merge_key, num_partitions=num_partitions
     )
+
+
+def grouped_heavy_hitters(
+    ds: Dataset,
+    group_col: str,
+    key_col: str,
+    k: int = 5,
+    partial_m: int = 32,
+    weight_col: str | None = None,
+) -> Dataset:
+    """Per-GROUP approximate top-k heavy hitters — the grouped member of
+    the sketch family (HLL and KLL already have grouped variants; this
+    closes the SpaceSaving/Misra-Gries gap). Same bound construction as
+    the global ``heavy_hitters``: each block emits its exact per-(group,
+    key) totals truncated to the top ``partial_m`` keys PER GROUP plus
+    that (group, block)'s dropped-mass bound; ONE bounded exchange on
+    the group column (<= blocks x groups x partial_m rows — partials,
+    never raw rows; Ray group count independent of group cardinality
+    via ``grouped_apply``'s hash partitions) folds each group exactly
+    like the global driver fold. Every reported key carries
+    [count_min, count_max]; with ``partial_m`` >= the group's distinct
+    keys the slack is 0 and the result is exact (the gate's fixture).
+
+    The per-block partial id is CONTENT-derived (not a uuid), so task
+    retries reproduce byte-identical partials — the engine-wide
+    determinism discipline."""
+    import hashlib as _hashlib
+
+    from glue_etl_pipeline_ray.functions.groups import grouped_apply
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], batch.schema.field(group_col).type),
+                    key_col: pa.array([], batch.schema.field(key_col).type),
+                    "__w": pa.array([], pa.int64()),
+                    "__dropped": pa.array([], pa.int64()),
+                    "__bid": pa.array([], pa.string()),
+                }
+            )
+        df = pl.from_arrow(batch)
+        agg = df.group_by([group_col, key_col]).agg(
+            pl.col(weight_col).sum().alias("__w")
+            if weight_col
+            else pl.len().cast(pl.Int64).alias("__w")
+        )
+        agg = agg.sort(
+            [group_col, "__w", key_col], descending=[False, True, False]
+        ).with_columns(
+            pl.col("__w").cum_count().over(group_col).alias("__rn")
+        )
+        kept = agg.filter(pl.col("__rn") <= partial_m)
+        # per-group dropped bound = the (m+1)-th total (0 if none)
+        dropped = (
+            agg.filter(pl.col("__rn") == partial_m + 1)
+            .select([group_col, pl.col("__w").alias("__dropped")])
+        )
+        out = kept.join(dropped, on=group_col, how="left").with_columns(
+            pl.col("__dropped").fill_null(0)
+        ).drop("__rn")
+        t = out.to_arrow()
+        bid = _hashlib.sha1(
+            repr((t.num_rows, t["__w"].to_pylist()[:64],
+                  t[key_col].to_pylist()[:64])).encode()
+        ).hexdigest()[:16]
+        return t.append_column(
+            "__bid", pa.array([bid] * t.num_rows, pa.string())
+        )
+
+    parts = ds.map_batches(block_top, batch_format="pyarrow", batch_size=None)
+
+    def fold(g: pa.Table) -> pa.Table:
+        gval = g[group_col][0].as_py()
+        totals: dict = {}
+        drops: dict = {}
+        for key, w, d, bid in zip(
+            g[key_col].to_pylist(),
+            g["__w"].to_pylist(),
+            g["__dropped"].to_pylist(),
+            g["__bid"].to_pylist(),
+        ):
+            totals[key] = totals.get(key, 0) + int(w)
+            rec = drops.setdefault(bid, [int(d), set()])
+            rec[1].add(key)
+        top = sorted(totals.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+        rows = {group_col: [], "key": [], "count_min": [], "count_max": [],
+                "rank": []}
+        for rank, (key, cmin) in enumerate(top, 1):
+            slack = sum(d for d, seen in drops.values() if key not in seen)
+            rows[group_col].append(gval)
+            rows["key"].append(key)
+            rows["count_min"].append(cmin)
+            rows["count_max"].append(cmin + slack)
+            rows["rank"].append(rank)
+        return pa.table(
+            {
+                group_col: pa.array(rows[group_col], g[group_col].type),
+                "key": pa.array(rows["key"], g[key_col].type),
+                "count_min": pa.array(rows["count_min"], pa.int64()),
+                "count_max": pa.array(rows["count_max"], pa.int64()),
+                "rank": pa.array(rows["rank"], pa.int64()),
+            }
+        )
+
+    return grouped_apply(parts, [group_col], fold)

@@ -3538,3 +3538,21 @@ def q_dedup_phash_keep_one(sf_dir: str):
         return t.filter(pa.array(~dropped))
 
     return hashed.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def q_topk_per_group_sketch(sf_dir: str):
+    """Per-user top event types via the GROUPED SpaceSaving-style
+    sketch (`functions/sketch.grouped_heavy_hitters`): per-(group,
+    block) truncated exact partials with dropped-mass bounds, one
+    bounded exchange on the group column, per-group fold with
+    [count_min, count_max]. With partial_m >= the per-user event-type
+    cardinality the slack is 0 and the output is exact — gated
+    hash-exact vs DuckDB's row_number window in
+    tests/test_grouped_hh.py (window saturated, pytest gate)."""
+    from glue_etl_pipeline_ray.functions.sketch import grouped_heavy_hitters
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    out = grouped_heavy_hitters(
+        ds, "user_id", "event_type", k=3, partial_m=32
+    )
+    return out
